@@ -1,0 +1,98 @@
+"""Per-round benchmark. Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline = north_rule metrics: (1) index-build wall time over a synthetic
+Common-Crawl-style corpus (→ docs/sec), (2) reference-query-set batch BM25
+latency, (3) a set of sf-dir operator queries (tokenize/dedup/ANN/agg).
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR   (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     (default 32)
+  BENCH_DOCS           synthetic corpus size (default 20000)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_DOCS = int(os.environ.get("BENCH_DOCS", "20000"))
+
+
+def main():
+    from invoicenet_spark.config import EngineConfig
+    from invoicenet_spark.fixtures import gen_pages_spark, gen_queries
+    from invoicenet_spark.index.build import build_index
+    from invoicenet_spark.query.exec import load_index, search
+    from invoicenet_spark.session import get_spark
+
+    spark = get_spark("bench", cores=CPUS, shuffle_partitions=CPUS, driver_memory="48g")
+    timings: dict[str, float] = {}
+
+    # ---- 1. index build (extraction → tokenize → shuffle → encode → commit)
+    cfg = EngineConfig(shard_size=1 << 12, block_size=128, build_partitions=CPUS)
+    pages = gen_pages_spark(spark, N_DOCS, seed=42, partitions=CPUS)
+    pages.write.mode("overwrite").parquet(os.path.join(tempfile.gettempdir(), "bench_pages"))
+    pages = spark.read.parquet(os.path.join(tempfile.gettempdir(), "bench_pages"))
+    out = os.path.join(tempfile.mkdtemp(prefix="bench_idx_"), "index")
+    t0 = time.time()
+    build_index(spark, pages, out, cfg)
+    timings["index_build"] = round(time.time() - t0, 3)
+    docs_per_sec = round(N_DOCS / timings["index_build"], 1)
+
+    # ---- 2. reference query set, batch BM25 (warm + timed)
+    index = load_index(spark, out)
+    queries = gen_queries(100, seed=42)
+    search(spark, index, queries, kernel="auto").count()  # warmup
+    t0 = time.time()
+    n_res = search(spark, index, queries, kernel="auto").count()
+    timings["query_batch_100"] = round(time.time() - t0, 3)
+
+    # ---- 3. operator queries over the sf dir
+    from invoicenet_spark import entrypoints
+
+    for name in [
+        "term_counts",
+        "doc_freq",
+        "dedup_exact",
+        "jaccard_pairs",
+        "minhash_lsh",
+        "simhash",
+        "ann_cosine_topk",
+        "lang_id",
+        "quality_score",
+        "tpch_q1",
+        "events_window",
+    ]:
+        fn = entrypoints.QUERIES[name]
+        t0 = time.time()
+        fn(spark, SF_DIR).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "index_build+query_batch+operator_suite wall sec (local[%d])" % CPUS,
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF_DIR.rstrip("/").split("sf")[-1],
+                "bench_docs": N_DOCS,
+                "index_docs_per_sec": docs_per_sec,
+                "query_batch_qps": round(100 / timings["query_batch_100"], 2),
+                "n_results": n_res,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,52 @@
+"""Engine configuration.
+
+The reference keeps its tunables as a dynamic FIELDS registry plus
+hard-coded hyper-parameters (invoicenet/__init__.py:21-37,
+invoicenet/acp/data.py:44-63). The engine analog is a plain frozen config
+object: analyzer choices, BM25 constants, and index layout knobs. No schema
+changes flow from config — table schemas are fixed StructTypes.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    # BM25 constants (BASELINE.json north_star: k1=1.2, b=0.75).
+    k1: float = 1.2
+    b: float = 0.75
+
+    # Index layout.
+    # Posting lists are sharded by docID range: shard = doc_id // shard_size.
+    # This bounds the size of any (term, shard) group, so Zipfian head terms
+    # (stopwords) can never produce a straggler task — the skew handling the
+    # north_rule demands, by construction rather than by rescue.
+    shard_size: int = 1 << 17  # 131072 docs per shard
+    # Inside a (term, shard) posting list, docIDs/tfs are cut into blocks of
+    # `block_size` entries; each block stores its exact max BM25 partial
+    # score (block-max, Ding & Suel SIGIR'11) and a skip pointer (last docID).
+    block_size: int = 128
+
+    # Analyzer: lowercase + split on non-alphanumeric + drop empties
+    # (semantics pinned by the reference's token handling:
+    # invoicenet/common/util.py:105 drops empties;
+    # invoicenet/gui/viewer.py:211 matches case-insensitively).
+    token_pattern: str = "[^a-z0-9]+"
+    # Only index documents in these languages (language gate — the engine
+    # analog of the reference's file-type predicate, predict.py:52).
+    index_langs: tuple[str, ...] = ("en",)
+
+    # Shuffle parallelism used for explicit repartitions during the build.
+    build_partitions: int = 32
+
+    # Top-k default (reference does top-1 argmax, acp/acp.py:117; engine
+    # generalizes to top-k with deterministic doc_id tie-break).
+    default_k: int = 10
+
+    # Score comparison epsilon for rank-identity tests (float64 accumulate,
+    # then round to 9 decimals before comparing).
+    score_decimals: int = 9
+
+    extra: dict = field(default_factory=dict)

@@ -1,0 +1,510 @@
+"""queries() / oracle_sql() registry for the driver correctness gate.
+
+Each entry exercises an implemented operator from SURVEY.md §2 over the
+driver testdata and has an ANSI-SQL twin that DuckDB runs on the same
+parquet. Column names are aliased identically on both sides; float outputs
+are rounded before comparison and ranks are computed over rounded scores so
+cross-engine summation-order noise (≈1e-16) cannot flip a hash.
+
+Analyzer twin (must stay in sync with functions/analyzer.py):
+  Spark : filter(split(lower(text), '[^a-z0-9]+'), t -> t <> '')
+  DuckDB: list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from invoicenet_spark.config import EngineConfig
+from invoicenet_spark.functions.analyzer import ngrams_col, tokens_col
+from invoicenet_spark.functions.normalize import (
+    normalize_amount,
+    normalize_date,
+    pattern_hash_class,
+)
+from invoicenet_spark.ops import dedup, similarity, text_analysis
+
+# ---------------------------------------------------------------- helpers --
+_DUCK_TOKS = (
+    "SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),"
+    " t -> t <> '')) AS term FROM documents"
+)
+
+# fixed raw-amount golden inputs (reference amount_generator.py semantics)
+AMOUNT_RAWS = [
+    "1,234.5",
+    "1234.567",
+    "0.5",
+    "99",
+    "12,345,678.9",
+    "7.00",
+    "3.999",
+    "1000000",
+    "42.1",
+    "0.01",
+]
+
+BM25_QUERY_TERMS = ["spark", "query", "window"]
+BM25_AND_TERMS = ["spark", "join"]
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _toks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.explode(tokens_col("text")).alias("term")
+    )
+
+
+def _docs_as_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → pages shape; url = zero-padded doc_id so the engine's
+    url-rank docIDs invert exactly (cast(url AS long) = original doc_id)."""
+    return _docs(spark, sf_dir).select(
+        F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        "text",
+        "lang",
+    )
+
+
+_INDEX_CACHE: dict = {}
+
+
+def _bm25_engine_results(spark: SparkSession, sf_dir: str, terms, mode: str, k: int):
+    """Run the real engine (build index over en-docs, search) and return
+    (rank, doc_id, score_r4) ranked on rounded score for oracle stability."""
+    import pandas as pd
+
+    from invoicenet_spark.index.build import build_index
+    from invoicenet_spark.query.exec import load_index, search
+
+    cache_key = (sf_dir,)
+    if cache_key not in _INDEX_CACHE:
+        out = os.path.join(tempfile.mkdtemp(prefix="ivs_idx_"), "index")
+        cfg = EngineConfig(shard_size=256, block_size=64, build_partitions=8)
+        build_index(
+            spark, _docs_as_pages(spark, sf_dir), out, cfg, use_stored_text=True
+        )
+        _INDEX_CACHE[cache_key] = out
+    index = load_index(spark, _INDEX_CACHE[cache_key])
+    q = pd.DataFrame(
+        [{"query_id": 1, "terms": list(terms), "mode": mode, "k": 100000}]
+    )
+    res = search(spark, index, q, kernel="auto", with_url=True)
+    scored = res.select(
+        F.col("url").cast("long").alias("doc_id"),
+        F.round(F.col("score"), 6).alias("score_r6"),
+    )
+    w = Window.orderBy(F.col("score_r6").desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("rank", "doc_id", F.round("score_r6", 4).alias("score_r4"))
+    )
+
+
+def _duck_bm25(terms, mode: str, k: int) -> str:
+    tlist = ", ".join(f"('{t}')" for t in terms)
+    n_terms = len(terms)
+    having = f"HAVING count(DISTINCT term) = {n_terms}" if mode == "AND" else ""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+         t -> t <> '')) AS term
+  FROM documents WHERE lang = 'en'
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+qt(term) AS (VALUES {tlist}),
+tf AS (
+  SELECT term, doc_id, count(*) AS tf FROM toks
+  WHERE term IN (SELECT term FROM qt) GROUP BY term, doc_id
+),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln((stats.n - dfq.df + 0.5)/(dfq.df + 0.5) + 1.0)
+              * tf.tf * 2.2 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl)) ) AS score
+  FROM tf JOIN dfq USING(term) JOIN dl USING(doc_id) CROSS JOIN stats
+  GROUP BY tf.doc_id
+  {having}
+),
+r AS (SELECT doc_id, round(score, 6) AS score_r6 FROM scored)
+SELECT CAST(row_number() OVER (ORDER BY score_r6 DESC, doc_id) AS BIGINT) AS rank,
+       doc_id, round(score_r6, 4) AS score_r4
+FROM r QUALIFY rank <= {k} ORDER BY rank
+"""
+
+
+# ----------------------------------------------------------------- queries --
+def q_term_counts(spark, sf_dir):
+    """T2/A1: term occurrence counts over the analyzed corpus."""
+    return _toks(spark, sf_dir).groupBy("term").agg(F.count("*").alias("n_occ"))
+
+
+def q_doc_freq(spark, sf_dir):
+    """H1/A8: document frequency per term."""
+    return (
+        _toks(spark, sf_dir)
+        .distinct()
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+
+
+def q_doc_stats(spark, sf_dir):
+    """A8: per-doc token length."""
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.size(tokens_col("text")).cast("long").alias("doc_len")
+    )
+
+
+def q_corpus_stats(spark, sf_dir):
+    """A8: N + avgdl over the en-subset (the index-stats aggregate)."""
+    d = _docs(spark, sf_dir).where(F.col("lang") == "en")
+    return d.select(F.size(tokens_col("text")).alias("dl")).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.round(F.avg("dl"), 6).alias("avgdl_r6"),
+    )
+
+
+def q_bm25_topk_or(spark, sf_dir):
+    """J4/A1/K1: disjunctive BM25 top-k through the real index + kernels."""
+    return _bm25_engine_results(spark, sf_dir, BM25_QUERY_TERMS, "OR", 20)
+
+
+def q_bm25_topk_and(spark, sf_dir):
+    """J4 conjunctive: posting-list intersection + BM25."""
+    return _bm25_engine_results(spark, sf_dir, BM25_AND_TERMS, "AND", 20)
+
+
+def q_substring_search(spark, sf_dir):
+    """P6/F8: case-insensitive contains."""
+    return (
+        _docs(spark, sf_dir)
+        .where(F.lower(F.col("text")).contains("window"))
+        .select("doc_id")
+    )
+
+
+def q_ngram_counts(spark, sf_dir):
+    """T2/T3: 1..2-gram candidate generation, counts of repeated grams."""
+    d = _docs(spark, sf_dir).select(F.explode(ngrams_col("text", 2)).alias("gram"))
+    return (
+        d.groupBy("gram").agg(F.count("*").alias("n")).where(F.col("n") >= 50)
+    )
+
+
+def q_amount_normalize(spark, sf_dir):
+    """F5/F6: canonical amounts from golden raw strings."""
+    df = spark.createDataFrame([(r,) for r in AMOUNT_RAWS], ["raw"])
+    return df.select("raw", normalize_amount("raw").alias("amount_norm"))
+
+
+def q_date_normalize(spark, sf_dir):
+    """F7: canonical MM-dd-yyyy over orders.o_orderdate."""
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    return orders.select(
+        "o_orderkey", normalize_date("o_orderdate").alias("date_norm")
+    )
+
+
+def q_pattern_hash(spark, sf_dir):
+    """H2: char-class abstraction over part names."""
+    part = spark.read.parquet(os.path.join(sf_dir, "part.parquet"))
+    return part.select("p_partkey", pattern_hash_class("p_name").alias("pattern"))
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Dedup (exact): fingerprint groupBy, min doc_id per group."""
+    return dedup.exact_dedup(_docs(spark, sf_dir))
+
+
+def q_fingerprint(spark, sf_dir):
+    """Doc fingerprinting (md5 of canonicalized text)."""
+    return _docs(spark, sf_dir).select(
+        "doc_id", text_analysis.fingerprint("text").alias("fp")
+    )
+
+
+def q_jaccard_pairs(spark, sf_dir):
+    """Dedup (n-gram Jaccard): all pairs ≥ 0.12 via shared-shingle join."""
+    return dedup.jaccard_pairs(_docs(spark, sf_dir), threshold=0.12)
+
+
+def q_minhash_lsh(spark, sf_dir):
+    """Dedup (MinHash+LSH): banded candidates + verified Jaccard.
+    No SQL oracle (xxhash64 not reproducible in DuckDB) → rows-only check."""
+    return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.12)
+
+
+def q_simhash(spark, sf_dir):
+    """Dedup (SimHash): 64-bit signatures. Rows-only check (xxhash64)."""
+    return dedup.simhash_signatures(_docs(spark, sf_dir))
+
+
+def q_token_counts(spark, sf_dir):
+    """Token counting: whitespace and BPE-ish regex counts per doc."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        text_analysis.token_count_ws("text").cast("long").alias("n_ws"),
+        text_analysis.token_count_bpe_ish("text").cast("long").alias("n_bpe"),
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    """Language ID (stopword-ratio heuristic) vs the labeled lang column."""
+    return _docs(spark, sf_dir).select(
+        "doc_id", text_analysis.lang_id_expr("text").alias("lang_pred")
+    )
+
+
+def q_quality_score(spark, sf_dir):
+    """Quality scoring: length/alpha/word-length heuristic."""
+    return _docs(spark, sf_dir).select(
+        "doc_id", text_analysis.quality_score("text").alias("q_score")
+    )
+
+
+def q_binary_meta(spark, sf_dir):
+    """Multimodal plumbing: opaque binary column + typed metadata."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.length(F.encode(F.col("text"), "utf-8")).cast("long").alias("n_bytes"),
+    )
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    """Similarity search: exact cosine top-10 to the vec_id=0 embedding."""
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    scored = emb.where(F.col("vec_id") != 0).select(
+        "vec_id",
+        F.round(
+            similarity.cosine_col(
+                F.col("embedding"), F.array(*[F.lit(x) for x in qvec])
+            ),
+            6,
+        ).alias("cos_r6"),
+    )
+    w = Window.orderBy(F.col("cos_r6").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 10)
+        .select("rank", "vec_id", "cos_r6")
+    )
+
+
+def q_tpch_q1(spark, sf_dir):
+    """Generic agg parity (A1/A2 partial+final agg): TPC-H Q1 shape."""
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+def q_events_window(spark, sf_dir):
+    """Streaming-analog tumbling-window agg (§2.10) with P4 sanity filter."""
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return (
+        ev.where(F.col("ts") <= F.lit("2025-01-01"))
+        .groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+    )
+
+
+QUERIES = {
+    "term_counts": q_term_counts,
+    "doc_freq": q_doc_freq,
+    "doc_stats": q_doc_stats,
+    "corpus_stats": q_corpus_stats,
+    "bm25_topk_or": q_bm25_topk_or,
+    "bm25_topk_and": q_bm25_topk_and,
+    "substring_search": q_substring_search,
+    "ngram_counts": q_ngram_counts,
+    "amount_normalize": q_amount_normalize,
+    "date_normalize": q_date_normalize,
+    "pattern_hash": q_pattern_hash,
+    "dedup_exact": q_dedup_exact,
+    "fingerprint": q_fingerprint,
+    "jaccard_pairs": q_jaccard_pairs,
+    "minhash_lsh": q_minhash_lsh,
+    "simhash": q_simhash,
+    "token_counts": q_token_counts,
+    "lang_id": q_lang_id,
+    "quality_score": q_quality_score,
+    "binary_meta": q_binary_meta,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "tpch_q1": q_tpch_q1,
+    "events_window": q_events_window,
+}
+
+_AMOUNT_VALUES = ", ".join(f"('{r}')" for r in AMOUNT_RAWS)
+
+_DUCK_SHINGLES = """
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, greatest(len(ts) - 1, 1)),
+           i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]))) AS shingle
+  FROM (SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS ts
+        FROM documents)
+"""
+
+ORACLE_SQL = {
+    "term_counts": f"SELECT term, count(*) AS n_occ FROM ({_DUCK_TOKS}) GROUP BY term",
+    "doc_freq": (
+        f"SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM ({_DUCK_TOKS}))"
+        " GROUP BY term"
+    ),
+    "doc_stats": (
+        "SELECT doc_id, CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),"
+        " t -> t <> '')) AS BIGINT) AS doc_len FROM documents"
+    ),
+    "corpus_stats": (
+        "SELECT CAST(count(*) AS BIGINT) AS n_docs, round(avg(dl), 6) AS avgdl_r6 FROM ("
+        "SELECT len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> ''))"
+        " AS dl FROM documents WHERE lang = 'en')"
+    ),
+    "bm25_topk_or": _duck_bm25(BM25_QUERY_TERMS, "OR", 20),
+    "bm25_topk_and": _duck_bm25(BM25_AND_TERMS, "AND", 20),
+    "substring_search": (
+        "SELECT doc_id FROM documents WHERE contains(lower(text), 'window')"
+    ),
+    "ngram_counts": """
+        WITH t AS (SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                          x -> x <> '') AS ts FROM documents),
+        grams AS (
+          SELECT unnest(list_concat(
+            ts,
+            list_transform(range(1, greatest(len(ts), 1)), i -> ts[i] || ' ' || ts[i+1])
+          )) AS gram FROM t
+        )
+        SELECT gram, count(*) AS n FROM grams GROUP BY gram HAVING count(*) >= 50
+    """,
+    "amount_normalize": (
+        f"SELECT raw, CAST(CAST(floor(CAST(replace(raw, ',', '') AS DECIMAL(28,10)) * 100)"
+        f" / 100 AS DECIMAL(18,2)) AS VARCHAR) AS amount_norm FROM (VALUES {_AMOUNT_VALUES})"
+        " v(raw)"
+    ),
+    "date_normalize": (
+        "SELECT o_orderkey, strftime(o_orderdate, '%m-%d-%Y') AS date_norm FROM orders"
+    ),
+    "pattern_hash": (
+        "SELECT p_partkey, regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+        "p_name, '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', '0', 'g'),"
+        " '[^Xx0]', '-', 'g') AS pattern FROM part"
+    ),
+    "dedup_exact": (
+        "SELECT min(doc_id) AS doc_id,"
+        " md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,"
+        " count(*) AS n_copies FROM documents GROUP BY 2"
+    ),
+    "fingerprint": (
+        "SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp"
+        " FROM documents"
+    ),
+    "jaccard_pairs": f"""
+        WITH sh AS ({_DUCK_SHINGLES}),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.12
+    """,
+    # minhash_lsh, simhash: rows-only (xxhash64 not available in DuckDB)
+    "token_counts": (
+        "SELECT doc_id,"
+        " CAST(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS BIGINT)"
+        " AS n_ws,"
+        " CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')) AS BIGINT)"
+        " AS n_bpe FROM documents"
+    ),
+    "binary_meta": (
+        "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents"
+    ),
+    "quality_score": """
+        SELECT doc_id, round(
+          (CASE WHEN len(text) BETWEEN 100 AND 20000 THEN 0.4 ELSE 0.0 END)
+          + (CASE WHEN alpha * 1.0 / n_toks BETWEEN 3.0 AND 10.0 THEN 0.3 ELSE 0.0 END)
+          + (alpha * 1.0 / greatest(len(text), 1)) * 0.3, 4) AS q_score
+        FROM (
+          SELECT doc_id, text,
+            len(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+            greatest(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '')), 1) AS n_toks
+          FROM documents)
+    """,
+    "lang_id": None,  # filled below (long stopword SQL)
+    "ann_cosine_topk": """
+        WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        scored AS (
+          SELECT vec_id,
+                 round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                              CAST(qv AS DOUBLE[])), 6) AS cos_r6
+          FROM embeddings, q WHERE vec_id <> 0
+        )
+        SELECT CAST(row_number() OVER (ORDER BY cos_r6 DESC, vec_id) AS BIGINT) AS rank,
+               vec_id, cos_r6
+        FROM scored QUALIFY rank <= 10 ORDER BY rank
+    """,
+    "tpch_q1": (
+        "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,"
+        " round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,"
+        " count(*) AS n_rows FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'"
+        " GROUP BY l_returnflag, l_linestatus"
+    ),
+    "events_window": (
+        "SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,"
+        " round(sum(value), 2) AS total FROM events WHERE ts <= TIMESTAMP '2025-01-01'"
+        " GROUP BY 1, 2"
+    ),
+}
+
+
+def _lang_id_sql() -> str:
+    ratios = []
+    for lang, sw in text_analysis.STOPWORDS.items():
+        lst = ", ".join(f"'{w}'" for w in sw)
+        ratios.append(
+            f"len(list_filter(ts, t -> t IN ({lst}))) * 1.0 / greatest(len(ts), 1) AS r_{lang}"
+        )
+    # strict '>' fold, right-to-left, mirrors lang_id_expr tie-break
+    expr = "'unk'"
+    best = "0.0"
+    for lang in reversed(list(text_analysis.STOPWORDS)):
+        expr = f"CASE WHEN r_{lang} > {best} THEN '{lang}' ELSE {expr} END"
+        best = f"greatest(r_{lang}, {best})"
+    return f"""
+        SELECT doc_id, {expr} AS lang_pred FROM (
+          SELECT doc_id, {', '.join(ratios)} FROM (
+            SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                   t -> t <> '') AS ts FROM documents))
+    """
+
+
+ORACLE_SQL["lang_id"] = _lang_id_sql()
+ORACLE_SQL = {k: v for k, v in ORACLE_SQL.items() if v is not None}

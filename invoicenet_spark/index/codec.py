@@ -1,0 +1,179 @@
+"""Posting-list codec: docID-delta + varbyte, skip blocks, block-max metadata.
+
+The engine analog of the reference's sparse candidate tensor
+(invoicenet/acp/data.py:154-167: COO (i,v,s) triples over a bounded dense
+space) — re-expressed as the classic compressed inverted-list layout
+(varbyte/delta per Zobel & Moffat 2006; block-max per Ding & Suel SIGIR'11).
+
+Everything is numpy-vectorized over whole arrays (input_hint: no per-row
+Python): varbyte encode/decode loop over *byte positions* (≤10 iterations),
+never over values.
+
+Layout per (term_id, shard) posting row:
+  doc_blob   binary        varbyte of docID deltas (first = delta vs 0)
+  tf_blob    binary        varbyte of term frequencies
+  block_last array<long>   last (max) docID per block — the skip pointer
+  block_doc_off array<int> byte offset of each block in doc_blob
+  block_tf_off  array<int> byte offset of each block in tf_blob
+  block_max_tf  array<int> max tf per block        ┐ exact per-block bound
+  block_min_dl  array<int> min doc_len per block   ┘ inputs (see below)
+  df_shard   int           number of postings in this (term, shard)
+
+Block-max design note: instead of storing a baked score bound (which goes
+stale when corpus stats N/avgdl change on incremental builds), each block
+stores (max_tf, min_dl). The BM25 partial score
+    s(tf, dl) = idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+is increasing in tf and decreasing in dl, so
+    bound = idf * s(max_tf, min_dl)
+computed with *current* stats is a valid upper bound for every posting in
+the block — WAND pruning stays lossless across snapshot-incremental index
+updates without re-encoding old segments.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+BLOCK_SIZE = 128
+
+
+# ---------------------------------------------------------------- varbyte --
+def vb_encode(values: np.ndarray) -> bytes:
+    """Vectorized varbyte: little-endian 7-bit groups, MSB=1 → more bytes."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    # bytes needed per value (loop over max 10 byte-positions, not values)
+    nb = np.ones(v.size, dtype=np.int64)
+    rest = v >> np.uint64(7)
+    while rest.any():
+        nb += (rest > 0).astype(np.int64)
+        rest >>= np.uint64(7)
+    ends = np.cumsum(nb)
+    starts = ends - nb
+    out = np.zeros(int(ends[-1]), dtype=np.uint8)
+    max_nb = int(nb.max())
+    for k in range(max_nb):
+        mask = nb > k
+        chunk = ((v[mask] >> np.uint64(7 * k)) & np.uint64(0x7F)).astype(np.uint8)
+        more = (nb[mask] - 1) > k
+        out[starts[mask] + k] = chunk | (more.astype(np.uint8) << 7)
+    return out.tobytes()
+
+
+def vb_decode(blob: bytes | np.ndarray, count: int | None = None) -> np.ndarray:
+    """Vectorized varbyte decode → uint64 array."""
+    b = np.frombuffer(blob, dtype=np.uint8) if isinstance(blob, (bytes, bytearray)) else blob
+    if b.size == 0:
+        return np.zeros(0, dtype=np.uint64)
+    is_last = (b & 0x80) == 0
+    ends = np.flatnonzero(is_last)
+    starts = np.concatenate(([0], ends[:-1] + 1))
+    lengths = ends - starts + 1
+    n = ends.size
+    values = np.zeros(n, dtype=np.uint64)
+    max_len = int(lengths.max())
+    for k in range(max_len):
+        mask = lengths > k
+        values[mask] |= (b[starts[mask] + k] & np.uint64(0x7F)).astype(np.uint64) << np.uint64(
+            7 * k
+        )
+    if count is not None and n != count:
+        raise ValueError(f"varbyte decode: expected {count} values, got {n}")
+    return values
+
+
+# ---------------------------------------------------------- posting lists --
+@dataclass
+class PostingList:
+    doc_ids: np.ndarray  # int64, sorted ascending
+    tfs: np.ndarray  # int64
+    doc_lens: np.ndarray  # int64 (doc length per posting; query-side need)
+
+
+def encode_posting_list(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    doc_lens: np.ndarray,
+    block_size: int = BLOCK_SIZE,
+) -> dict:
+    """Encode one (term, shard) posting list. Inputs sorted by doc_id asc."""
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    doc_lens = np.asarray(doc_lens, dtype=np.int64)
+    n = doc_ids.size
+    if n == 0:
+        raise ValueError("empty posting list")
+    deltas = np.diff(doc_ids, prepend=np.int64(0)).astype(np.uint64)
+
+    n_blocks = (n + block_size - 1) // block_size
+    bounds = np.minimum(np.arange(1, n_blocks + 1) * block_size, n)
+    starts = np.concatenate(([0], bounds[:-1]))
+
+    doc_parts, tf_parts = [], []
+    block_doc_off = np.zeros(n_blocks, dtype=np.int32)
+    block_tf_off = np.zeros(n_blocks, dtype=np.int32)
+    doc_off = tf_off = 0
+    for i, (s, e) in enumerate(zip(starts, bounds)):
+        block_doc_off[i] = doc_off
+        block_tf_off[i] = tf_off
+        # each block's first delta is vs 0 within... no: keep global deltas,
+        # except block boundaries restart the delta base so blocks decode
+        # independently (skip requires it).
+        d = deltas[s:e].copy()
+        d[0] = np.uint64(doc_ids[s]) if i == 0 else np.uint64(doc_ids[s] - doc_ids[s - 1])
+        # restart: store absolute-ish first delta relative to previous block's
+        # last docID, which the reader knows from block_last — so instead
+        # store first value relative to block_last[i-1]; identical to global
+        # delta stream, so no special-casing is actually needed.
+        db = vb_encode(d)
+        tb = vb_encode(tfs[s:e].astype(np.uint64))
+        doc_parts.append(db)
+        tf_parts.append(tb)
+        doc_off += len(db)
+        tf_off += len(tb)
+
+    # reduceat-style block aggregates
+    block_last = doc_ids[bounds - 1]
+    block_max_tf = np.maximum.reduceat(tfs, starts)
+    block_min_dl = np.minimum.reduceat(doc_lens, starts)
+
+    return {
+        "df_shard": int(n),
+        "doc_blob": b"".join(doc_parts),
+        "tf_blob": b"".join(tf_parts),
+        "block_last": block_last.astype(np.int64),
+        "block_doc_off": block_doc_off,
+        "block_tf_off": block_tf_off,
+        "block_max_tf": block_max_tf.astype(np.int64),
+        "block_min_dl": block_min_dl.astype(np.int64),
+    }
+
+
+def decode_posting_list(row: dict, block_size: int = BLOCK_SIZE) -> tuple[np.ndarray, np.ndarray]:
+    """Full decode of one encoded posting row → (doc_ids, tfs)."""
+    deltas = vb_decode(row["doc_blob"], count=row["df_shard"])
+    doc_ids = np.cumsum(deltas.astype(np.int64))
+    tfs = vb_decode(row["tf_blob"], count=row["df_shard"]).astype(np.int64)
+    return doc_ids, tfs
+
+
+def decode_block(
+    row: dict, block_idx: int, block_size: int = BLOCK_SIZE
+) -> tuple[np.ndarray, np.ndarray]:
+    """Decode a single block lazily using the skip offsets (WAND deep-check).
+
+    Reconstructs absolute docIDs from the previous block's last docID.
+    """
+    doc_off = row["block_doc_off"]
+    tf_off = row["block_tf_off"]
+    n_blocks = len(doc_off)
+    d_end = doc_off[block_idx + 1] if block_idx + 1 < n_blocks else len(row["doc_blob"])
+    t_end = tf_off[block_idx + 1] if block_idx + 1 < n_blocks else len(row["tf_blob"])
+    d = vb_decode(np.frombuffer(row["doc_blob"], dtype=np.uint8)[doc_off[block_idx] : d_end])
+    t = vb_decode(np.frombuffer(row["tf_blob"], dtype=np.uint8)[tf_off[block_idx] : t_end])
+    base = 0 if block_idx == 0 else int(row["block_last"][block_idx - 1])
+    doc_ids = base + np.cumsum(d.astype(np.int64))
+    return doc_ids, t.astype(np.int64)
