@@ -1,0 +1,123 @@
+"""spark-submit entry point (north_rule: `spark-submit --py-files` on a
+multi-executor cluster).
+
+Usage:
+  spark-submit --py-files invoicenet_spark.zip -m ...   # cluster
+  python -m invoicenet_spark.cli build --pages <parquet> --out <dir>
+  python -m invoicenet_spark.cli update --table <snapshot-root> --out <dir>
+  python -m invoicenet_spark.cli search --index <dir> --terms a,b --mode OR -k 10
+  python -m invoicenet_spark.cli bench-build --docs 20000 --cores 8 --out <dir>
+
+The CLI only parses args and hands DataFrames to the library — all policy
+lives in invoicenet_spark.index / .query / .streaming. Mirrors the
+reference's CLI split (prepare_data.py / train.py / predict.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="invoicenet_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="full index build from a pages parquet")
+    b.add_argument("--pages", required=True)
+    b.add_argument("--out", required=True)
+    b.add_argument("--resume", action="store_true")
+    b.add_argument("--use-stored-text", action="store_true")
+    b.add_argument("--cores", type=int, default=None)
+    b.add_argument("--shard-size", type=int, default=None)
+
+    u = sub.add_parser("update", help="incremental update from a snapshot table")
+    u.add_argument("--table", required=True)
+    u.add_argument("--out", required=True)
+    u.add_argument("--use-stored-text", action="store_true")
+    u.add_argument("--cores", type=int, default=None)
+
+    s = sub.add_parser("search", help="query an index")
+    s.add_argument("--index", required=True)
+    s.add_argument("--terms", required=True, help="comma-separated")
+    s.add_argument("--mode", default="OR", choices=["OR", "AND"])
+    s.add_argument("-k", type=int, default=10)
+    s.add_argument("--kernel", default="auto", choices=["auto", "wand", "exhaustive"])
+    s.add_argument("--cores", type=int, default=None)
+
+    g = sub.add_parser("bench-build", help="synthetic-corpus build throughput")
+    g.add_argument("--docs", type=int, default=20000)
+    g.add_argument("--cores", type=int, default=8)
+    g.add_argument("--out", required=True)
+    g.add_argument("--pages-parquet", default=None, help="pre-generated input")
+
+    args = p.parse_args(argv)
+
+    from invoicenet_spark.config import EngineConfig
+    from invoicenet_spark.session import get_spark
+
+    spark = get_spark(f"invoicenet_spark_{args.cmd}", cores=getattr(args, "cores", None))
+    cfg_kwargs = {}
+    if getattr(args, "shard_size", None):
+        cfg_kwargs["shard_size"] = args.shard_size
+    if getattr(args, "cores", None):
+        cfg_kwargs["build_partitions"] = args.cores
+    cfg = EngineConfig(**cfg_kwargs)
+
+    if args.cmd == "build":
+        from invoicenet_spark.index.build import build_index
+
+        pages = spark.read.parquet(args.pages)
+        t0 = time.time()
+        build_index(
+            spark, pages, args.out, cfg, resume=args.resume,
+            use_stored_text=args.use_stored_text,
+        )
+        print(json.dumps({"cmd": "build", "seconds": round(time.time() - t0, 3)}))
+
+    elif args.cmd == "update":
+        from invoicenet_spark.sources.snapshots import SnapshotTable
+        from invoicenet_spark.streaming.incremental import update_index
+
+        out = update_index(
+            spark, SnapshotTable(args.table), args.out, cfg,
+            use_stored_text=args.use_stored_text,
+        )
+        print(json.dumps({"cmd": "update", **out}))
+
+    elif args.cmd == "search":
+        import pandas as pd
+
+        from invoicenet_spark.query.exec import load_index, search
+
+        index = load_index(spark, args.index)
+        q = pd.DataFrame(
+            [{"query_id": 1, "terms": args.terms.split(","), "mode": args.mode, "k": args.k}]
+        )
+        rows = search(spark, index, q, kernel=args.kernel).collect()
+        for r in rows:
+            print(json.dumps({"rank": r["rank"], "doc_id": r["doc_id"],
+                              "url": r["url"], "score": round(r["score"], 6)}))
+
+    elif args.cmd == "bench-build":
+        from invoicenet_spark.fixtures import gen_pages_spark
+        from invoicenet_spark.index.build import build_index
+
+        if args.pages_parquet:
+            pages = spark.read.parquet(args.pages_parquet)
+            n = pages.count()
+        else:
+            pages = gen_pages_spark(spark, args.docs, seed=42, partitions=args.cores)
+            n = args.docs
+        t0 = time.time()
+        build_index(spark, pages, args.out, cfg)
+        dt = time.time() - t0
+        print(json.dumps({"cmd": "bench-build", "docs": n, "cores": args.cores,
+                          "seconds": round(dt, 3), "docs_per_sec": round(n / dt, 1)}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -239,12 +239,19 @@ def tokens_from_pages(pages: DataFrame, cfg: EngineConfig, use_stored_text: bool
     return gated.select("url", extract_text_udf(F.col("html")).alias("text"))
 
 
-def build_doc_table(pages_text: DataFrame, cfg: EngineConfig) -> DataFrame:
-    """(doc_id, url, doc_len, shard): dense docIDs by url rank (ids.py)."""
+def build_doc_table(pages_text: DataFrame, cfg: EngineConfig, id_offset: int = 0) -> DataFrame:
+    """(doc_id, url, doc_len, shard): dense docIDs by url rank (ids.py).
+
+    id_offset: first docID to assign — incremental builds pass the next
+    shard-aligned boundary so new docs land in fresh shards and committed
+    posting shards are never rewritten (append-only segments).
+    """
     with_len = pages_text.select(
         "url", F.size(tokens_col("text", cfg.token_pattern)).alias("doc_len")
     )
     docs = assign_dense_ids(with_len, key="url", id_col="doc_id", num_partitions=cfg.build_partitions)
+    if id_offset:
+        docs = docs.withColumn("doc_id", F.col("doc_id") + F.lit(id_offset))
     return docs.withColumn("shard", (F.col("doc_id") / F.lit(cfg.shard_size)).cast("long"))
 
 
@@ -265,7 +272,11 @@ def build_index(
     cfg = cfg or EngineConfig()
     paths = IndexPaths(out_dir)
     os.makedirs(out_dir, exist_ok=True)
-    manifest = _load_manifest(paths) if resume else {"shards": {}, "config": _cfg_dict(cfg)}
+    if resume:
+        manifest = _load_manifest(paths)
+        cfg = cfg_from_manifest(manifest, cfg)  # persisted layout wins
+    else:
+        manifest = {"shards": {}, "config": _cfg_dict(cfg)}
 
     pages_text = tokens_from_pages(pages, cfg, use_stored_text=use_stored_text)
 
@@ -287,57 +298,86 @@ def build_index(
     n_new_docs = 0
     if pending:
         docs_pending = docs.where(F.col("shard").isin([int(s) for s in pending]))
-        n_new_docs = docs_pending.count()
-        # join brings (doc_id, shard, doc_len) onto the page text; on a fresh
-        # build this is the only wide op before the token shuffle
-        src = pages_text.join(docs_pending, "url")
-        tokens = src.select(
-            F.explode(tokens_col("text", cfg.token_pattern)).alias("term"),
-            "doc_id",
-            "shard",
-            "doc_len",
+        n_new_docs = _encode_and_commit(
+            spark, pages_text, docs_pending, pending, cfg, paths, manifest, fail_after_shards
         )
-        encoded = (
-            tokens.repartition(cfg.build_partitions, "term", "shard")
-            .sortWithinPartitions("term", "shard", "doc_id")
-            .mapInPandas(
-                lambda it: _encode_partition(it, cfg.block_size), schema=POSTINGS_SCHEMA
-            )
-        )
-        # one file tree per shard → a shard directory is the commit unit
-        staged = encoded.repartition(F.col("shard")).sortWithinPartitions("term")
-        staging = os.path.join(out_dir, "_staging_postings")
-        staged.write.mode("overwrite").partitionBy("shard").parquet(staging)
 
-        committed = 0
-        os.makedirs(paths.postings, exist_ok=True)
-        for shard in pending:
-            src_dir = os.path.join(staging, f"shard={shard}")
-            dst_dir = os.path.join(paths.postings, f"shard={shard}")
-            if not os.path.exists(src_dir):
-                continue
-            if fail_after_shards is not None and committed >= fail_after_shards:
-                _save_manifest(paths, manifest)
-                raise RuntimeError(
-                    f"injected failure after {committed} shards (test hook)"
-                )
-            if os.path.exists(dst_dir):
-                shutil.rmtree(dst_dir)
-            shutil.move(src_dir, dst_dir)
-            manifest["shards"][str(shard)] = {"status": "committed"}
-            committed += 1
+    # ---- phase 3: terms dictionary + corpus stats + metrics
+    _finalize(spark, docs, cfg, paths, manifest, t0, n_new_docs)
+    return paths
+
+
+def _encode_and_commit(
+    spark,
+    pages_text: DataFrame,
+    docs_pending: DataFrame,
+    pending: list[int],
+    cfg: EngineConfig,
+    paths: IndexPaths,
+    manifest: dict,
+    fail_after_shards: int | None = None,
+) -> int:
+    """Token shuffle + vectorized encode + per-shard directory commit.
+    Returns the number of docs indexed."""
+    n_new_docs = docs_pending.count()
+    # join brings (doc_id, shard, doc_len) onto the page text; on a fresh
+    # build this is the only wide op before the token shuffle
+    src = pages_text.join(docs_pending, "url")
+    tokens = src.select(
+        F.explode(tokens_col("text", cfg.token_pattern)).alias("term"),
+        "doc_id",
+        "shard",
+        "doc_len",
+    )
+    encoded = (
+        tokens.repartition(cfg.build_partitions, "term", "shard")
+        .sortWithinPartitions("term", "shard", "doc_id")
+        .mapInPandas(lambda it: _encode_partition(it, cfg.block_size), schema=POSTINGS_SCHEMA)
+    )
+    # one file tree per shard → a shard directory is the commit unit
+    staged = encoded.repartition(F.col("shard")).sortWithinPartitions("term")
+    staging = os.path.join(paths.root, "_staging_postings")
+    staged.write.mode("overwrite").partitionBy("shard").parquet(staging)
+
+    committed = 0
+    os.makedirs(paths.postings, exist_ok=True)
+    for shard in pending:
+        src_dir = os.path.join(staging, f"shard={shard}")
+        dst_dir = os.path.join(paths.postings, f"shard={shard}")
+        if not os.path.exists(src_dir):
+            continue
+        if fail_after_shards is not None and committed >= fail_after_shards:
             _save_manifest(paths, manifest)
-        shutil.rmtree(staging, ignore_errors=True)
+            raise RuntimeError(f"injected failure after {committed} shards (test hook)")
+        if os.path.exists(dst_dir):
+            shutil.rmtree(dst_dir)
+        shutil.move(src_dir, dst_dir)
+        manifest["shards"][str(shard)] = {"status": "committed"}
+        committed += 1
+        _save_manifest(paths, manifest)
+    shutil.rmtree(staging, ignore_errors=True)
+    return int(n_new_docs)
 
-    # ---- phase 3: terms dictionary + corpus stats from committed postings
+
+def _finalize(
+    spark,
+    docs: DataFrame,
+    cfg: EngineConfig,
+    paths: IndexPaths,
+    manifest: dict,
+    t0: float,
+    n_new_docs: int,
+) -> None:
+    """Terms dictionary + corpus stats from committed postings, plus the
+    north_rule build metrics (docs/sec, postings/partition, merge fan-in)."""
     postings = spark.read.parquet(paths.postings)
     term_df = postings.groupBy("term").agg(F.sum("df_shard").alias("df"))
-    terms = assign_dense_ids(term_df, key="term", id_col="term_id", num_partitions=cfg.build_partitions)
+    terms = assign_dense_ids(
+        term_df, key="term", id_col="term_id", num_partitions=cfg.build_partitions
+    )
     terms.write.mode("overwrite").parquet(paths.terms)
 
-    stats_row = docs.agg(
-        F.count("*").alias("N"), F.avg("doc_len").alias("avgdl")
-    ).collect()[0]
+    stats_row = docs.agg(F.count("*").alias("N"), F.avg("doc_len").alias("avgdl")).collect()[0]
     stats = {
         "N": int(stats_row["N"]),
         "avgdl": float(stats_row["avgdl"]),
@@ -349,7 +389,6 @@ def build_index(
     with open(paths.stats, "w") as f:
         json.dump(stats, f)
 
-    # ---- metrics (north_rule: docs/sec, postings/partition, merge fan-in)
     build_sec = round(time.time() - t0, 3)
     shard_metrics = {
         str(r["shard"]): {
@@ -373,7 +412,6 @@ def build_index(
     manifest["merge_fan_in"] = cfg.build_partitions
     manifest["stats"] = stats
     _save_manifest(paths, manifest)
-    return paths
 
 
 def _cfg_dict(cfg: EngineConfig) -> dict:
@@ -392,6 +430,25 @@ def _load_manifest(paths: IndexPaths) -> dict:
         with open(paths.manifest) as f:
             return json.load(f)
     return {"shards": {}}
+
+
+def cfg_from_manifest(manifest: dict, fallback: EngineConfig) -> EngineConfig:
+    """Index-layout parameters are immutable once built: resume/update must
+    use the persisted config, not the caller's — otherwise a later run with
+    a different shard_size computes shard numbers that collide with
+    committed shard directories."""
+    c = manifest.get("config")
+    if not c:
+        return fallback
+    return EngineConfig(
+        k1=c.get("k1", fallback.k1),
+        b=c.get("b", fallback.b),
+        shard_size=c.get("shard_size", fallback.shard_size),
+        block_size=c.get("block_size", fallback.block_size),
+        token_pattern=c.get("token_pattern", fallback.token_pattern),
+        index_langs=tuple(c.get("index_langs", fallback.index_langs)),
+        build_partitions=fallback.build_partitions,  # runtime knob, not layout
+    )
 
 
 def _save_manifest(paths: IndexPaths, manifest: dict) -> None:

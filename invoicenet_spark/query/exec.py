@@ -66,18 +66,25 @@ def load_index(spark: SparkSession, root: str) -> Index:
 
 
 def shard_doc_lens(index: Index) -> DataFrame:
-    """Forward index: per shard, a dense doc_len array indexed by
-    (doc_id - shard*shard_size). docIDs are dense ranks, so each shard is a
-    contiguous range and the array has no holes except at the tail."""
+    """Forward index: per shard, a positional doc_len array indexed by
+    (doc_id - shard*shard_size). Built by scatter (not sort-collect) because
+    incremental builds align new docIDs to shard boundaries, which can leave
+    holes in a shard's occupancy; holes get doc_len 0 (never referenced — no
+    posting points at a missing doc)."""
     shard_size = index.stats["shard_size"]
-    return (
-        index.docs.groupBy("shard")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct((F.col("doc_id") % shard_size).alias("off"), "doc_len"))
-            ).alias("_s")
-        )
-        .select("shard", F.col("_s.doc_len").alias("doc_lens"))
+    rows = index.docs.select(
+        "shard", (F.col("doc_id") % shard_size).alias("off"), "doc_len"
+    )
+
+    def scatter(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        offs = pdf["off"].to_numpy()
+        size = int(offs.max()) + 1
+        arr = np.zeros(size, dtype=np.int64)
+        arr[offs] = pdf["doc_len"].to_numpy()
+        return pd.DataFrame({"shard": [int(key[0])], "doc_lens": [arr.tolist()]})
+
+    return rows.groupBy("shard").applyInPandas(
+        scatter, schema="shard long, doc_lens array<long>"
     )
 
 

@@ -1,0 +1,145 @@
+"""Dedup, similarity, multimodal, normalizer, and CLI operator tests."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from invoicenet_spark.functions.normalize import (
+    find_amounts,
+    normalize_amount,
+    normalize_date,
+    pattern_hash_class,
+    squeeze_whitespace,
+)
+from invoicenet_spark.ops import dedup, multimodal, similarity
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (0, base),
+        (1, base),  # exact dup of 0
+        (2, base + " extra"),  # near dup
+        (3, "totally different words nothing shared here at all xyz"),
+        (4, "ALPHA   beta Gamma DELTA epsilon zeta eta theta iota kappa"),  # case/ws dup
+    ]
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+def test_exact_dedup(dup_docs):
+    out = dedup.exact_dedup(dup_docs).collect()
+    groups = {r["doc_id"]: r["n_copies"] for r in out}
+    # 0,1,4 collapse (case/whitespace-insensitive fingerprint); keep min id 0
+    assert groups[0] == 3
+    assert groups[2] == 1 and groups[3] == 1
+    assert 1 not in groups and 4 not in groups
+
+
+def test_jaccard_pairs(dup_docs):
+    out = dedup.jaccard_pairs(dup_docs, threshold=0.5).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out}
+    assert pairs[(0, 1)] == 1.0
+    assert pairs[(0, 4)] == 1.0
+    assert (0, 3) not in pairs
+    assert pairs[(0, 2)] > 0.5
+
+
+def test_minhash_lsh_finds_exact_dups(dup_docs):
+    out = dedup.minhash_lsh_pairs(dup_docs, threshold=0.5).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in out}
+    assert (0, 1) in pairs and (0, 4) in pairs and (1, 4) in pairs
+
+
+def test_simhash_dups(dup_docs):
+    sigs = {r["doc_id"]: r["simhash"] for r in dedup.simhash_signatures(dup_docs).collect()}
+    assert sigs[0] == sigs[1] == sigs[4]
+    assert sigs[0] != sigs[3]
+    near = dedup.simhash_near_dups(dup_docs, max_hamming=3).collect()
+    npairs = {(r["id_a"], r["id_b"]) for r in near}
+    assert (0, 1) in npairs
+
+
+def test_brute_force_topk(spark):
+    rng = np.random.default_rng(0)
+    vecs = rng.standard_normal((50, 8)).astype(np.float32)
+    pdf = pd.DataFrame({"vec_id": range(50), "embedding": [v.tolist() for v in vecs]})
+    df = spark.createDataFrame(pdf, schema="vec_id long, embedding array<float>")
+    q = vecs[7].tolist()
+    out = similarity.brute_force_topk(df, q, k=5).collect()
+    assert out[0]["vec_id"] == 7  # self is nearest
+    assert abs(out[0]["cos_r6"] - 1.0) < 1e-5
+    # numpy cross-check of full ranking
+    v64 = vecs.astype(np.float64)
+    qv = v64[7]
+    cos = (v64 @ qv) / (np.linalg.norm(v64, axis=1) * np.linalg.norm(qv))
+    order = np.lexsort((np.arange(50), -np.round(cos, 12)))[:5]
+    assert [r["vec_id"] for r in out] == [int(i) for i in order]
+
+
+def test_lsh_topk_self_recall(spark):
+    rng = np.random.default_rng(1)
+    vecs = rng.standard_normal((200, 16)).astype(np.float32)
+    pdf = pd.DataFrame({"vec_id": range(200), "embedding": [v.tolist() for v in vecs]})
+    df = spark.createDataFrame(pdf, schema="vec_id long, embedding array<float>")
+    out = similarity.lsh_topk(df, vecs[3].tolist(), k=3, n_planes=6).collect()
+    assert out and out[0]["vec_id"] == 3  # query's own bucket contains it
+
+
+def test_multimodal_plumbing(spark):
+    media = multimodal.synthetic_media(spark, n=30)
+    dec = multimodal.decode_features(media).collect()
+    assert len(dec) == 30
+    by_kind = {}
+    for r in dec:
+        by_kind.setdefault(r["kind"], []).append(r)
+    assert [tuple(r["shape"]) for r in by_kind["image"]][0] == (6, 8, 3)
+    # determinism: re-run yields identical checksums
+    dec2 = multimodal.decode_features(media).collect()
+    assert {r["media_id"]: r["checksum"] for r in dec} == {
+        r["media_id"]: r["checksum"] for r in dec2
+    }
+    resized = multimodal.resize_images(media, 4, 4).collect()
+    assert all(r["width"] == 4 for r in resized) and len(resized) == 10
+    frames = multimodal.sample_frames(media, every=2).collect()
+    assert {r["frame_idx"] for r in frames} == {0, 2, 4}
+
+
+def test_normalizers(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"raw": ["1,234.5", "1234.567", "99", "0.5"]})
+    )
+    got = [r[0] for r in df.select(normalize_amount("raw")).collect()]
+    assert got == ["1234.50", "1234.56", "99.00", "0.50"]
+
+    d = spark.createDataFrame(pd.DataFrame({"d": pd.to_datetime(["2023-01-31", "2001-12-05"])}))
+    got = [r[0] for r in d.select(normalize_date("d")).collect()]
+    assert got == ["01-31-2023", "12-05-2001"]
+
+    p = spark.createDataFrame(pd.DataFrame({"s": ["Abc-12 x", "ZZ99zz"]}))
+    got = [r[0] for r in p.select(pattern_hash_class("s")).collect()]
+    assert got == ["Xxx-00-x", "XX00xx"]
+
+    w = spark.createDataFrame(pd.DataFrame({"s": ["a   b  c "]}))
+    assert w.select(squeeze_whitespace("s")).collect()[0][0] == "a b c"
+
+    a = spark.createDataFrame(pd.DataFrame({"s": ["pay 1,234.50 or 2.99 or 2.99"]}))
+    got = a.select(find_amounts("s")).collect()[0][0]
+    assert sorted(got) == ["1,234.50", "2.99"]
+
+
+def test_cli_build_and_search(spark, tmp_path):
+    """CLI surface: build from parquet, search, resume no-op."""
+    from invoicenet_spark.cli import main
+
+    from invoicenet_spark.fixtures import gen_pages_spark
+
+    pages_path = str(tmp_path / "pages")
+    gen_pages_spark(spark, 80, seed=42, partitions=2).write.parquet(pages_path)
+    idx = str(tmp_path / "idx")
+    assert main(["build", "--pages", pages_path, "--out", idx, "--shard-size", "64"]) == 0
+    term = (
+        spark.read.parquet(f"{idx}/terms").orderBy(F.desc("df")).first()["term"]
+    )
+    assert main(["search", "--index", idx, "--terms", term, "-k", "3"]) == 0
