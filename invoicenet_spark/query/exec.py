@@ -99,11 +99,11 @@ def _shard_kernel(stats: dict, kernel: str):
 
     def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
         query_id, shard = int(key[0]), int(key[1])
-        pdf = pdf.sort_values("term").reset_index(drop=True)  # deterministic accumulation
+        pdf = pdf.sort_values("term_id").reset_index(drop=True)  # deterministic accumulation
         mode = pdf["mode"].iloc[0]
         k = int(pdf["k"].iloc[0])
         n_query_terms = int(pdf["n_query_terms"].iloc[0])
-        if mode == "AND" and pdf["term"].nunique() < n_query_terms:
+        if mode == "AND" and pdf["term_id"].nunique() < n_query_terms:
             return pd.DataFrame({"query_id": [], "doc_id": [], "score": []}).astype(
                 {"query_id": np.int64, "doc_id": np.int64, "score": np.float64}
             )
@@ -155,16 +155,18 @@ def search(
         F.explode(F.array_distinct("terms")).alias("term"),
     )
 
-    # idf per query term (query side is tiny → broadcast it into the
-    # dictionary scan; the semi-join filter prunes the dictionary read)
+    # dictionary lookup: term → (term_id, df). Query side is tiny →
+    # broadcast it into the dictionary scan; the semi-join prunes the read.
     t = index.terms.join(F.broadcast(qterms.select("term").distinct()), "term")
     N = index.N
     t = t.withColumn(
         "idf", F.log((F.lit(N) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5)) + F.lit(1.0))
     )
 
-    q = qterms.join(F.broadcast(t.select("term", "idf")), "term")
-    cand = index.postings.join(F.broadcast(q), "term")
+    q = qterms.join(F.broadcast(t.select("term", "term_id", "idf")), "term")
+    # postings probe on term_id: the IN-filter pushes into the parquet scan
+    # and row-group min/max stats on the term_id-sorted files skip segments
+    cand = index.postings.join(F.broadcast(q.drop("term")), "term_id")
     # forward-index join: candidate rows are few (queries × terms × shards),
     # doc_lens arrays are corpus-sized — never broadcast the array side; AQE
     # picks the strategy (at small SF it broadcasts cand into doclens)

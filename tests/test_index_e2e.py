@@ -113,7 +113,7 @@ def test_partition_count_invariance(spark, tmp_path_factory):
     build_index(spark, p8, out8, cfg)
     i1, i8 = load_index(spark, out1), load_index(spark, out8)
     assert i1.stats == i8.stats
-    cols = ["term", "shard", "df_shard", "doc_blob", "tf_blob"]
+    cols = ["term_id", "shard", "df_shard", "doc_blob", "tf_blob"]
     r1 = sorted(i1.postings.select(cols).collect())
     r8 = sorted(i8.postings.select(cols).collect())
     assert r1 == r8
