@@ -75,9 +75,10 @@ class IndexPaths:
 
 
 POSTINGS_SCHEMA = (
-    "term_id long, shard long, df_shard long, doc_blob binary, tf_blob binary, "
+    "term_id long, shard long, df_shard long, "
+    "doc_blob binary, tf_blob binary, dl_blob binary, "
     "block_last array<long>, block_doc_off array<int>, block_tf_off array<int>, "
-    "block_max_tf array<long>, block_min_dl array<long>"
+    "block_dl_off array<int>, block_max_tf array<long>, block_min_dl array<long>"
 )
 
 
@@ -122,16 +123,24 @@ def _encode_plists_arrow(
     deltas[g_start] = docs_p[g_start]
     deltas_u = deltas.astype(np.uint64)
     tf_u = tf.astype(np.uint64)
+    dl_u = dl_p.astype(np.uint64)
 
-    # --- one varbyte call per stream, then slice per group
+    # --- one varbyte call per stream, then slice per group. The per-posting
+    # doc_len stream (≈2 B/posting) makes posting rows SELF-CONTAINED for
+    # BM25 scoring: the query path needs no corpus-wide forward-index join,
+    # which at web scale would read doc_len arrays for every shard.
     doc_blob_b = vb_encode(deltas_u)
     tf_blob_b = vb_encode(tf_u)
+    dl_blob_b = vb_encode(dl_u)
     nb_doc = _byte_lens(deltas_u)
     nb_tf = _byte_lens(tf_u)
+    nb_dl = _byte_lens(dl_u)
     doc_ends = np.cumsum(nb_doc)
     tf_ends = np.cumsum(nb_tf)
+    dl_ends = np.cumsum(nb_dl)
     doc_starts_b = doc_ends - nb_doc
     tf_starts_b = tf_ends - nb_tf
+    dl_starts_b = dl_ends - nb_dl
 
     # --- block structure: ordinal within group, block = ordinal // block_size
     ordinal = np.arange(m, dtype=np.int64) - np.repeat(g_start, g_sizes)
@@ -146,11 +155,13 @@ def _encode_plists_arrow(
 
     block_doc_off_all = (doc_starts_b[b_start] - doc_starts_b[g_start][b_group]).astype(np.int32)
     block_tf_off_all = (tf_starts_b[b_start] - tf_starts_b[g_start][b_group]).astype(np.int32)
+    block_dl_off_all = (dl_starts_b[b_start] - dl_starts_b[g_start][b_group]).astype(np.int32)
 
     # --- assemble Arrow arrays (no per-group Python objects)
     n_groups = g_start.size
     g_doc_off = np.append(doc_starts_b[g_start], doc_ends[-1]).astype(np.int32)
     g_tf_off = np.append(tf_starts_b[g_start], tf_ends[-1]).astype(np.int32)
+    g_dl_off = np.append(dl_starts_b[g_start], dl_ends[-1]).astype(np.int32)
 
     def _binary(offsets: np.ndarray, data: bytes) -> pa.Array:
         return pa.Array.from_buffers(
@@ -168,15 +179,18 @@ def _encode_plists_arrow(
         pa.array(g_sizes.astype(np.int64)),
         _binary(g_doc_off, doc_blob_b),
         _binary(g_tf_off, tf_blob_b),
+        _binary(g_dl_off, dl_blob_b),
         _list(block_last_all.astype(np.int64), pa.int64()),
         _list(block_doc_off_all, pa.int32()),
         _list(block_tf_off_all, pa.int32()),
+        _list(block_dl_off_all, pa.int32()),
         _list(block_max_tf_all.astype(np.int64), pa.int64()),
         _list(block_min_dl_all.astype(np.int64), pa.int64()),
     ]
     names = [
-        "term_id", "shard", "df_shard", "doc_blob", "tf_blob",
-        "block_last", "block_doc_off", "block_tf_off", "block_max_tf", "block_min_dl",
+        "term_id", "shard", "df_shard", "doc_blob", "tf_blob", "dl_blob",
+        "block_last", "block_doc_off", "block_tf_off", "block_dl_off",
+        "block_max_tf", "block_min_dl",
     ]
     return pa.RecordBatch.from_arrays(arrays, names=names)
 

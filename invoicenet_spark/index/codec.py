@@ -112,28 +112,29 @@ def encode_posting_list(
     bounds = np.minimum(np.arange(1, n_blocks + 1) * block_size, n)
     starts = np.concatenate(([0], bounds[:-1]))
 
-    doc_parts, tf_parts = [], []
+    doc_parts, tf_parts, dl_parts = [], [], []
     block_doc_off = np.zeros(n_blocks, dtype=np.int32)
     block_tf_off = np.zeros(n_blocks, dtype=np.int32)
-    doc_off = tf_off = 0
+    block_dl_off = np.zeros(n_blocks, dtype=np.int32)
+    doc_off = tf_off = dl_off = 0
     for i, (s, e) in enumerate(zip(starts, bounds)):
         block_doc_off[i] = doc_off
         block_tf_off[i] = tf_off
-        # each block's first delta is vs 0 within... no: keep global deltas,
-        # except block boundaries restart the delta base so blocks decode
-        # independently (skip requires it).
+        block_dl_off[i] = dl_off
+        # Block-local delta base = previous block's last docID (known to the
+        # reader via block_last), which equals the global delta stream — so
+        # blocks decode independently with no special-casing.
         d = deltas[s:e].copy()
         d[0] = np.uint64(doc_ids[s]) if i == 0 else np.uint64(doc_ids[s] - doc_ids[s - 1])
-        # restart: store absolute-ish first delta relative to previous block's
-        # last docID, which the reader knows from block_last — so instead
-        # store first value relative to block_last[i-1]; identical to global
-        # delta stream, so no special-casing is actually needed.
         db = vb_encode(d)
         tb = vb_encode(tfs[s:e].astype(np.uint64))
+        lb = vb_encode(doc_lens[s:e].astype(np.uint64))
         doc_parts.append(db)
         tf_parts.append(tb)
+        dl_parts.append(lb)
         doc_off += len(db)
         tf_off += len(tb)
+        dl_off += len(lb)
 
     # reduceat-style block aggregates
     block_last = doc_ids[bounds - 1]
@@ -144,36 +145,48 @@ def encode_posting_list(
         "df_shard": int(n),
         "doc_blob": b"".join(doc_parts),
         "tf_blob": b"".join(tf_parts),
+        "dl_blob": b"".join(dl_parts),
         "block_last": block_last.astype(np.int64),
         "block_doc_off": block_doc_off,
         "block_tf_off": block_tf_off,
+        "block_dl_off": block_dl_off,
         "block_max_tf": block_max_tf.astype(np.int64),
         "block_min_dl": block_min_dl.astype(np.int64),
     }
 
 
-def decode_posting_list(row: dict, block_size: int = BLOCK_SIZE) -> tuple[np.ndarray, np.ndarray]:
-    """Full decode of one encoded posting row → (doc_ids, tfs)."""
+def decode_posting_list(
+    row: dict, block_size: int = BLOCK_SIZE
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Full decode of one encoded posting row → (doc_ids, tfs, doc_lens).
+
+    Posting rows are self-contained: doc lengths are stored per posting so
+    BM25 scoring needs no forward-index side input (build.py design note).
+    """
     deltas = vb_decode(row["doc_blob"], count=row["df_shard"])
     doc_ids = np.cumsum(deltas.astype(np.int64))
     tfs = vb_decode(row["tf_blob"], count=row["df_shard"]).astype(np.int64)
-    return doc_ids, tfs
+    dls = vb_decode(row["dl_blob"], count=row["df_shard"]).astype(np.int64)
+    return doc_ids, tfs, dls
 
 
 def decode_block(
     row: dict, block_idx: int, block_size: int = BLOCK_SIZE
-) -> tuple[np.ndarray, np.ndarray]:
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Decode a single block lazily using the skip offsets (WAND deep-check).
 
     Reconstructs absolute docIDs from the previous block's last docID.
     """
     doc_off = row["block_doc_off"]
     tf_off = row["block_tf_off"]
+    dl_off = row["block_dl_off"]
     n_blocks = len(doc_off)
     d_end = doc_off[block_idx + 1] if block_idx + 1 < n_blocks else len(row["doc_blob"])
     t_end = tf_off[block_idx + 1] if block_idx + 1 < n_blocks else len(row["tf_blob"])
+    l_end = dl_off[block_idx + 1] if block_idx + 1 < n_blocks else len(row["dl_blob"])
     d = vb_decode(np.frombuffer(row["doc_blob"], dtype=np.uint8)[doc_off[block_idx] : d_end])
     t = vb_decode(np.frombuffer(row["tf_blob"], dtype=np.uint8)[tf_off[block_idx] : t_end])
+    l = vb_decode(np.frombuffer(row["dl_blob"], dtype=np.uint8)[dl_off[block_idx] : l_end])
     base = 0 if block_idx == 0 else int(row["block_last"][block_idx - 1])
     doc_ids = base + np.cumsum(d.astype(np.int64))
-    return doc_ids, t.astype(np.int64)
+    return doc_ids, t.astype(np.int64), l.astype(np.int64)

@@ -42,6 +42,7 @@ class Index:
     terms: DataFrame
     docs: DataFrame
     stats: dict
+    _local_dict: "pd.DataFrame | None" = None
 
     @property
     def N(self) -> int:
@@ -51,54 +52,50 @@ class Index:
     def avgdl(self) -> float:
         return self.stats["avgdl"]
 
+    def local_dict(self, max_terms: int = 5_000_000) -> "pd.DataFrame | None":
+        """Driver-side term → (term_id, df) cache for low-latency lookups —
+        what a serving node holds hot. Skipped when the vocabulary exceeds
+        max_terms (then the lookup stays a pushed-filter dictionary scan)."""
+        if self._local_dict is None:
+            n_terms = self.terms.count()
+            if n_terms > max_terms:
+                return None
+            self._local_dict = self.terms.toPandas().set_index("term")
+        return self._local_dict
+
 
 def load_index(spark: SparkSession, root: str) -> Index:
     paths = IndexPaths(root)
     with open(paths.stats) as f:
         stats = json.load(f)
+    # the dictionary is scanned (with a pushed semi-join filter) on every
+    # query — cache it; it is orders of magnitude smaller than postings
     return Index(
         paths=paths,
         postings=spark.read.parquet(paths.postings),
-        terms=spark.read.parquet(paths.terms),
+        terms=spark.read.parquet(paths.terms).cache(),
         docs=spark.read.parquet(paths.docs),
         stats=stats,
-    )
-
-
-def shard_doc_lens(index: Index) -> DataFrame:
-    """Forward index: per shard, a positional doc_len array indexed by
-    (doc_id - shard*shard_size). Built by scatter (not sort-collect) because
-    incremental builds align new docIDs to shard boundaries, which can leave
-    holes in a shard's occupancy; holes get doc_len 0 (never referenced — no
-    posting points at a missing doc)."""
-    shard_size = index.stats["shard_size"]
-    rows = index.docs.select(
-        "shard", (F.col("doc_id") % shard_size).alias("off"), "doc_len"
-    )
-
-    def scatter(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        offs = pdf["off"].to_numpy()
-        size = int(offs.max()) + 1
-        arr = np.zeros(size, dtype=np.int64)
-        arr[offs] = pdf["doc_len"].to_numpy()
-        return pd.DataFrame({"shard": [int(key[0])], "doc_lens": [arr.tolist()]})
-
-    return rows.groupBy("shard").applyInPandas(
-        scatter, schema="shard long, doc_lens array<long>"
     )
 
 
 RESULT_SCHEMA = "query_id long, doc_id long, score double"
 
 
+def _empty_results(spark: SparkSession, with_url: bool) -> DataFrame:
+    schema = "query_id long, rank int, doc_id long, score double"
+    if with_url:
+        schema = "query_id long, rank int, doc_id long, url string, score double"
+    return spark.createDataFrame([], schema=schema)
+
+
 def _shard_kernel(stats: dict, kernel: str):
     """applyInPandas body for one (query_id, shard) group."""
     k1, b = stats["k1"], stats["b"]
     avgdl, N = stats["avgdl"], stats["N"]
-    shard_size = stats["shard_size"]
 
     def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        query_id, shard = int(key[0]), int(key[1])
+        query_id = int(key[0])
         pdf = pdf.sort_values("term_id").reset_index(drop=True)  # deterministic accumulation
         mode = pdf["mode"].iloc[0]
         k = int(pdf["k"].iloc[0])
@@ -107,22 +104,25 @@ def _shard_kernel(stats: dict, kernel: str):
             return pd.DataFrame({"query_id": [], "doc_id": [], "score": []}).astype(
                 {"query_id": np.int64, "doc_id": np.int64, "score": np.float64}
             )
-        doc_lens = np.asarray(pdf["doc_lens"].iloc[0], dtype=np.int64)
-        shard_base = shard * shard_size
         plists = [
             kernels.TermPostings(row, idf=row["idf"], avgdl=avgdl, k1=k1, b=b)
             for row in pdf.to_dict("records")
         ]
         if mode == "AND" or kernel == "exhaustive":
-            docs, scores = kernels.score_exhaustive(plists, doc_lens, shard_base, k, mode)
+            docs, scores = kernels.score_exhaustive(plists, k, mode)
         elif kernel == "wand":
-            docs, scores = kernels.score_wand(plists, doc_lens, shard_base, k)
-        else:  # auto: WAND pays off on long lists, exhaustive on short
-            total = int(pdf["df_shard"].sum())
-            if total <= 4096:
-                docs, scores = kernels.score_exhaustive(plists, doc_lens, shard_base, k, mode)
-            else:
-                docs, scores = kernels.score_wand(plists, doc_lens, shard_base, k)
+            docs, scores = kernels.score_wand(plists, k)
+        else:
+            # auto → vectorized exhaustive. Rationale: the WAND control loop
+            # is per-evaluated-candidate Python; it wins only when block-max
+            # pruning skips most of the lists (high-idf, score-spread
+            # corpora). On flat score distributions (hot terms, tiny idf) it
+            # degenerates to a per-doc interpreter loop, while the
+            # exhaustive kernel scores a whole shard in a handful of numpy
+            # calls. Measured on the 1M synthetic corpus: exhaustive p95 ≪
+            # WAND p95. WAND remains selectable (kernel="wand") and is held
+            # rank-identical to exhaustive by tests.
+            docs, scores = kernels.score_exhaustive(plists, k, mode)
         return pd.DataFrame(
             {"query_id": np.full(docs.size, query_id, dtype=np.int64),
              "doc_id": docs.astype(np.int64),
@@ -143,7 +143,9 @@ def search(
 
     Returns (query_id, rank, doc_id, score[, url]) sorted by query_id, rank.
     """
+    qpd = None
     if isinstance(queries, pd.DataFrame):
+        qpd = queries
         qdf = spark.createDataFrame(queries)
     else:
         qdf = queries
@@ -155,22 +157,43 @@ def search(
         F.explode(F.array_distinct("terms")).alias("term"),
     )
 
-    # dictionary lookup: term → (term_id, df). Query side is tiny →
-    # broadcast it into the dictionary scan; the semi-join prunes the read.
-    t = index.terms.join(F.broadcast(qterms.select("term").distinct()), "term")
+    # dictionary lookup: term → (term_id, df, idf). Served from the driver-
+    # side dictionary cache when the vocabulary fits (a serving node holds
+    # the dictionary hot); otherwise a pushed-filter dictionary scan.
     N = index.N
-    t = t.withColumn(
-        "idf", F.log((F.lit(N) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5)) + F.lit(1.0))
-    )
+    local = index.local_dict()
+    if local is not None:
+        if qpd is not None:  # driver already has the terms — no Spark job
+            needed = {t for ts in qpd["terms"] for t in ts}
+        else:
+            needed = {r["term"] for r in qterms.select("term").distinct().collect()}
+        hit = local.loc[sorted(needed & set(local.index))].reset_index()
+        if len(hit) == 0:
+            return _empty_results(spark, with_url)
+        hit["idf"] = np.log((N - hit["df"] + 0.5) / (hit["df"] + 0.5) + 1.0)
+        t = spark.createDataFrame(hit[["term", "term_id", "idf"]])
+        term_ids = [int(x) for x in hit["term_id"]]
+    else:
+        t = index.terms.join(F.broadcast(qterms.select("term").distinct()), "term")
+        t = t.withColumn(
+            "idf",
+            F.log((F.lit(N) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5)) + F.lit(1.0)),
+        ).select("term", "term_id", "idf")
+        term_ids = [int(r["term_id"]) for r in t.select("term_id").distinct().collect()]
+        if not term_ids:
+            return _empty_results(spark, with_url)
 
-    q = qterms.join(F.broadcast(t.select("term", "term_id", "idf")), "term")
-    # postings probe on term_id: the IN-filter pushes into the parquet scan
-    # and row-group min/max stats on the term_id-sorted files skip segments
-    cand = index.postings.join(F.broadcast(q.drop("term")), "term_id")
-    # forward-index join: candidate rows are few (queries × terms × shards),
-    # doc_lens arrays are corpus-sized — never broadcast the array side; AQE
-    # picks the strategy (at small SF it broadcasts cand into doclens)
-    cand = cand.join(shard_doc_lens(index), "shard")
+    q = qterms.join(F.broadcast(t), "term")
+    # postings probe on term_id. A broadcast join alone would SCAN the whole
+    # postings table and filter in the join — at web scale that reads the
+    # entire index. Collecting the (tiny) query term_ids and injecting an
+    # explicit IN-filter pushes the predicate into the parquet scan:
+    # `PushedFilters: [In(term_id, …)]` + row-group min/max skipping on the
+    # term_id-sorted files turn the probe into a near-point lookup.
+    probe = index.postings.where(F.col("term_id").isin(term_ids))
+    cand = probe.join(F.broadcast(q.drop("term")), "term_id")
+    # no forward-index join: posting rows are self-contained (per-posting
+    # doc_len stream in dl_blob) — the only scan is the pruned postings probe
 
     out = cand.groupBy("query_id", "shard").applyInPandas(
         _shard_kernel(index.stats, kernel), schema=RESULT_SCHEMA

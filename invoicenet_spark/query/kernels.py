@@ -67,31 +67,29 @@ class TermPostings:
         )
         self.list_ub = float(self.block_ub.max())
 
-    def decode_all(self) -> tuple[np.ndarray, np.ndarray]:
+    def decode_all(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         return decode_posting_list(self.row)
 
-    def decode_one_block(self, i: int) -> tuple[np.ndarray, np.ndarray]:
+    def decode_one_block(self, i: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         return decode_block(self.row, i)
 
 
 def score_exhaustive(
     plists: list[TermPostings],
-    doc_lens: np.ndarray,
-    shard_base: int,
     k: int,
     mode: str = "OR",
 ) -> tuple[np.ndarray, np.ndarray]:
     """Vectorized exhaustive scoring of one shard.
 
-    doc_lens: dense array, doc_lens[doc_id - shard_base] = doc length.
-    Deterministic accumulation: per-term partials added in caller-supplied
-    list order (callers sort terms lexicographically).
+    Posting rows are self-contained (per-posting doc_len stream), so no
+    forward-index side input is needed. Deterministic accumulation:
+    per-term partials added in caller-supplied list order (callers sort
+    by term_id).
     """
     all_docs, all_scores = [], []
     doc_sets = []
     for tp in plists:
-        docs, tfs = tp.decode_all()
-        dls = doc_lens[docs - shard_base]
+        docs, tfs, dls = tp.decode_all()
         s = tp.idf * bm25.tf_score(tfs, dls, tp.avgdl, tp.k1, tp.b)
         all_docs.append(docs)
         all_scores.append(s)
@@ -112,8 +110,6 @@ def score_exhaustive(
 
 def score_wand(
     plists: list[TermPostings],
-    doc_lens: np.ndarray,
-    shard_base: int,
     k: int,
     theta0: float = 0.0,
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -132,6 +128,7 @@ def score_wand(
     blk = [0] * n  # current block index
     bdocs = [None] * n  # decoded docs of current block
     btfs = [None] * n
+    bdls = [None] * n
     pos = [0] * n  # index within current block
     exhausted = [False] * n
 
@@ -139,7 +136,7 @@ def score_wand(
         if exhausted[i]:
             return np.iinfo(np.int64).max
         if bdocs[i] is None:
-            bdocs[i], btfs[i] = plists[i].decode_one_block(blk[i])
+            bdocs[i], btfs[i], bdls[i] = plists[i].decode_one_block(blk[i])
         return int(bdocs[i][pos[i]])
 
     def advance_to(i: int, target: int) -> None:
@@ -156,7 +153,7 @@ def score_wand(
         j2 = int(np.searchsorted(tp.block_last, target, side="left"))
         if j2 != j or bdocs[i] is None:
             blk[i] = j2
-            bdocs[i], btfs[i] = tp.decode_one_block(j2)
+            bdocs[i], btfs[i], bdls[i] = tp.decode_one_block(j2)
             pos[i] = 0
         p = int(np.searchsorted(bdocs[i], target, side="left"))
         if p >= bdocs[i].size:  # target beyond this block (can't happen after block skip)
@@ -220,7 +217,7 @@ def score_wand(
             for i in range(n):
                 if not exhausted[i] and current_doc(i) == pivot_doc:
                     tf = float(btfs[i][pos[i]])
-                    dl = float(doc_lens[pivot_doc - shard_base])
+                    dl = float(bdls[i][pos[i]])
                     score += plists[i].idf * float(
                         bm25.tf_score(np.float64(tf), np.float64(dl), plists[i].avgdl,
                                       plists[i].k1, plists[i].b)

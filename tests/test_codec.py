@@ -37,9 +37,10 @@ def _random_plist(n, seed=0):
 def test_posting_roundtrip(n):
     doc_ids, tfs, dls = _random_plist(n, seed=n)
     row = encode_posting_list(doc_ids, tfs, dls, block_size=128)
-    d2, t2 = decode_posting_list(row)
+    d2, t2, l2 = decode_posting_list(row)
     assert (d2 == doc_ids).all()
     assert (t2 == tfs).all()
+    assert (l2 == dls).all()
 
 
 def test_block_decode_and_metadata():
@@ -50,10 +51,11 @@ def test_block_decode_and_metadata():
     n_blocks = (n + bs - 1) // bs
     assert len(row["block_last"]) == n_blocks
     for i in range(n_blocks):
-        d, t = decode_block(row, i, block_size=bs)
+        d, t, l = decode_block(row, i, block_size=bs)
         lo, hi = i * bs, min((i + 1) * bs, n)
         assert (d == doc_ids[lo:hi]).all()
         assert (t == tfs[lo:hi]).all()
+        assert (l == dls[lo:hi]).all()
         assert row["block_last"][i] == doc_ids[hi - 1]
         assert row["block_max_tf"][i] == tfs[lo:hi].max()
         assert row["block_min_dl"][i] == dls[lo:hi].min()
