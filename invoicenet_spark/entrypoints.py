@@ -330,6 +330,123 @@ def q_events_window(spark, sf_dir):
     )
 
 
+# --------------------------------------------------- relational operators --
+VOCAB_BRANDS = ["Brand#11", "Brand#22", "Brand#33", "Brand#44"]
+NN_PROBES = [100.0, 500.0, 1000.0, 1500.0]
+MERGE_FIELDS = {"p_brand": "", "p_missing": "N/A"}
+
+
+def q_vocab_unk(spark, sf_dir):
+    """H3: bounded vocab with UNK over part brands."""
+    from invoicenet_spark.operators.relational import bounded_vocab_lookup
+
+    part = spark.read.parquet(os.path.join(sf_dir, "part.parquet"))
+    return bounded_vocab_lookup(part, "p_brand", VOCAB_BRANDS).select(
+        "p_partkey", "token_id"
+    )
+
+
+def q_train_val_split(spark, sf_dir):
+    """E2: deterministic split — md5-prefix bucket (reproducible in SQL)."""
+    d = _docs(spark, sf_dir)
+    first = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    return d.select(
+        "doc_id",
+        F.when(first.isin("0", "1", "2"), F.lit("val")).otherwise(F.lit("train")).alias(
+            "split"
+        ),
+    )
+
+
+def q_nearest_1d(spark, sf_dir):
+    """J5/K2: per probe value, the part with nearest retail price (argmin)."""
+    from invoicenet_spark.operators.relational import nearest_neighbor_1d
+
+    part = spark.read.parquet(os.path.join(sf_dir, "part.parquet"))
+    probes = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(NN_PROBES)], ["probe_id", "probe"]
+    )
+    out = nearest_neighbor_1d(
+        part.select("p_partkey", "p_retailprice"),
+        probes,
+        "p_retailprice",
+        "probe",
+        "p_partkey",
+        "probe_id",
+    )
+    return out.select(
+        F.col("probe_id").cast("long").alias("probe_id"),
+        "p_partkey",
+        F.round("dist", 4).alias("dist_r4"),
+    )
+
+
+def q_masked_mean(spark, sf_dir):
+    """A4: sum(x*mask)/sum(mask) over lineitem (mask = returned rows)."""
+    from invoicenet_spark.operators.relational import masked_mean
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    out = masked_mean(li, "l_extendedprice", F.col("l_returnflag") == "R")
+    return out.select(F.round("masked_mean", 4).alias("masked_mean_r4"), "n_unmasked")
+
+
+def q_running_best(spark, sf_dir):
+    """A5: best-so-far + improvement flags over the events stream."""
+    from invoicenet_spark.operators.relational import running_best
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).where(
+        F.col("event_id") < 1000
+    )
+    out = running_best(ev.select("event_id", "value"), "event_id", "value")
+    return out.select(
+        "event_id", F.round("best_so_far", 2).alias("best_r2"), "is_improvement"
+    )
+
+
+def q_merge_lww(spark, sf_dir):
+    """E3: last-writer-wins union merge (MERGE INTO emulation)."""
+    from invoicenet_spark.operators.relational import union_merge_last_writer_wins
+
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    old = orders.select("o_orderkey", "o_totalprice", F.lit(1).alias("version"))
+    new = (
+        orders.where(F.col("o_orderkey") % 10 == 0)
+        .select("o_orderkey", (F.col("o_totalprice") + 1).alias("o_totalprice"),
+                F.lit(2).alias("version"))
+    )
+    out = union_merge_last_writer_wins(old, new, "o_orderkey", "version")
+    return out.select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("price_r2"), "version"
+    )
+
+
+def q_project_defaults(spark, sf_dir):
+    """P3: project onto a field registry with defaults for absent fields."""
+    from invoicenet_spark.operators.relational import project_with_defaults
+
+    part = spark.read.parquet(os.path.join(sf_dir, "part.parquet"))
+    out = project_with_defaults(part, MERGE_FIELDS)
+    return out.groupBy("p_brand", "p_missing").agg(F.count("*").alias("n"))
+
+
+def q_find_amounts(spark, sf_dir):
+    """F1+F3: regex find-all amounts + dedupe, exploded."""
+    from invoicenet_spark.functions.normalize import find_amounts
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).where(
+        F.col("l_orderkey") < 1000
+    )
+    txt = F.concat(
+        F.lit("pay "), F.round("l_extendedprice", 2).cast("string"),
+        F.lit(" plus "), F.round("l_extendedprice", 2).cast("string"),
+        F.lit(" fee 1,000.50"),
+    )
+    d = li.select("l_orderkey", "l_linenumber", txt.alias("s"))
+    return d.select(
+        "l_orderkey", "l_linenumber", F.explode(find_amounts("s")).alias("amount")
+    )
+
+
 QUERIES = {
     "term_counts": q_term_counts,
     "doc_freq": q_doc_freq,
@@ -354,6 +471,14 @@ QUERIES = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "tpch_q1": q_tpch_q1,
     "events_window": q_events_window,
+    "vocab_unk": q_vocab_unk,
+    "train_val_split": q_train_val_split,
+    "nearest_1d": q_nearest_1d,
+    "masked_mean": q_masked_mean,
+    "running_best": q_running_best,
+    "merge_lww": q_merge_lww,
+    "project_defaults": q_project_defaults,
+    "find_amounts": q_find_amounts,
 }
 
 _AMOUNT_VALUES = ", ".join(f"('{r}')" for r in AMOUNT_RAWS)
@@ -507,4 +632,69 @@ def _lang_id_sql() -> str:
 
 
 ORACLE_SQL["lang_id"] = _lang_id_sql()
+
+_VOCAB_CASE = " ".join(
+    f"WHEN p_brand = '{b}' THEN {i}" for i, b in enumerate(VOCAB_BRANDS, start=1)
+)
+_NN_VALUES = ", ".join(f"({i}, {v})" for i, v in enumerate(NN_PROBES))
+
+ORACLE_SQL.update(
+    {
+        "vocab_unk": (
+            f"SELECT p_partkey, CAST(CASE {_VOCAB_CASE} ELSE 0 END AS BIGINT) AS token_id"
+            " FROM part"
+        ),
+        "train_val_split": (
+            "SELECT doc_id, CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)"
+            " IN ('0','1','2') THEN 'val' ELSE 'train' END AS split FROM documents"
+        ),
+        "nearest_1d": f"""
+            WITH probes(probe_id, probe) AS (VALUES {_NN_VALUES})
+            SELECT CAST(probe_id AS BIGINT) AS probe_id, p_partkey,
+                   round(abs(p_retailprice - probe), 4) AS dist_r4
+            FROM probes CROSS JOIN part
+            QUALIFY row_number() OVER (
+                PARTITION BY probe_id
+                ORDER BY abs(p_retailprice - probe) ASC, p_partkey ASC) = 1
+        """,
+        "masked_mean": (
+            "SELECT round(sum(l_extendedprice * m) / sum(m), 4) AS masked_mean_r4,"
+            " CAST(sum(m) AS BIGINT) AS n_unmasked FROM ("
+            "SELECT l_extendedprice, CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS m"
+            " FROM lineitem)"
+        ),
+        "running_best": """
+            SELECT event_id,
+                   round(min(value) OVER (ORDER BY event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS best_r2,
+                   value < coalesce(min(value) OVER (ORDER BY event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 1e308)
+                     AS is_improvement
+            FROM events WHERE event_id < 1000
+        """,
+        "merge_lww": """
+            WITH old AS (SELECT o_orderkey, o_totalprice, 1 AS version FROM orders),
+            new AS (SELECT o_orderkey, o_totalprice + 1 AS o_totalprice, 2 AS version
+                    FROM orders WHERE o_orderkey % 10 = 0),
+            both_v AS (SELECT * FROM old UNION ALL SELECT * FROM new)
+            SELECT o_orderkey, round(o_totalprice, 2) AS price_r2, version FROM both_v
+            QUALIFY row_number() OVER (PARTITION BY o_orderkey ORDER BY version DESC) = 1
+        """,
+        "project_defaults": (
+            "SELECT coalesce(p_brand, '') AS p_brand, 'N/A' AS p_missing,"
+            " count(*) AS n FROM part GROUP BY 1, 2"
+        ),
+        "find_amounts": r"""
+            SELECT l_orderkey, l_linenumber,
+                   unnest(list_distinct(regexp_extract_all(s, '\d+[,\d]*\.\d+'))) AS amount
+            FROM (
+              SELECT l_orderkey, l_linenumber,
+                     'pay ' || CAST(round(l_extendedprice, 2) AS VARCHAR)
+                     || ' plus ' || CAST(round(l_extendedprice, 2) AS VARCHAR)
+                     || ' fee 1,000.50' AS s
+              FROM lineitem WHERE l_orderkey < 1000)
+        """,
+    }
+)
+
 ORACLE_SQL = {k: v for k, v in ORACLE_SQL.items() if v is not None}
