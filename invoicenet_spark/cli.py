@@ -32,6 +32,7 @@ def main(argv=None):
     b.add_argument("--use-stored-text", action="store_true")
     b.add_argument("--cores", type=int, default=None)
     b.add_argument("--shard-size", type=int, default=None)
+    b.add_argument("--with-positions", action="store_true", help="positional index (phrase queries)")
 
     u = sub.add_parser("update", help="incremental update from a snapshot table")
     u.add_argument("--table", required=True)
@@ -42,7 +43,7 @@ def main(argv=None):
     s = sub.add_parser("search", help="query an index")
     s.add_argument("--index", required=True)
     s.add_argument("--terms", required=True, help="comma-separated")
-    s.add_argument("--mode", default="OR", choices=["OR", "AND"])
+    s.add_argument("--mode", default="OR", choices=["OR", "AND", "PHRASE"])
     s.add_argument("-k", type=int, default=10)
     s.add_argument("--kernel", default="auto", choices=["auto", "wand", "exhaustive"])
     s.add_argument("--cores", type=int, default=None)
@@ -65,6 +66,8 @@ def main(argv=None):
         cfg_kwargs["shard_size"] = args.shard_size
     if getattr(args, "cores", None):
         cfg_kwargs["build_partitions"] = args.cores
+    if getattr(args, "with_positions", False):
+        cfg_kwargs["with_positions"] = True
     cfg = EngineConfig(**cfg_kwargs)
 
     if args.cmd == "build":

@@ -41,6 +41,13 @@ class EngineConfig:
     # Shuffle parallelism used for explicit repartitions during the build.
     build_partitions: int = 32
 
+    # Positional postings (phrase-query support). Opt-in: the build then
+    # streams token-level rows (with positions) through the encoder instead
+    # of pre-aggregated pairs — more Arrow traffic, bigger index (~+40%).
+    # Position semantics: 0-based ordinal in the analyzed token sequence
+    # (the reference's token geometry analog, SURVEY.md §1.1 item 2).
+    with_positions: bool = False
+
     # Top-k default (reference does top-1 argmax, acp/acp.py:117; engine
     # generalizes to top-k with deterministic doc_id tie-break).
     default_k: int = 10

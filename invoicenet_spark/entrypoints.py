@@ -49,6 +49,7 @@ AMOUNT_RAWS = [
 
 BM25_QUERY_TERMS = ["spark", "query", "window"]
 BM25_AND_TERMS = ["spark", "join"]
+BM25_PHRASE = ["join", "key"]  # frequent real bigram in the documents corpus
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -87,7 +88,9 @@ def _bm25_engine_results(spark: SparkSession, sf_dir: str, terms, mode: str, k: 
     cache_key = (sf_dir,)
     if cache_key not in _INDEX_CACHE:
         out = os.path.join(tempfile.mkdtemp(prefix="ivs_idx_"), "index")
-        cfg = EngineConfig(shard_size=256, block_size=64, build_partitions=8)
+        cfg = EngineConfig(
+            shard_size=256, block_size=64, build_partitions=8, with_positions=True
+        )
         build_index(
             spark, _docs_as_pages(spark, sf_dir), out, cfg, use_stored_text=True
         )
@@ -110,9 +113,24 @@ def _bm25_engine_results(spark: SparkSession, sf_dir: str, terms, mode: str, k: 
 
 
 def _duck_bm25(terms, mode: str, k: int) -> str:
-    tlist = ", ".join(f"('{t}')" for t in terms)
-    n_terms = len(terms)
+    tlist = ", ".join(f"('{t}')" for t in dict.fromkeys(terms))
+    n_terms = len(dict.fromkeys(terms))
     having = f"HAVING count(DISTINCT term) = {n_terms}" if mode == "AND" else ""
+    phrase_filter = ""
+    if mode == "PHRASE":
+        adj = " AND ".join(f"ts[i+{j}] = '{t}'" for j, t in enumerate(terms))
+        phrase_filter = f"""
+, phrase_docs AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+           t -> t <> '') AS ts
+    FROM documents WHERE lang = 'en')
+  WHERE len(list_filter(range(1, greatest(len(ts) - {len(terms) - 2}, 1)),
+        i -> {adj})) > 0
+)"""
+    scored_src = (
+        "scored JOIN phrase_docs USING(doc_id)" if mode == "PHRASE" else "scored"
+    )
     return f"""
 WITH toks AS (
   SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
@@ -134,8 +152,8 @@ scored AS (
   FROM tf JOIN dfq USING(term) JOIN dl USING(doc_id) CROSS JOIN stats
   GROUP BY tf.doc_id
   {having}
-),
-r AS (SELECT doc_id, round(score, 6) AS score_r6 FROM scored)
+){phrase_filter},
+r AS (SELECT doc_id, round(score, 6) AS score_r6 FROM {scored_src})
 SELECT CAST(row_number() OVER (ORDER BY score_r6 DESC, doc_id) AS BIGINT) AS rank,
        doc_id, round(score_r6, 4) AS score_r4
 FROM r QUALIFY rank <= {k} ORDER BY rank
@@ -182,6 +200,11 @@ def q_bm25_topk_or(spark, sf_dir):
 def q_bm25_topk_and(spark, sf_dir):
     """J4 conjunctive: posting-list intersection + BM25."""
     return _bm25_engine_results(spark, sf_dir, BM25_AND_TERMS, "AND", 20)
+
+
+def q_bm25_phrase(spark, sf_dir):
+    """T2/J4 positional: exact-phrase filter + BM25 over the phrase terms."""
+    return _bm25_engine_results(spark, sf_dir, BM25_PHRASE, "PHRASE", 20)
 
 
 def q_substring_search(spark, sf_dir):
@@ -454,6 +477,7 @@ QUERIES = {
     "corpus_stats": q_corpus_stats,
     "bm25_topk_or": q_bm25_topk_or,
     "bm25_topk_and": q_bm25_topk_and,
+    "bm25_phrase": q_bm25_phrase,
     "substring_search": q_substring_search,
     "ngram_counts": q_ngram_counts,
     "amount_normalize": q_amount_normalize,
@@ -509,6 +533,7 @@ ORACLE_SQL = {
     ),
     "bm25_topk_or": _duck_bm25(BM25_QUERY_TERMS, "OR", 20),
     "bm25_topk_and": _duck_bm25(BM25_AND_TERMS, "AND", 20),
+    "bm25_phrase": _duck_bm25(BM25_PHRASE, "PHRASE", 20),
     "substring_search": (
         "SELECT doc_id FROM documents WHERE contains(lower(text), 'window')"
     ),

@@ -76,9 +76,10 @@ class IndexPaths:
 
 POSTINGS_SCHEMA = (
     "term_id long, shard long, df_shard long, "
-    "doc_blob binary, tf_blob binary, dl_blob binary, "
+    "doc_blob binary, tf_blob binary, dl_blob binary, pos_blob binary, "
     "block_last array<long>, block_doc_off array<int>, block_tf_off array<int>, "
-    "block_dl_off array<int>, block_max_tf array<long>, block_min_dl array<long>"
+    "block_dl_off array<int>, block_pos_off array<int>, "
+    "block_max_tf array<long>, block_min_dl array<long>"
 )
 
 
@@ -101,6 +102,7 @@ def _encode_plists_arrow(
     dl_p: np.ndarray,
     g_start: np.ndarray,
     block_size: int,
+    pos_flat: np.ndarray | None = None,
 ) -> "pa.RecordBatch":
     """Encode posting-level arrays into one output row per (term_id, shard).
 
@@ -157,11 +159,34 @@ def _encode_plists_arrow(
     block_tf_off_all = (tf_starts_b[b_start] - tf_starts_b[g_start][b_group]).astype(np.int32)
     block_dl_off_all = (dl_starts_b[b_start] - dl_starts_b[g_start][b_group]).astype(np.int32)
 
+    # --- optional position stream (phrase queries): per-posting ascending
+    # positions, delta-encoded with an absolute restart at each posting
+    # (posting boundaries are recoverable from the tf stream, so no extra
+    # offsets per posting are stored — only per block).
+    if pos_flat is not None:
+        p_cum = np.concatenate(([0], np.cumsum(tf)))  # posting starts in flat
+        pdeltas = np.diff(pos_flat, prepend=np.int64(0))
+        pdeltas[p_cum[:-1]] = pos_flat[p_cum[:-1]]
+        pdeltas_u = pdeltas.astype(np.uint64)
+        pos_blob_b = vb_encode(pdeltas_u)
+        nb_pos = _byte_lens(pdeltas_u)
+        pos_ends = np.cumsum(nb_pos)
+        pos_starts_b = pos_ends - nb_pos
+        # byte offset of posting i's positions = pos_starts_b[p_cum[i]]
+        post_pos_off = np.append(pos_starts_b[p_cum[:-1]], pos_ends[-1])
+    else:
+        pos_blob_b = b""
+        post_pos_off = np.zeros(m + 1, dtype=np.int64)
+
     # --- assemble Arrow arrays (no per-group Python objects)
     n_groups = g_start.size
     g_doc_off = np.append(doc_starts_b[g_start], doc_ends[-1]).astype(np.int32)
     g_tf_off = np.append(tf_starts_b[g_start], tf_ends[-1]).astype(np.int32)
     g_dl_off = np.append(dl_starts_b[g_start], dl_ends[-1]).astype(np.int32)
+    g_pos_off = np.append(post_pos_off[g_start], post_pos_off[-1]).astype(np.int32)
+    block_pos_off_all = (post_pos_off[b_start] - post_pos_off[g_start][b_group]).astype(
+        np.int32
+    )
 
     def _binary(offsets: np.ndarray, data: bytes) -> pa.Array:
         return pa.Array.from_buffers(
@@ -180,16 +205,18 @@ def _encode_plists_arrow(
         _binary(g_doc_off, doc_blob_b),
         _binary(g_tf_off, tf_blob_b),
         _binary(g_dl_off, dl_blob_b),
+        _binary(g_pos_off, pos_blob_b),
         _list(block_last_all.astype(np.int64), pa.int64()),
         _list(block_doc_off_all, pa.int32()),
         _list(block_tf_off_all, pa.int32()),
         _list(block_dl_off_all, pa.int32()),
+        _list(block_pos_off_all, pa.int32()),
         _list(block_max_tf_all.astype(np.int64), pa.int64()),
         _list(block_min_dl_all.astype(np.int64), pa.int64()),
     ]
     names = [
-        "term_id", "shard", "df_shard", "doc_blob", "tf_blob", "dl_blob",
-        "block_last", "block_doc_off", "block_tf_off", "block_dl_off",
+        "term_id", "shard", "df_shard", "doc_blob", "tf_blob", "dl_blob", "pos_blob",
+        "block_last", "block_doc_off", "block_tf_off", "block_dl_off", "block_pos_off",
         "block_max_tf", "block_min_dl",
     ]
     return pa.RecordBatch.from_arrays(arrays, names=names)
@@ -233,18 +260,36 @@ def _encode_partition(batches, block_size: int, shard_size: int):
 
 
 def _encode_rows(tbl: "pa.Table", block_size: int, shard_size: int) -> "pa.RecordBatch":
-    """Row-level (term_id, doc_id, doc_len, tf) → grouped posting rows."""
+    """Pair rows (term_id, doc_id, doc_len, tf) OR token rows
+    (term_id, doc_id, doc_len, pos) → grouped posting rows.
+
+    Token rows (positional index) arrive sorted by (term_id, doc_id, pos);
+    run-length over (term_id, doc_id) yields tf, and the pos column becomes
+    the per-posting position stream."""
     tids = tbl.column("term_id").to_numpy()
     docs = tbl.column("doc_id").to_numpy().astype(np.int64)
     dl = tbl.column("doc_len").to_numpy().astype(np.int64)
-    tf = tbl.column("tf").to_numpy().astype(np.int64)
-    shards = docs // shard_size
+    positional = "pos" in tbl.column_names
     n = tids.size
-    new_group = np.ones(n, dtype=bool)
-    new_group[1:] = (tids[1:] != tids[:-1]) | (shards[1:] != shards[:-1])
+    if positional:
+        pos_flat = tbl.column("pos").to_numpy().astype(np.int64)
+        new_posting = np.ones(n, dtype=bool)
+        new_posting[1:] = (tids[1:] != tids[:-1]) | (docs[1:] != docs[:-1])
+        p_start = np.flatnonzero(new_posting)
+        tf = np.diff(np.append(p_start, n)).astype(np.int64)
+        tids_p, docs_p, dl_p = tids[p_start], docs[p_start], dl[p_start]
+    else:
+        pos_flat = None
+        tf = tbl.column("tf").to_numpy().astype(np.int64)
+        tids_p, docs_p, dl_p = tids, docs, dl
+    shards_p = docs_p // shard_size
+    m = tids_p.size
+    new_group = np.ones(m, dtype=bool)
+    new_group[1:] = (tids_p[1:] != tids_p[:-1]) | (shards_p[1:] != shards_p[:-1])
     g_start = np.flatnonzero(new_group)
     return _encode_plists_arrow(
-        tids[g_start], shards[g_start], docs, tf, dl, g_start, block_size
+        tids_p[g_start], shards_p[g_start], docs_p, tf, dl_p, g_start, block_size,
+        pos_flat=pos_flat,
     )
 
 
@@ -361,21 +406,38 @@ def _encode_and_commit(
     # (doc_id // shard_size), never a shuffled column, and bounds every
     # (term, shard) group at shard_size docs — no hot-term straggler.
     src = pages_text.join(docs_pending.drop("shard"), "url")
-    tokens = src.select(
-        F.explode(tokens_col("text", cfg.token_pattern)).alias("term"),
-        "doc_id",
-        F.col("doc_len").cast("int").alias("doc_len"),
-    )
-    pairs = tokens.groupBy("term", "doc_id", "doc_len").agg(F.count("*").alias("tf"))
-    pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
-
-    term_dict = _term_dictionary(spark, pairs, cfg, paths)
-
-    enc_input = pairs.join(term_dict, "term").select("term_id", "doc_id", "doc_len", "tf")
     shard_expr = (F.col("doc_id") / F.lit(cfg.shard_size)).cast("long")
+    if cfg.with_positions:
+        # positional index: token-level rows (term, doc, pos) stream through
+        # the encoder; tf computed by run-length in-kernel. More Arrow
+        # traffic than the pairs path — the documented cost of phrases.
+        tokens = src.select(
+            F.posexplode(tokens_col("text", cfg.token_pattern)).alias("pos", "term"),
+            "doc_id",
+            F.col("doc_len").cast("int").alias("doc_len"),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        pairs = tokens  # dictionary source + unpersist handle
+        term_dict = _term_dictionary(spark, tokens, cfg, paths)
+        enc_input = tokens.join(term_dict, "term").select(
+            "term_id", "doc_id", "doc_len", "pos"
+        )
+        sort_cols = ["term_id", "doc_id", "pos"]
+    else:
+        tokens = src.select(
+            F.explode(tokens_col("text", cfg.token_pattern)).alias("term"),
+            "doc_id",
+            F.col("doc_len").cast("int").alias("doc_len"),
+        )
+        pairs = tokens.groupBy("term", "doc_id", "doc_len").agg(F.count("*").alias("tf"))
+        pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+        term_dict = _term_dictionary(spark, pairs, cfg, paths)
+        enc_input = pairs.join(term_dict, "term").select(
+            "term_id", "doc_id", "doc_len", "tf"
+        )
+        sort_cols = ["term_id", "doc_id"]
     encoded = (
         enc_input.repartition(cfg.build_partitions, F.col("term_id"), shard_expr)
-        .sortWithinPartitions("term_id", "doc_id")
+        .sortWithinPartitions(*sort_cols)
         .mapInArrow(
             lambda it: _encode_partition(it, cfg.block_size, cfg.shard_size),
             schema=POSTINGS_SCHEMA,
@@ -468,6 +530,7 @@ def _finalize(
         "b": cfg.b,
         "shard_size": cfg.shard_size,
         "block_size": cfg.block_size,
+        "with_positions": cfg.with_positions,
     }
     with open(paths.stats, "w") as f:
         json.dump(stats, f)
@@ -505,6 +568,7 @@ def _cfg_dict(cfg: EngineConfig) -> dict:
         "block_size": cfg.block_size,
         "token_pattern": cfg.token_pattern,
         "index_langs": list(cfg.index_langs),
+        "with_positions": cfg.with_positions,
     }
 
 
@@ -530,6 +594,7 @@ def cfg_from_manifest(manifest: dict, fallback: EngineConfig) -> EngineConfig:
         block_size=c.get("block_size", fallback.block_size),
         token_pattern=c.get("token_pattern", fallback.token_pattern),
         index_langs=tuple(c.get("index_langs", fallback.index_langs)),
+        with_positions=c.get("with_positions", fallback.with_positions),
         build_partitions=fallback.build_partitions,  # runtime knob, not layout
     )
 

@@ -170,6 +170,24 @@ def decode_posting_list(
     return doc_ids, tfs, dls
 
 
+def decode_positions(row: dict, tfs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Decode the full per-posting position stream of one posting row.
+
+    Returns (pos_flat, offsets): posting i's positions are
+    pos_flat[offsets[i]:offsets[i+1]] (ascending). Requires the tf array
+    (posting boundaries are implied by tf, not stored)."""
+    pdeltas = vb_decode(row["pos_blob"]).astype(np.int64)
+    offsets = np.concatenate(([0], np.cumsum(tfs))).astype(np.int64)
+    # positions within posting i = global-cumsum minus the cumsum value just
+    # before the posting's (absolute-restart) first delta
+    cum = np.cumsum(pdeltas)
+    starts = offsets[:-1]
+    base_vals = np.zeros(offsets.size - 1, dtype=np.int64)
+    base_vals[1:] = cum[starts[1:] - 1]
+    base = np.repeat(base_vals, tfs.astype(np.int64))
+    return cum - base, offsets
+
+
 def decode_block(
     row: dict, block_idx: int, block_size: int = BLOCK_SIZE
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:

@@ -30,6 +30,7 @@ class NumpyBM25Oracle:
     def __init__(self, docs: dict[int, str], k1: float = bm25.K1, b: float = bm25.B):
         self.k1, self.b = k1, b
         self.doc_ids = np.array(sorted(docs), dtype=np.int64)
+        self._texts = dict(docs)
         self.postings: dict[str, dict[int, int]] = {}
         self.doc_len: dict[int, int] = {}
         for doc_id, text in docs.items():
@@ -57,6 +58,8 @@ class NumpyBM25Oracle:
 
     def topk(self, terms: list[str], k: int = 10, mode: str = "OR") -> list[tuple[int, float]]:
         """[(doc_id, score)] sorted by score desc, doc_id asc."""
+        if mode == "PHRASE":
+            return self.phrase_topk(terms, k)
         uniq = list(dict.fromkeys(terms))
         scores = self.score_all(uniq)
         if mode == "AND":
@@ -66,4 +69,25 @@ class NumpyBM25Oracle:
                 keep = ids if keep is None else keep & ids
             scores = {d: s for d, s in scores.items() if d in (keep or set())}
         ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        return ranked[:k]
+
+    def phrase_topk(self, terms: list[str], k: int = 10) -> list[tuple[int, float]]:
+        """Exact phrase filter (token adjacency) + BM25 over distinct terms.
+
+        Independent implementation: re-tokenizes each doc and scans for the
+        literal token subsequence — no positional index involved."""
+        if not terms:
+            return []
+        matches = []
+        for doc_id, text in self._texts.items():
+            toks = tokenize(text)
+            n = len(terms)
+            if any(
+                toks[i : i + n] == terms for i in range(0, max(len(toks) - n + 1, 0))
+            ):
+                matches.append(doc_id)
+        scores = self.score_all(list(dict.fromkeys(terms)))
+        ranked = sorted(
+            ((d, scores[d]) for d in matches), key=lambda kv: (-kv[1], kv[0])
+        )
         return ranked[:k]

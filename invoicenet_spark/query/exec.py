@@ -96,19 +96,23 @@ def _shard_kernel(stats: dict, kernel: str):
 
     def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
         query_id = int(key[0])
-        pdf = pdf.sort_values("term_id").reset_index(drop=True)  # deterministic accumulation
         mode = pdf["mode"].iloc[0]
+        sort_col = "qpos" if mode == "PHRASE" else "term_id"
+        pdf = pdf.sort_values(sort_col).reset_index(drop=True)
         k = int(pdf["k"].iloc[0])
         n_query_terms = int(pdf["n_query_terms"].iloc[0])
-        if mode == "AND" and pdf["term_id"].nunique() < n_query_terms:
-            return pd.DataFrame({"query_id": [], "doc_id": [], "score": []}).astype(
-                {"query_id": np.int64, "doc_id": np.int64, "score": np.float64}
-            )
+        empty = pd.DataFrame({"query_id": [], "doc_id": [], "score": []}).astype(
+            {"query_id": np.int64, "doc_id": np.int64, "score": np.float64}
+        )
+        if mode in ("AND", "PHRASE") and len(pdf) < n_query_terms:
+            return empty
         plists = [
             kernels.TermPostings(row, idf=row["idf"], avgdl=avgdl, k1=k1, b=b)
             for row in pdf.to_dict("records")
         ]
-        if mode == "AND" or kernel == "exhaustive":
+        if mode == "PHRASE":
+            docs, scores = kernels.score_phrase(plists, k)
+        elif mode == "AND" or kernel == "exhaustive":
             docs, scores = kernels.score_exhaustive(plists, k, mode)
         elif kernel == "wand":
             docs, scores = kernels.score_wand(plists, k)
@@ -149,12 +153,24 @@ def search(
         qdf = spark.createDataFrame(queries)
     else:
         qdf = queries
+    if qpd is not None and (qpd["mode"] == "PHRASE").any() and not index.stats.get(
+        "with_positions", False
+    ):
+        raise ValueError(
+            "PHRASE queries require a positional index "
+            "(build with EngineConfig(with_positions=True) / --with-positions)"
+        )
+    # PHRASE keeps the ordered term sequence (slot index qpos); AND/OR
+    # dedupe (duplicate terms must not double-count in the BM25 sum)
+    qarr = F.when(F.col("mode") == "PHRASE", F.col("terms")).otherwise(
+        F.array_distinct("terms")
+    )
     qterms = qdf.select(
         "query_id",
         "mode",
         "k",
-        F.size(F.array_distinct("terms")).alias("n_query_terms"),
-        F.explode(F.array_distinct("terms")).alias("term"),
+        F.size(qarr).alias("n_query_terms"),
+        F.posexplode(qarr).alias("qpos", "term"),
     )
 
     # dictionary lookup: term → (term_id, df, idf). Served from the driver-

@@ -19,7 +19,7 @@ from __future__ import annotations
 import numpy as np
 
 from invoicenet_spark.index import bm25
-from invoicenet_spark.index.codec import decode_block, decode_posting_list
+from invoicenet_spark.index.codec import decode_block, decode_positions, decode_posting_list
 
 
 def gallop_intersect(lists: list[np.ndarray]) -> np.ndarray:
@@ -73,6 +73,9 @@ class TermPostings:
     def decode_one_block(self, i: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         return decode_block(self.row, i)
 
+    def decode_positions(self, tfs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        return decode_positions(self.row, tfs)
+
 
 def score_exhaustive(
     plists: list[TermPostings],
@@ -106,6 +109,52 @@ def score_exhaustive(
         mask = np.isin(uniq, keep_ids, assume_unique=True)
         uniq, agg = uniq[mask], agg[mask]
     return topk_select(uniq, agg, k)
+
+
+def score_phrase(
+    plists_by_qpos: list[TermPostings],
+    k: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exact phrase query over a positional index.
+
+    plists_by_qpos: one posting view per phrase slot, in phrase order
+    (repeated terms appear once per slot). A doc matches iff some position
+    p has slot i's term at p+i for every i. Matching docs are then scored
+    with plain BM25 over the phrase's distinct terms (standard semantics:
+    the phrase is a filter, not a scoring unit).
+    """
+    if not plists_by_qpos:
+        return np.zeros(0, dtype=np.int64), np.zeros(0)
+    decoded = [tp.decode_all() for tp in plists_by_qpos]
+    positions = [
+        tp.decode_positions(decoded[i][1]) for i, tp in enumerate(plists_by_qpos)
+    ]
+    cand = gallop_intersect([d[0] for d in decoded])
+    matches = []
+    for doc in cand:
+        S = None
+        for i, (docs_i, _, _) in enumerate(decoded):
+            j = int(np.searchsorted(docs_i, doc))
+            pos_flat, off = positions[i]
+            P = pos_flat[off[j] : off[j + 1]] - i
+            S = P if S is None else np.intersect1d(S, P, assume_unique=True)
+            if S.size == 0:
+                break
+        if S is not None and S.size:
+            matches.append(int(doc))
+    if not matches:
+        return np.zeros(0, dtype=np.int64), np.zeros(0)
+    match_arr = np.asarray(matches, dtype=np.int64)
+
+    # BM25 over distinct terms (a slot's term may repeat), restricted to
+    # phrase matches; accumulated in deterministic term_id order.
+    scores = np.zeros(match_arr.size, dtype=np.float64)
+    by_tid = {int(tp.row["term_id"]): (tp, dec) for tp, dec in zip(plists_by_qpos, decoded)}
+    for tid in sorted(by_tid):
+        tp, (docs_i, tfs_i, dls_i) = by_tid[tid]
+        j = np.searchsorted(docs_i, match_arr)
+        scores += tp.idf * bm25.tf_score(tfs_i[j], dls_i[j], tp.avgdl, tp.k1, tp.b)
+    return topk_select(match_arr, scores, k)
 
 
 def score_wand(
