@@ -452,6 +452,29 @@ def q_project_defaults(spark, sf_dir):
     return out.groupBy("p_brand", "p_missing").agg(F.count("*").alias("n"))
 
 
+def q_word_hash(spark, sf_dir):
+    """H1: bounded 16-bit word hash (md5-based, engine-portable)."""
+    from invoicenet_spark.functions.chars import word_hash_16
+
+    return _toks(spark, sf_dir).distinct().select(
+        "term", word_hash_16("term").alias("word_hash")
+    ).distinct()
+
+
+def q_date_extract(spark, sf_dir):
+    """F2: first date found in a string, canonical MM-dd-yyyy."""
+    from invoicenet_spark.functions.chars import find_first_date
+
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    txt = F.concat(
+        F.lit("order placed "), F.date_format("o_orderdate", "yyyy-MM-dd"),
+        F.lit(" priority "), F.col("o_orderpriority"),
+    )
+    return orders.select(
+        "o_orderkey", find_first_date(txt).alias("date_found")
+    )
+
+
 def q_find_amounts(spark, sf_dir):
     """F1+F3: regex find-all amounts + dedupe, exploded."""
     from invoicenet_spark.functions.normalize import find_amounts
@@ -503,6 +526,8 @@ QUERIES = {
     "merge_lww": q_merge_lww,
     "project_defaults": q_project_defaults,
     "find_amounts": q_find_amounts,
+    "word_hash": q_word_hash,
+    "date_extract": q_date_extract,
 }
 
 _AMOUNT_VALUES = ", ".join(f"('{r}')" for r in AMOUNT_RAWS)
@@ -708,6 +733,15 @@ ORACLE_SQL.update(
         "project_defaults": (
             "SELECT coalesce(p_brand, '') AS p_brand, 'N/A' AS p_missing,"
             " count(*) AS n FROM part GROUP BY 1, 2"
+        ),
+        "word_hash": (
+            f"SELECT DISTINCT term,"
+            " CAST('0x' || substr(md5(term), 25, 8) AS BIGINT) % 65535 + 1 AS word_hash"
+            f" FROM (SELECT DISTINCT doc_id, term FROM ({_DUCK_TOKS}))"
+        ),
+        "date_extract": (
+            "SELECT o_orderkey, strftime(o_orderdate, '%m-%d-%Y') AS date_found"
+            " FROM orders"
         ),
         "find_amounts": r"""
             SELECT l_orderkey, l_linenumber,
