@@ -89,25 +89,32 @@ def score_exhaustive(
     per-term partials added in caller-supplied list order (callers sort
     by term_id).
     """
+    if not plists:
+        return np.zeros(0, dtype=np.int64), np.zeros(0)
+    decoded = [tp.decode_all() for tp in plists]
+
+    if mode == "AND":
+        # intersect-then-score: gallop the doc sets first, then gather
+        # (tf, dl) for survivors only — skips scoring the union
+        keep = gallop_intersect([d[0] for d in decoded])
+        if keep.size == 0:
+            return np.zeros(0, dtype=np.int64), np.zeros(0)
+        agg = np.zeros(keep.size, dtype=np.float64)
+        for tp, (docs, tfs, dls) in zip(plists, decoded):
+            j = np.searchsorted(docs, keep)
+            agg += tp.idf * bm25.tf_score(tfs[j], dls[j], tp.avgdl, tp.k1, tp.b)
+        return topk_select(keep, agg, k)
+
     all_docs, all_scores = [], []
-    doc_sets = []
-    for tp in plists:
-        docs, tfs, dls = tp.decode_all()
+    for tp, (docs, tfs, dls) in zip(plists, decoded):
         s = tp.idf * bm25.tf_score(tfs, dls, tp.avgdl, tp.k1, tp.b)
         all_docs.append(docs)
         all_scores.append(s)
-        doc_sets.append(docs)
-    if not all_docs:
-        return np.zeros(0, dtype=np.int64), np.zeros(0)
     docs_cat = np.concatenate(all_docs)
     scores_cat = np.concatenate(all_scores)
     uniq, inv = np.unique(docs_cat, return_inverse=True)
     agg = np.zeros(uniq.size, dtype=np.float64)
     np.add.at(agg, inv, scores_cat)
-    if mode == "AND":
-        keep_ids = gallop_intersect(doc_sets)
-        mask = np.isin(uniq, keep_ids, assume_unique=True)
-        uniq, agg = uniq[mask], agg[mask]
     return topk_select(uniq, agg, k)
 
 
