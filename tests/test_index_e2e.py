@@ -131,3 +131,21 @@ def test_spark_generator_matches_pandas(spark):
     assert (got["text"] == want["text"]).all()
     assert (got["lang"] == want["lang"]).all()
     assert [bytes(b) for b in got["html"]] == [bytes(b) for b in want["html"]]
+
+
+def test_df_sum_invariant(built, oracle):
+    """FIXTURES.md §6: Σ df over terms == #distinct (term, doc) pairs."""
+    total_df = built.terms.agg(F.sum("df")).collect()[0][0]
+    expect = sum(len(p) for p in oracle.postings.values())
+    assert total_df == expect
+
+
+def test_block_metadata_consistency(built):
+    """Every posting row's block arrays agree in length and bound df_shard."""
+    rows = built.postings.limit(200).collect()
+    for r in rows:
+        nb = len(r["block_last"])
+        assert nb == len(r["block_doc_off"]) == len(r["block_max_tf"]) == len(r["block_min_dl"])
+        assert nb == (r["df_shard"] + CFG.block_size - 1) // CFG.block_size
+        last = list(r["block_last"])
+        assert last == sorted(last)
