@@ -24,19 +24,35 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: index 400 synthetic pages end-to-end, run 20 reference
-    queries, return (query_id, rank, doc_id, url, score)."""
+    """Flagship: load the sf0.001 documents table, build the positional
+    full-text index end-to-end (extraction-path analog with stored text),
+    and answer a mixed OR/AND/PHRASE query batch with BM25 top-k.
+    Returns (query_id, rank, doc_id, url, score)."""
+    import pandas as pd
+
     from invoicenet_spark.config import EngineConfig
-    from invoicenet_spark.fixtures import gen_pages_spark, gen_queries
+    from invoicenet_spark.entrypoints import _docs_as_pages
     from invoicenet_spark.index.build import build_index
     from invoicenet_spark.query.exec import load_index, search
 
-    cfg = EngineConfig(shard_size=128, block_size=32, build_partitions=8)
-    pages = gen_pages_spark(spark, 400, seed=42, partitions=8)
+    sf_dir = "/root/testdata/sf0.001"
+    cfg = EngineConfig(
+        shard_size=128, block_size=32, build_partitions=8, with_positions=True
+    )
+    pages = _docs_as_pages(spark, sf_dir)
     out = os.path.join(tempfile.mkdtemp(prefix="invoicenet_spark_"), "index")
-    build_index(spark, pages, out, cfg)
+    build_index(spark, pages, out, cfg, use_stored_text=True)
     index = load_index(spark, out)
-    return search(spark, index, gen_queries(20, seed=42), kernel="auto")
+    queries = pd.DataFrame(
+        [
+            {"query_id": 1, "terms": ["spark", "query", "window"], "mode": "OR", "k": 10},
+            {"query_id": 2, "terms": ["spark", "join"], "mode": "AND", "k": 10},
+            {"query_id": 3, "terms": ["join", "key"], "mode": "PHRASE", "k": 10},
+            {"query_id": 4, "terms": ["table", "hash"], "mode": "PHRASE", "k": 10},
+            {"query_id": 5, "terms": ["data", "value", "row", "scan"], "mode": "OR", "k": 10},
+        ]
+    )
+    return search(spark, index, queries, kernel="auto")
 
 
 # --------------------------------------------------------------------------
