@@ -262,13 +262,15 @@ def q_jaccard_pairs(spark, sf_dir):
 
 
 def q_minhash_lsh(spark, sf_dir):
-    """Dedup (MinHash+LSH): banded candidates + verified Jaccard.
-    No SQL oracle (xxhash64 not reproducible in DuckDB) → rows-only check."""
+    """Dedup (MinHash+LSH): banded candidates + Jaccard verified on the
+    candidate pairs ONLY (never the all-pairs join). md5-derived minhashes →
+    exact DuckDB oracle."""
     return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.12)
 
 
 def q_simhash(spark, sf_dir):
-    """Dedup (SimHash): 64-bit signatures. Rows-only check (xxhash64)."""
+    """Dedup (SimHash): 60-bit tf-weighted sign signatures (md5-derived bit
+    source → exact DuckDB oracle)."""
     return dedup.simhash_signatures(_docs(spark, sf_dir))
 
 
@@ -610,7 +612,6 @@ ORACLE_SQL = {
         JOIN sizes sb ON sb.doc_id = id_b
         WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.12
     """,
-    # minhash_lsh, simhash: rows-only (xxhash64 not available in DuckDB)
     "token_counts": (
         "SELECT doc_id,"
         " CAST(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS BIGINT)"
@@ -658,6 +659,68 @@ ORACLE_SQL = {
         " GROUP BY 1, 2"
     ),
 }
+
+
+def _minhash_lsh_sql(num_perm: int = 16, bands: int = 4, threshold: float = 0.12) -> str:
+    """DuckDB twin of dedup.minhash_lsh_pairs (md5-derived 60-bit minhashes,
+    '_'-joined band keys, Jaccard computed on candidate pairs only)."""
+    rows = num_perm // bands
+    h_exprs = ",\n        ".join(
+        f"min(CAST('0x' || substr(md5('{i}:' || shingle), 1, 15) AS BIGINT)) AS h{i}"
+        for i in range(num_perm)
+    )
+    band_selects = "\n      UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {cc} AS bh FROM mh".format(
+            b=bi,
+            cc=" || '_' || ".join(
+                f"CAST(h{bi * rows + r} AS VARCHAR)" for r in range(rows)
+            ),
+        )
+        for bi in range(bands)
+    )
+    return f"""
+        WITH sh AS ({_DUCK_SHINGLES}),
+        mh AS (SELECT doc_id, {h_exprs} FROM sh GROUP BY doc_id),
+        bands AS ({band_selects}),
+        cand AS (
+          SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+          FROM bands x JOIN bands y
+            ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT c.id_a, c.id_b, count(*) AS n_inter
+          FROM cand c
+          JOIN sh a ON a.doc_id = c.id_a
+          JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+          GROUP BY c.id_a, c.id_b
+        )
+        SELECT id_a, id_b,
+               round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= {threshold}
+    """
+
+
+ORACLE_SQL["minhash_lsh"] = _minhash_lsh_sql()
+
+ORACLE_SQL["simhash"] = f"""
+    WITH tf AS (
+      SELECT doc_id, term, count(*) AS tf,
+             CAST('0x' || substr(md5(term), 1, 15) AS BIGINT) AS h
+      FROM ({_DUCK_TOKS}) GROUP BY doc_id, term
+    ),
+    votes AS (
+      SELECT doc_id, i, sum(CASE WHEN (h >> i) & 1 = 1 THEN tf ELSE -tf END) AS v
+      FROM tf CROSS JOIN (SELECT unnest(range(0, 60)) AS i) bits
+      GROUP BY doc_id, i
+    )
+    SELECT doc_id,
+           CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS simhash
+    FROM votes GROUP BY doc_id
+"""
 
 
 def _lang_id_sql() -> str:

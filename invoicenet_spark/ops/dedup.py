@@ -9,19 +9,35 @@ embedding-cosine near-dup. Scale notes per operator:
   join — cost bounded by Σ df(shingle)²; use only after LSH candidate
   generation at scale (the `candidates` arg), standalone at small scale.
 - minhash-lsh: shingle → k minhashes (one groupBy with k min() aggs, all
-  JVM-side xxhash64) → band-bucket join → verified Jaccard. The classic
-  near-dup path that scales: candidate pairs ∝ true dups, not n².
-- simhash: 64-bit sign-of-weighted-bits signature per doc; near-dups =
-  signatures at small Hamming distance, found via band-exact match.
+  JVM-side) → band-bucket join → exact Jaccard computed ONLY for the
+  candidate pairs (semi-join of the shingle sets to the candidate ids).
+  The classic near-dup path that scales: verification work ∝ candidate
+  pairs ∝ true dups, never n².
+- simhash: sign-of-weighted-bits signature per doc; near-dups = signatures
+  at small Hamming distance, found via band-exact match.
 - embedding cosine: see similarity.py (same kernel, threshold instead of k).
+
+Hashing: `portable_hash64` (md5-derived 60-bit int) is the default so every
+operator here has an exact DuckDB oracle twin (md5 exists in both engines —
+same trick as functions/chars.word_hash_16). For a pure-throughput build a
+caller can swap in `F.xxhash64` (≈2-4× cheaper per call, JVM-intrinsic); the
+banding/verification topology is hash-agnostic.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 from invoicenet_spark.functions.analyzer import tokens_col
 from invoicenet_spark.ops.text_analysis import fingerprint
+
+
+def portable_hash64(col: Column, seed: int | None = None) -> Column:
+    """Deterministic 60-bit positive int64 hash, reproducible in DuckDB as
+    CAST('0x' || substr(md5(<expr>), 1, 15) AS BIGINT). Seeded variants
+    prefix the input with '<seed>:'."""
+    c = F.concat(F.lit(f"{seed}:"), col) if seed is not None else col
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", key_col: str = "doc_id") -> DataFrame:
@@ -49,29 +65,9 @@ def shingles_df(df: DataFrame, text_col: str = "text", key_col: str = "doc_id", 
     return df.select(key_col, F.explode(sh).alias("shingle"))
 
 
-def jaccard_pairs(
-    df: DataFrame,
-    text_col: str = "text",
-    key_col: str = "doc_id",
-    n: int = 3,
-    threshold: float = 0.5,
-) -> DataFrame:
-    """Exact n-gram Jaccard over all pairs sharing ≥1 shingle.
-
-    Output: (id_a, id_b, jaccard) with id_a < id_b. The shared-shingle join
-    is the inverted-index trick: pairs that share nothing never meet.
-    """
-    sh = shingles_df(df, text_col, key_col, n).alias("a")
-    sizes = sh.groupBy(key_col).agg(F.count("*").alias("n_sh"))
-    b = shingles_df(df, text_col, key_col, n).alias("b")
-    inter = (
-        sh.join(b, F.col(f"a.shingle") == F.col(f"b.shingle"))
-        .where(F.col(f"a.{key_col}") < F.col(f"b.{key_col}"))
-        .groupBy(
-            F.col(f"a.{key_col}").alias("id_a"), F.col(f"b.{key_col}").alias("id_b")
-        )
-        .agg(F.count("*").alias("n_inter"))
-    )
+def _jaccard_from_intersections(inter: DataFrame, sizes: DataFrame, key_col: str,
+                                threshold: float) -> DataFrame:
+    """(id_a, id_b, n_inter) ⋈ per-doc shingle counts → thresholded Jaccard."""
     sa = sizes.select(F.col(key_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col(key_col).alias("id_b"), F.col("n_sh").alias("n_b"))
     return (
@@ -88,6 +84,60 @@ def jaccard_pairs(
     )
 
 
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard, output (id_a, id_b, jaccard) with id_a < id_b.
+
+    candidates=None: all pairs sharing ≥1 shingle via the shared-shingle
+    inverted join — cost Σ df(shingle)², fine at small scale / post-filter.
+
+    candidates=(id_a, id_b) frame: compute Jaccard ONLY for those pairs.
+    Shingle sets are semi-join-pruned to candidate ids first, then each
+    candidate pair is joined to its two shingle sets — total work
+    Σ_pairs |shingles(a)|, linear in candidates. This is the 100 TB path:
+    LSH (or any blocker) produces candidates, this verifies them.
+    """
+    sh = shingles_df(df, text_col, key_col, n)
+    if candidates is not None:
+        ids = (
+            candidates.select(F.col("id_a").alias(key_col))
+            .union(candidates.select(F.col("id_b").alias(key_col)))
+            .distinct()
+        )
+        sh = sh.join(ids, key_col, "leftsemi")
+        sizes = sh.groupBy(key_col).agg(F.count("*").alias("n_sh"))
+        sh_a = sh.select(F.col(key_col).alias("id_a"), "shingle")
+        sh_b = sh.select(F.col(key_col).alias("id_b"), "shingle")
+        inter = (
+            candidates.select("id_a", "id_b")
+            .distinct()
+            .join(sh_a, "id_a")
+            .join(sh_b, ["id_b", "shingle"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("n_inter"))
+        )
+        return _jaccard_from_intersections(inter, sizes, key_col, threshold)
+
+    sizes = sh.groupBy(key_col).agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = shingles_df(df, text_col, key_col, n).alias("b")
+    inter = (
+        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
+        .where(F.col(f"a.{key_col}") < F.col(f"b.{key_col}"))
+        .groupBy(
+            F.col(f"a.{key_col}").alias("id_a"), F.col(f"b.{key_col}").alias("id_b")
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return _jaccard_from_intersections(inter, sizes, key_col, threshold)
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -95,14 +145,56 @@ def minhash_signatures(
     n: int = 3,
     num_perm: int = 16,
 ) -> DataFrame:
-    """(key, sig array<long>): k minhashes, each min(xxhash64(seed_i, shingle))
+    """(key, sig array<long>): k minhashes, each min(portable_hash64(i, shingle))
     — one groupBy with k JVM-side min() aggregates, no Python."""
     sh = shingles_df(df, text_col, key_col, n)
     aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}") for i in range(num_perm)
+        F.min(portable_hash64(F.col("shingle"), seed=i)).alias(f"h{i}")
+        for i in range(num_perm)
     ]
     wide = sh.groupBy(key_col).agg(*aggs)
     return wide.select(key_col, F.array(*[f"h{i}" for i in range(num_perm)]).alias("sig"))
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    n: int = 3,
+    num_perm: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """LSH band-bucket candidate pairs (id_a, id_b), id_a < id_b.
+
+    Banding: num_perm/bands rows per band; candidate iff any band matches
+    exactly. The band key is the '_'-joined row values (equality-only use, so
+    no second hash is needed and the key stays DuckDB-reproducible; a
+    throughput-tuned variant can xxhash64 it to 8 bytes before the shuffle).
+    """
+    rows = num_perm // bands
+    sig = minhash_signatures(df, text_col, key_col, n, num_perm)
+    band_cols = [
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.concat_ws(
+                "_", *[F.col("sig")[bi * rows + r].cast("string") for r in range(rows)]
+            ).alias("bh"),
+        )
+        for bi in range(bands)
+    ]
+    banded = sig.select(key_col, F.explode(F.array(*band_cols)).alias("b")).select(
+        key_col, F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
+    )
+    a = banded.alias("x")
+    b = banded.alias("y")
+    return (
+        a.join(b, ["band", "bh"])
+        .where(F.col(f"x.{key_col}") < F.col(f"y.{key_col}"))
+        .select(
+            F.col(f"x.{key_col}").alias("id_a"), F.col(f"y.{key_col}").alias("id_b")
+        )
+        .distinct()
+    )
 
 
 def minhash_lsh_pairs(
@@ -114,51 +206,31 @@ def minhash_lsh_pairs(
     bands: int = 4,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """MinHash → LSH band-bucket candidates → exact-Jaccard verification.
+    """MinHash → LSH band-bucket candidates → exact Jaccard on candidates ONLY.
 
-    Banding: num_perm/bands rows per band; candidate iff any band matches
-    exactly. Verification recomputes true Jaccard on the candidates only.
+    The verification never touches non-candidate pairs: `jaccard_pairs` is
+    called with the candidate frame, which semi-joins the shingle sets down
+    to candidate ids and computes intersections per candidate pair. Work is
+    proportional to the number of candidate pairs, not n² — the whole point
+    of LSH at web scale.
     """
-    rows = num_perm // bands
-    sig = minhash_signatures(df, text_col, key_col, n, num_perm)
-    band_cols = [
-        F.struct(
-            F.lit(bi).alias("band"),
-            F.xxhash64(*[F.col("sig")[bi * rows + r] for r in range(rows)]).alias("bh"),
-        )
-        for bi in range(bands)
-    ]
-    banded = sig.select(key_col, F.explode(F.array(*band_cols)).alias("b")).select(
-        key_col, F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
-    )
-    a = banded.alias("x")
-    b = banded.alias("y")
-    cand = (
-        a.join(b, ["band", "bh"])
-        .where(F.col(f"x.{key_col}") < F.col(f"y.{key_col}"))
-        .select(
-            F.col(f"x.{key_col}").alias("id_a"), F.col(f"y.{key_col}").alias("id_b")
-        )
-        .distinct()
-    )
-    verified = jaccard_pairs(df, text_col, key_col, n, threshold).alias("v")
-    return cand.alias("c").join(
-        verified,
-        (F.col("c.id_a") == F.col("v.id_a")) & (F.col("c.id_b") == F.col("v.id_b")),
-    ).select("c.id_a", "c.id_b", "v.jaccard")
+    cand = minhash_lsh_candidates(df, text_col, key_col, n, num_perm, bands)
+    return jaccard_pairs(df, text_col, key_col, n, threshold, candidates=cand)
 
 
 def simhash_signatures(
-    df: DataFrame, text_col: str = "text", key_col: str = "doc_id", bits: int = 64
+    df: DataFrame, text_col: str = "text", key_col: str = "doc_id", bits: int = 60
 ) -> DataFrame:
-    """64-bit SimHash per doc, fully JVM-side: per (doc, term) tf-weighted
-    ±1 vote per bit, sign-aggregated. Bits are extracted with shiftright —
-    64 aggregate expressions, one shuffle."""
+    """SimHash per doc, fully JVM-side: per (doc, term) tf-weighted ±1 vote
+    per bit of portable_hash64(term), sign-aggregated — `bits` aggregate
+    expressions, one shuffle. Default 60 bits = the full width of the
+    portable hash (sign-free, so the DuckDB oracle reproduces it exactly
+    with plain BIGINT shifts)."""
     toks = (
         df.select(key_col, F.explode(tokens_col(text_col)).alias("term"))
         .groupBy(key_col, "term")
         .agg(F.count("*").alias("tf"))
-        .withColumn("h", F.xxhash64("term"))
+        .withColumn("h", portable_hash64(F.col("term")))
     )
     votes = [
         F.sum(
@@ -183,12 +255,13 @@ def simhash_near_dups(
     key_col: str = "doc_id",
     max_hamming: int = 3,
     bands: int = 4,
+    bits: int = 60,
 ) -> DataFrame:
     """Near-dups = pairs with Hamming(simhash) ≤ max_hamming, candidates via
-    exact match on one of `bands` 16-bit bands (pigeonhole: ≤3 flipped bits
-    cannot touch all 4 bands)."""
-    sig = simhash_signatures(df, text_col, key_col)
-    width = 64 // bands
+    exact match on one of `bands` (bits/bands)-wide bands (pigeonhole: ≤3
+    flipped bits cannot touch all 4 bands)."""
+    sig = simhash_signatures(df, text_col, key_col, bits)
+    width = bits // bands
     band_cols = [
         F.struct(
             F.lit(bi).alias("band"),

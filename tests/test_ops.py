@@ -52,6 +52,37 @@ def test_minhash_lsh_finds_exact_dups(dup_docs):
     assert (0, 1) in pairs and (0, 4) in pairs and (1, 4) in pairs
 
 
+def test_jaccard_candidates_only(dup_docs, spark):
+    """candidates arg: only the given pairs are verified, values identical
+    to the all-pairs join."""
+    full = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.jaccard_pairs(dup_docs, threshold=0.01).collect()
+    }
+    cand = spark.createDataFrame(pd.DataFrame({"id_a": [0, 0], "id_b": [1, 2]}))
+    out = dedup.jaccard_pairs(dup_docs, threshold=0.01, candidates=cand).collect()
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out}
+    assert set(got) == {(0, 1), (0, 2)}
+    assert got[(0, 1)] == full[(0, 1)] and got[(0, 2)] == full[(0, 2)]
+
+
+def test_lsh_candidate_count_much_less_than_all_pairs(spark):
+    """8 well-separated clusters of 5 near-identical docs: LSH candidates
+    ≈ within-cluster pairs (≤ 8·C(5,2)=80 + noise), not C(40,2)=780."""
+    rows = []
+    for c in range(8):
+        words = " ".join(f"w{c}x{i}" for i in range(12))
+        for j in range(5):
+            rows.append((c * 5 + j, words + f" tail{c} z{j}"))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    n_cand = dedup.minhash_lsh_candidates(df).count()
+    assert n_cand <= 120  # ≪ 780 all-pairs
+    verified = dedup.minhash_lsh_pairs(df, threshold=0.5).collect()
+    # every verified pair is within one cluster
+    assert all(r["id_a"] // 5 == r["id_b"] // 5 for r in verified)
+    assert len(verified) >= 40  # most within-cluster pairs survive
+
+
 def test_simhash_dups(dup_docs):
     sigs = {r["doc_id"]: r["simhash"] for r in dedup.simhash_signatures(dup_docs).collect()}
     assert sigs[0] == sigs[1] == sigs[4]
