@@ -117,16 +117,14 @@ def _shard_kernel(stats: dict, kernel: str):
         elif kernel == "wand":
             docs, scores = kernels.score_wand(plists, k)
         else:
-            # auto → vectorized exhaustive. Rationale: the WAND control loop
-            # is per-evaluated-candidate Python; it wins only when block-max
-            # pruning skips most of the lists (high-idf, score-spread
-            # corpora). On flat score distributions (hot terms, tiny idf) it
-            # degenerates to a per-doc interpreter loop, while the
-            # exhaustive kernel scores a whole shard in a handful of numpy
-            # calls. Measured on the 1M synthetic corpus: exhaustive p95 ≪
-            # WAND p95. WAND remains selectable (kernel="wand") and is held
-            # rank-identical to exhaustive by tests.
-            docs, scores = kernels.score_exhaustive(plists, k, mode)
+            # auto → segment-level block-max pruning (rank-identical to
+            # exhaustive, fuzz-pinned). Control loop is per segment chunk,
+            # never per candidate; on flat score distributions it detects
+            # that pruning isn't biting and bails to the exhaustive kernel,
+            # so the worst case stays within a small constant of exhaustive
+            # while skewed corpora (stopword + rare term) skip decoding most
+            # of the hot list. WAND stays selectable (kernel="wand").
+            docs, scores = kernels.score_blockmax(plists, k)
         return pd.DataFrame(
             {"query_id": np.full(docs.size, query_id, dtype=np.int64),
              "doc_id": docs.astype(np.int64),
@@ -153,13 +151,19 @@ def search(
         qdf = spark.createDataFrame(queries)
     else:
         qdf = queries
-    if qpd is not None and (qpd["mode"] == "PHRASE").any() and not index.stats.get(
-        "with_positions", False
-    ):
-        raise ValueError(
-            "PHRASE queries require a positional index "
-            "(build with EngineConfig(with_positions=True) / --with-positions)"
+    if not index.stats.get("with_positions", False):
+        # validate on BOTH input shapes — a Spark-frame query batch must not
+        # sail past the check and die executor-side on an empty pos_blob
+        has_phrase = (
+            (qpd["mode"] == "PHRASE").any()
+            if qpd is not None
+            else bool(qdf.where(F.col("mode") == "PHRASE").limit(1).count())
         )
+        if has_phrase:
+            raise ValueError(
+                "PHRASE queries require a positional index "
+                "(build with EngineConfig(with_positions=True) / --with-positions)"
+            )
     # PHRASE keeps the ordered term sequence (slot index qpos); AND/OR
     # dedupe (duplicate terms must not double-count in the BM25 sum)
     qarr = F.when(F.col("mode") == "PHRASE", F.col("terms")).otherwise(

@@ -137,21 +137,34 @@ def score_phrase(
         tp.decode_positions(decoded[i][1]) for i, tp in enumerate(plists_by_qpos)
     ]
     cand = gallop_intersect([d[0] for d in decoded])
-    matches = []
-    for doc in cand:
-        S = None
-        for i, (docs_i, _, _) in enumerate(decoded):
-            j = int(np.searchsorted(docs_i, doc))
-            pos_flat, off = positions[i]
-            P = pos_flat[off[j] : off[j + 1]] - i
-            S = P if S is None else np.intersect1d(S, P, assume_unique=True)
-            if S.size == 0:
-                break
-        if S is not None and S.size:
-            matches.append(int(doc))
-    if not matches:
+    if cand.size == 0:
         return np.zeros(0, dtype=np.int64), np.zeros(0)
-    match_arr = np.asarray(matches, dtype=np.int64)
+
+    # Vectorized slot alignment: per slot i build the flat sorted key array
+    #   key = candidate_index * 2^32 + (position - i)
+    # (positions are doc-local token ordinals ≪ 2^32; cand indices ≪ 2^31).
+    # A phrase start survives iff its key appears in EVERY slot's array —
+    # the same sorted-array intersection as the doc-level gallop. No
+    # per-candidate Python loop.
+    SHIFT = np.int64(1) << np.int64(32)
+    key_arrays = []
+    for i, ((docs_i, _, _), (pos_flat, off)) in enumerate(zip(decoded, positions)):
+        j = np.searchsorted(docs_i, cand)
+        starts = off[j]
+        lens = (off[j + 1] - starts).astype(np.int64)
+        total = int(lens.sum())
+        cum = np.cumsum(lens)
+        gather = np.arange(total, dtype=np.int64) + np.repeat(
+            starts - np.concatenate(([np.int64(0)], cum[:-1])), lens
+        )
+        p = pos_flat[gather] - np.int64(i)  # align slot i to the phrase start
+        ci = np.repeat(np.arange(cand.size, dtype=np.int64), lens)
+        ok = p >= 0
+        key_arrays.append(ci[ok] * SHIFT + p[ok])  # sorted by construction
+    surviving = gallop_intersect(key_arrays)
+    if surviving.size == 0:
+        return np.zeros(0, dtype=np.int64), np.zeros(0)
+    match_arr = cand[np.unique(surviving >> np.int64(32))]
 
     # BM25 over distinct terms (a slot's term may repeat), restricted to
     # phrase matches; accumulated in deterministic term_id order.
@@ -164,23 +177,142 @@ def score_phrase(
     return topk_select(match_arr, scores, k)
 
 
+def _probe_scores(
+    plists: list[TermPostings],
+    caches: list[dict],
+    cand: np.ndarray,
+) -> np.ndarray:
+    """FULL BM25 scores for the sorted candidate doc array, decoding only the
+    blocks that can contain a candidate (block-granular random access via the
+    skip table). Accumulation is per list in plists order — identical float
+    order to score_exhaustive."""
+    scores = np.zeros(cand.size, dtype=np.float64)
+    for li, tp in enumerate(plists):
+        jb = np.searchsorted(tp.block_last, cand, side="left")
+        ok = jb < tp.n_blocks
+        if not ok.any():
+            continue
+        cache = caches[li]
+        needed = np.unique(jb[ok])
+        for j in needed:
+            if j not in cache:
+                cache[int(j)] = tp.decode_one_block(int(j))
+        parts = [cache[int(j)] for j in needed]  # block ids ascending → docs ascending
+        d = np.concatenate([p[0] for p in parts])
+        t = np.concatenate([p[1] for p in parts])
+        l = np.concatenate([p[2] for p in parts])
+        idx = np.searchsorted(d, cand)
+        idx_c = np.minimum(idx, d.size - 1)
+        hit = d[idx_c] == cand
+        if hit.any():
+            h = idx_c[hit]
+            scores[hit] += tp.idf * bm25.tf_score(t[h], l[h], tp.avgdl, tp.k1, tp.b)
+    return scores
+
+
+def score_blockmax(
+    plists: list[TermPostings],
+    k: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized MaxScore with block-granular probes (disjunctive),
+    rank-identical to score_exhaustive.
+
+    Phase A: fully score the docs of the highest-upper-bound list (cheap —
+    that list is usually the rare/high-idf one) to obtain a valid theta
+    (k-th best full score).
+
+    Phase B: order lists by upper bound ascending; the maximal prefix whose
+    UB sum is STRICTLY below theta is non-essential — any doc appearing only
+    in non-essential lists scores strictly below theta and cannot enter the
+    top-k (strictness keeps doc_id tie-breaks exact). Candidates = union of
+    the essential lists' postings; their full scores come from block-granular
+    probes into the non-essential lists (only blocks containing a candidate
+    are decoded — on a stopword+rare-term query the stopword list is ~never
+    decoded). If every list is essential, pruning can't win: bail to the
+    plain exhaustive kernel so the worst case stays a small constant of it.
+
+    Control flow is per LIST, never per candidate; all decode/score/probe
+    math is vectorized numpy.
+    """
+    n = len(plists)
+    if n == 0 or k <= 0:
+        return np.zeros(0, dtype=np.int64), np.zeros(0)
+    if n == 1:
+        return score_exhaustive(plists, k, "OR")
+
+    caches: list[dict] = [dict() for _ in range(n)]
+    ubs = np.array([tp.list_ub for tp in plists])
+
+    # Phase A — seed theta from the strongest list's own docs
+    seed = int(np.argmax(ubs))
+    # cheap upfront guard: probing is only profitable when the seed list is
+    # small relative to the other lists' BLOCK counts (each candidate costs
+    # at most one block decode per other list). A fat seed list would decode
+    # everything anyway — exhaustive does that with less overhead.
+    df_seed = int(plists[seed].row["df_shard"])
+    other_blocks = sum(tp.n_blocks for i, tp in enumerate(plists) if i != seed)
+    if df_seed > 2 * other_blocks:
+        return score_exhaustive(plists, k, "OR")
+    seed_docs = plists[seed].decode_all()[0]
+    seed_scores = _probe_scores(plists, caches, seed_docs)
+    if seed_docs.size >= k:
+        kth = np.lexsort((seed_docs, -seed_scores))[k - 1]
+        theta = float(seed_scores[kth])
+    else:
+        theta = -np.inf
+
+    # Phase B — essential-list decomposition under theta
+    order = np.argsort(ubs, kind="stable")
+    cum = np.cumsum(ubs[order])
+    non_ess = cum < theta  # strict: pruned docs score < theta, ties impossible
+    essential = [int(i) for i, ne in zip(order, non_ess) if not ne]
+    if len(essential) == n:
+        return score_exhaustive(plists, k, "OR")
+    total_df = sum(int(tp.row["df_shard"]) for tp in plists)
+    ess_df = sum(int(plists[i].row["df_shard"]) for i in essential) + (
+        df_seed if seed not in essential else 0
+    )
+    if ess_df > total_df // 2:
+        # candidates cover most postings — probe overhead beats the savings
+        return score_exhaustive(plists, k, "OR")
+
+    cand_parts = [seed_docs]
+    for i in essential:
+        if i != seed:
+            cand_parts.append(plists[i].decode_all()[0])
+    cand = np.unique(np.concatenate(cand_parts))
+    scores = _probe_scores(plists, caches, cand)
+    return topk_select(cand, scores, k)
+
+
 def score_wand(
     plists: list[TermPostings],
     k: int,
-    theta0: float = 0.0,
+    theta0: float = -np.inf,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Block-max WAND (disjunctive). Returns exactly the exhaustive top-k
     (bounds are conservative, pruning is lossless).
 
     Cursor state per list: current block index + decoded block arrays +
-    position within block. The outer loop advances pivots; all arithmetic on
-    decoded blocks is vectorized numpy.
+    position within block. The outer loop advances pivots; decode/score math
+    on blocks is vectorized numpy; the top-k is a heapq (O(log k)/insert).
+
+    Soundness of the failed-shallow-check skip (the round-1 bug): the pivot
+    group ("lead") is extended to EVERY list whose current doc equals the
+    pivot doc — a tied list can contain the pivot, so omitting it from the
+    shallow bound under-estimates the pivot's score. The skip target is
+    capped at the minimum current doc over non-lead lists (BMW's
+    min(d'+1, cur(p+1)) rule): docs between the lead block boundary and a
+    non-lead cursor could score contributions from that non-lead list which
+    the shallow bound never counted.
     """
+    import heapq
+
     n = len(plists)
-    if n == 0:
+    if n == 0 or k <= 0:
         return np.zeros(0, dtype=np.int64), np.zeros(0)
 
-    # cursor state
+    INF = np.iinfo(np.int64).max
     blk = [0] * n  # current block index
     bdocs = [None] * n  # decoded docs of current block
     btfs = [None] * n
@@ -190,7 +322,7 @@ def score_wand(
 
     def current_doc(i: int) -> int:
         if exhausted[i]:
-            return np.iinfo(np.int64).max
+            return INF
         if bdocs[i] is None:
             bdocs[i], btfs[i], bdls[i] = plists[i].decode_one_block(blk[i])
         return int(bdocs[i][pos[i]])
@@ -200,40 +332,36 @@ def score_wand(
         if exhausted[i]:
             return
         tp = plists[i]
-        # skip blocks whose last doc < target
-        nb = tp.n_blocks
-        j = blk[i]
-        if tp.block_last[nb - 1] < target:
+        if tp.block_last[tp.n_blocks - 1] < target:
             exhausted[i] = True
             return
         j2 = int(np.searchsorted(tp.block_last, target, side="left"))
-        if j2 != j or bdocs[i] is None:
+        if j2 != blk[i] or bdocs[i] is None:
             blk[i] = j2
             bdocs[i], btfs[i], bdls[i] = tp.decode_one_block(j2)
             pos[i] = 0
         p = int(np.searchsorted(bdocs[i], target, side="left"))
-        if p >= bdocs[i].size:  # target beyond this block (can't happen after block skip)
+        if p >= bdocs[i].size:  # cannot happen after the block skip
             exhausted[i] = True
             return
         pos[i] = p
 
-    # top-k heap as arrays (k is small)
-    heap_docs = np.empty(0, dtype=np.int64)
-    heap_scores = np.empty(0, dtype=np.float64)
+    # min-heap of (score, -doc_id): root = current worst (lowest score,
+    # then largest doc_id) → deterministic (score desc, doc asc) top-k
+    heap: list[tuple[float, int]] = []
     theta = theta0
-
     ubs = np.array([tp.list_ub for tp in plists])
 
     while True:
         cur = np.array([current_doc(i) for i in range(n)], dtype=np.int64)
-        if (cur == np.iinfo(np.int64).max).all():
+        if (cur == INF).all():
             break
         order = np.argsort(cur, kind="stable")
         # pivot: first prefix whose UB sum exceeds theta
         acc = 0.0
         pivot_idx = -1
         for r, i in enumerate(order):
-            if cur[i] == np.iinfo(np.int64).max:
+            if cur[i] == INF:
                 break
             acc += ubs[i]
             if acc > theta:
@@ -242,7 +370,11 @@ def score_wand(
         if pivot_idx < 0:
             break  # no doc can beat theta
         pivot_doc = int(cur[order[pivot_idx]])
-        lead = [int(i) for i in order[: pivot_idx + 1] if cur[i] != np.iinfo(np.int64).max]
+        # extend the pivot group through ties: any list currently AT the
+        # pivot doc contributes to its score and must be in the bound
+        while pivot_idx + 1 < n and int(cur[order[pivot_idx + 1]]) == pivot_doc:
+            pivot_idx += 1
+        lead = [int(i) for i in order[: pivot_idx + 1] if cur[i] != INF]
 
         # shallow (block-max) check: refine UB with current blocks at pivot
         bub = 0.0
@@ -252,7 +384,8 @@ def score_wand(
             if j < tp.n_blocks:
                 bub += float(tp.block_ub[j])
         if bub <= theta:
-            # can't qualify: advance the lead cursor past min(block boundaries)
+            # pivot (and everything up to the nearest lead block boundary)
+            # can't qualify — skip, capped at the first non-lead cursor
             nxt = pivot_doc + 1
             bounds = []
             for i in lead:
@@ -262,6 +395,10 @@ def score_wand(
                     bounds.append(int(tp.block_last[j]))
             if bounds:
                 nxt = max(nxt, min(bounds) + 1)
+            if pivot_idx + 1 < n:
+                nonlead_cur = int(cur[order[pivot_idx + 1]])
+                if nonlead_cur != INF:
+                    nxt = min(nxt, nonlead_cur)
             for i in lead:
                 advance_to(i, nxt)
             continue
@@ -278,14 +415,13 @@ def score_wand(
                         bm25.tf_score(np.float64(tf), np.float64(dl), plists[i].avgdl,
                                       plists[i].k1, plists[i].b)
                     )
-            # insert into top-k
-            heap_docs = np.append(heap_docs, pivot_doc)
-            heap_scores = np.append(heap_scores, score)
-            if heap_docs.size > k:
-                keep = np.lexsort((heap_docs, -heap_scores))[:k]
-                heap_docs, heap_scores = heap_docs[keep], heap_scores[keep]
-            if heap_docs.size == k:
-                theta = float(heap_scores.min())
+            item = (score, -pivot_doc)
+            if len(heap) < k:
+                heapq.heappush(heap, item)
+            elif item > heap[0]:
+                heapq.heapreplace(heap, item)
+            if len(heap) == k:
+                theta = heap[0][0]
             # advance all cursors sitting on pivot
             for i in range(n):
                 if not exhausted[i] and current_doc(i) == pivot_doc:
@@ -302,4 +438,8 @@ def score_wand(
                 if int(cur[i]) < pivot_doc:
                     advance_to(i, pivot_doc)
 
+    if not heap:
+        return np.zeros(0, dtype=np.int64), np.zeros(0)
+    heap_docs = np.array([-d for _, d in heap], dtype=np.int64)
+    heap_scores = np.array([s for s, _ in heap], dtype=np.float64)
     return topk_select(heap_docs, heap_scores, k)

@@ -30,8 +30,8 @@ def test_entry_smoke(spark):
 def test_oracle_keys_subset_of_queries():
     q, o = entry_mod.queries(), entry_mod.oracle_sql()
     assert set(o) <= set(q)
-    # rows-only entries are the documented xxhash64-based ones
-    assert set(q) - set(o) == {"minhash_lsh", "simhash"}
+    # every query has a SQL oracle (md5-portable hashing everywhere)
+    assert set(q) - set(o) == set()
 
 
 @pytest.mark.parametrize("name", sorted(entry_mod.queries()))

@@ -1,0 +1,170 @@
+"""Kernel-level fuzz: score_wand and score_blockmax must be rank- AND
+score-identical to score_exhaustive on random corpora with tiny blocks
+(block_size 4/8 trips the shallow-check/skip paths constantly).
+
+Regression seeds 7/21/34 reproduced the round-1 WAND unsoundness (skip
+target uncapped at the next non-lead cursor + tied lists dropped from the
+shallow bound): dropped top-1 docs and missing term contributions.
+"""
+
+import numpy as np
+import pytest
+
+from invoicenet_spark.index.codec import encode_posting_list
+from invoicenet_spark.query import kernels
+
+
+def _random_corpus(rng, n_docs, n_terms, block_size):
+    dls_global = rng.integers(20, 400, size=n_docs).astype(np.int64)
+    avgdl = float(dls_global.mean())
+    plists = []
+    for t in range(n_terms):
+        df = int(rng.integers(1, n_docs + 1))
+        docs = np.sort(rng.choice(n_docs, size=df, replace=False)).astype(np.int64)
+        tfs = rng.integers(1, 20, size=df).astype(np.int64)
+        row = encode_posting_list(docs, tfs, dls_global[docs], block_size=block_size)
+        row["term_id"] = t
+        idf = float(np.log((n_docs - df + 0.5) / (df + 0.5) + 1.0))
+        plists.append(kernels.TermPostings(row, idf=idf, avgdl=avgdl, k1=1.2, b=0.75))
+    return plists
+
+
+def _assert_kernel_matches(kernel_fn, seed):
+    rng = np.random.default_rng(seed)
+    n_docs = int(rng.integers(8, 60))
+    n_terms = int(rng.integers(2, 4))
+    bs = int(rng.choice([4, 8]))
+    k = int(rng.integers(1, 6))
+    plists = _random_corpus(rng, n_docs, n_terms, bs)
+    ed, es = kernels.score_exhaustive(plists, k, "OR")
+    gd, gs = kernel_fn(plists, k)
+    assert np.array_equal(ed, gd), f"seed={seed}: docs {ed} != {gd}"
+    assert np.allclose(es, gs, rtol=1e-12, atol=1e-12), f"seed={seed}: scores differ"
+
+
+@pytest.mark.parametrize("seed", [7, 21, 34])  # round-1 failure reproductions
+def test_wand_regression_seeds(seed):
+    _assert_kernel_matches(kernels.score_wand, seed)
+
+
+def test_wand_fuzz_vs_exhaustive():
+    for seed in range(500):
+        _assert_kernel_matches(kernels.score_wand, seed)
+
+
+def test_blockmax_fuzz_vs_exhaustive():
+    for seed in range(500):
+        _assert_kernel_matches(kernels.score_blockmax, seed)
+
+
+def test_blockmax_prunes_stopword_blocks():
+    """Skew scenario: one stopword list (every doc) + one rare list. The
+    block-max path must not decode most of the stopword list's blocks."""
+    rng = np.random.default_rng(0)
+    n_docs = 20_000
+    bs = 128
+    dls = rng.integers(50, 300, size=n_docs).astype(np.int64)
+    avgdl = float(dls.mean())
+
+    stop_docs = np.arange(n_docs, dtype=np.int64)
+    stop_tfs = rng.integers(1, 4, size=n_docs).astype(np.int64)
+    stop_row = encode_posting_list(stop_docs, stop_tfs, dls, block_size=bs)
+    stop_row["term_id"] = 0
+    stop_idf = float(np.log((n_docs - n_docs + 0.5) / (n_docs + 0.5) + 1.0))
+
+    rare_docs = np.sort(rng.choice(n_docs, size=40, replace=False)).astype(np.int64)
+    rare_tfs = rng.integers(5, 20, size=40).astype(np.int64)
+    rare_row = encode_posting_list(rare_docs, rare_tfs, dls[rare_docs], block_size=bs)
+    rare_row["term_id"] = 1
+    rare_idf = float(np.log((n_docs - 40 + 0.5) / (40 + 0.5) + 1.0))
+
+    stop_tp = kernels.TermPostings(stop_row, stop_idf, avgdl, 1.2, 0.75)
+    rare_tp = kernels.TermPostings(rare_row, rare_idf, avgdl, 1.2, 0.75)
+
+    decoded_blocks = []
+    orig = kernels.TermPostings.decode_one_block
+
+    def counting(self, i):
+        decoded_blocks.append((id(self), i))
+        return orig(self, i)
+
+    kernels.TermPostings.decode_one_block = counting
+    try:
+        gd, gs = kernels.score_blockmax([stop_tp, rare_tp], 10)
+    finally:
+        kernels.TermPostings.decode_one_block = orig
+
+    ed, es = kernels.score_exhaustive([stop_tp, rare_tp], 10, "OR")
+    assert np.array_equal(ed, gd) and np.allclose(es, gs)
+    n_stop_blocks = stop_tp.n_blocks
+    n_decoded_stop = len({b for o, b in decoded_blocks if o == id(stop_tp)})
+    # rare term dominates scores → only the ~40 rare-doc segments (plus the
+    # first chunk) should force stopword block decodes
+    assert n_decoded_stop < n_stop_blocks * 0.9, (
+        f"decoded {n_decoded_stop}/{n_stop_blocks} stopword blocks — no pruning"
+    )
+
+
+def _encode_positional(docs, positions_list, dls):
+    """Build a posting row WITH positions (mirrors build.py's pos stream:
+    per-posting delta encoding with an absolute restart at each posting)."""
+    from invoicenet_spark.index.codec import vb_encode
+
+    tfs = np.array([len(p) for p in positions_list], dtype=np.int64)
+    row = encode_posting_list(docs, tfs, dls, block_size=8)
+    pos_flat = np.concatenate(positions_list).astype(np.int64)
+    p_cum = np.concatenate(([0], np.cumsum(tfs)))
+    pdeltas = np.diff(pos_flat, prepend=np.int64(0))
+    pdeltas[p_cum[:-1]] = pos_flat[p_cum[:-1]]
+    row["pos_blob"] = vb_encode(pdeltas.astype(np.uint64))
+    return row, tfs
+
+
+def test_phrase_fuzz_vs_token_scan():
+    """score_phrase's vectorized slot intersection vs a brute-force python
+    token scan over random corpora."""
+    for seed in range(120):
+        rng = np.random.default_rng(1000 + seed)
+        n_docs = int(rng.integers(4, 25))
+        vocab = [f"t{i}" for i in range(int(rng.integers(3, 8)))]
+        docs_tokens = {
+            d: [vocab[i] for i in rng.integers(0, len(vocab), size=rng.integers(3, 30))]
+            for d in range(n_docs)
+        }
+        phrase_len = int(rng.integers(2, 4))
+        phrase = [vocab[i] for i in rng.integers(0, len(vocab), size=phrase_len)]
+
+        dls = np.array([len(docs_tokens[d]) for d in range(n_docs)], dtype=np.int64)
+        avgdl = float(dls.mean())
+        plists = []
+        feasible = True
+        for slot, term in enumerate(phrase):
+            docs, poss = [], []
+            for d in range(n_docs):
+                p = [i for i, t in enumerate(docs_tokens[d]) if t == term]
+                if p:
+                    docs.append(d)
+                    poss.append(np.array(p, dtype=np.int64))
+            if not docs:
+                feasible = False
+                break
+            darr = np.array(docs, dtype=np.int64)
+            row, _ = _encode_positional(darr, poss, dls[darr])
+            row["term_id"] = vocab.index(term)
+            df = darr.size
+            idf = float(np.log((n_docs - df + 0.5) / (df + 0.5) + 1.0))
+            plists.append(kernels.TermPostings(row, idf, avgdl, 1.2, 0.75))
+        if not feasible:
+            continue
+        got_docs, _ = kernels.score_phrase(plists, k=50)
+        expect = sorted(
+            d
+            for d, toks in docs_tokens.items()
+            if any(
+                toks[i : i + phrase_len] == phrase
+                for i in range(len(toks) - phrase_len + 1)
+            )
+        )
+        assert sorted(got_docs.tolist()) == expect, (
+            f"seed={seed} phrase={phrase}: got {sorted(got_docs.tolist())} expect {expect}"
+        )
