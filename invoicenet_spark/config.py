@@ -41,6 +41,13 @@ class EngineConfig:
     # Shuffle parallelism used for explicit repartitions during the build.
     build_partitions: int = 32
 
+    # Text extraction strategy (functions/extract.py): "body_p" is the
+    # fast-path regex for the well-formed fixture shape; "strip_tags" is the
+    # general messy-HTML extractor (drops script/style/comments, strips tags,
+    # decodes entities, squeezes whitespace). Layout-affecting: persisted in
+    # the index manifest like the analyzer knobs.
+    extract_strategy: str = "body_p"
+
     # Positional postings (phrase-query support). Opt-in: the build then
     # streams token-level rows (with positions) through the encoder instead
     # of pre-aggregated pairs — more Arrow traffic, bigger index (~+40%).

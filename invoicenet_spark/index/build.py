@@ -302,7 +302,9 @@ def tokens_from_pages(pages: DataFrame, cfg: EngineConfig, use_stored_text: bool
     gated = pages.where(F.col("lang").isin(*cfg.index_langs))
     if use_stored_text:
         return gated.select("url", "text")
-    return extract_pages_arrow(gated.select("url", "html"), keep=("url",))
+    return extract_pages_arrow(
+        gated.select("url", "html"), keep=("url",), strategy=cfg.extract_strategy
+    )
 
 
 def build_doc_table(pages_text: DataFrame, cfg: EngineConfig, id_offset: int = 0) -> DataFrame:
@@ -569,6 +571,7 @@ def _cfg_dict(cfg: EngineConfig) -> dict:
         "token_pattern": cfg.token_pattern,
         "index_langs": list(cfg.index_langs),
         "with_positions": cfg.with_positions,
+        "extract_strategy": cfg.extract_strategy,
     }
 
 
@@ -595,6 +598,7 @@ def cfg_from_manifest(manifest: dict, fallback: EngineConfig) -> EngineConfig:
         token_pattern=c.get("token_pattern", fallback.token_pattern),
         index_langs=tuple(c.get("index_langs", fallback.index_langs)),
         with_positions=c.get("with_positions", fallback.with_positions),
+        extract_strategy=c.get("extract_strategy", fallback.extract_strategy),
         build_partitions=fallback.build_partitions,  # runtime knob, not layout
     )
 

@@ -52,3 +52,85 @@ def test_ngrams(spark):
     df = spark.createDataFrame(pd.DataFrame({"text": ["the quick fox"]}))
     grams = df.select(ngrams_col("text", n_max=2).alias("g")).collect()[0]["g"]
     assert list(grams) == ["the", "quick", "fox", "the quick", "quick fox"]
+
+
+MESSY_HTML = [
+    (
+        b"<html><head><title>T</title><style>p {color: red}</style>"
+        b'<script type="text/javascript">if (a < b) { alert("x"); }</script></head>'
+        b"<body><h1>Header</h1><!-- hidden comment --><p>Hello &amp; welcome "
+        b"<b>to</b> the&nbsp;site &lt;tag&gt; &#65;&#x42;</p>"
+        b"<div class='x'>nested <span>spans</span>\n\nand\tlines</div></body></html>",
+        'T Header Hello & welcome to the site <tag> AB nested spans and lines',
+    ),
+    (b"no tags at all", "no tags at all"),
+    (b"<p>unclosed paragraph", "unclosed paragraph"),
+    (b"<SCRIPT>evil()</SCRIPT>visible", "visible"),
+    (b"a &unknownentity; b &#xZZ; c", "a &unknownentity; b &#xZZ; c"),
+    (b"", ""),
+]
+
+
+def test_strip_tags_strategy():
+    s = pd.Series([h for h, _ in MESSY_HTML])
+    out = _extract_series(s, "strip_tags")
+    for i, (_, expect) in enumerate(MESSY_HTML):
+        assert out.iloc[i] == expect, f"case {i}: {out.iloc[i]!r} != {expect!r}"
+    # byte-identity: a second run produces the identical bytes
+    out2 = _extract_series(s, "strip_tags")
+    assert all(a.encode() == b.encode() for a, b in zip(out, out2))
+
+
+def test_strip_tags_header_included():
+    # tags become spaces, so h1 text joins the body text
+    s = pd.Series([MESSY_HTML[0][0]])
+    assert "Header" in _extract_series(s, "strip_tags").iloc[0]
+
+
+def test_extract_invalid_utf8_both_paths_agree():
+    """Malformed bytes must not crash either path and must produce identical
+    text (U+FFFD replacement) — ADVICE round-1 item."""
+    import pyarrow as pa
+
+    from invoicenet_spark.functions.extract import extract_text_arrow
+
+    bad = [
+        b"<body><p>ok \xff\xfe broken</p></body>",
+        b"\x80\x81<body><p>x</p></body>",
+        b"<body><p>plain</p></body>",
+        None,
+    ]
+    pd_out = _extract_series(pd.Series(bad), "body_p")
+    ar_out = extract_text_arrow(pa.array(bad, type=pa.binary())).to_pylist()
+    for i in range(len(bad)):
+        p = pd_out.iloc[i]
+        a = ar_out[i]
+        assert (p == "" or p is None) == (a == "" or a is None) or p == a
+        if bad[i] is not None:
+            assert p == a, f"case {i}: {p!r} != {a!r}"
+    assert "�" in ar_out[0]
+
+
+def test_build_with_strip_tags_strategy(spark, tmp_path):
+    """End-to-end: index built over messy HTML with the strip_tags strategy."""
+    from invoicenet_spark.config import EngineConfig
+    from invoicenet_spark.index.build import build_index
+    from invoicenet_spark.query.exec import load_index, search
+
+    rows = [
+        (f"u{i}", None, MESSY_HTML[0][0] + f" marker{i}".encode(), "", "en")
+        for i in range(30)
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    cfg = EngineConfig(shard_size=16, block_size=8, build_partitions=4,
+                       extract_strategy="strip_tags")
+    out = str(tmp_path / "idx")
+    build_index(spark, pages, out, cfg)
+    idx = load_index(spark, out)
+    res = search(
+        spark, idx,
+        pd.DataFrame([{"query_id": 1, "terms": ["welcome"], "mode": "OR", "k": 50}]),
+    ).collect()
+    assert len(res) == 30  # every page contains 'welcome' after entity decode
