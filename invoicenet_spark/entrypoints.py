@@ -33,7 +33,8 @@ _DUCK_TOKS = (
     " t -> t <> '')) AS term FROM documents"
 )
 
-# fixed raw-amount golden inputs (reference amount_generator.py semantics)
+# fixed raw-amount golden inputs (reference amount_generator.py semantics),
+# including European dot-grouped/comma-decimal shapes
 AMOUNT_RAWS = [
     "1,234.5",
     "1234.567",
@@ -45,6 +46,44 @@ AMOUNT_RAWS = [
     "1000000",
     "42.1",
     "0.01",
+    "1.234,56",
+    "1234,5",
+    "12.345.678,99",
+    "7,25",
+]
+
+# P5 type-router golden inputs: dates (all supported surface forms), amounts
+# (US + EU), implausible/future dates, and junk
+ROUTE_RAWS = [
+    "2023-01-15",
+    "Jan 5, 2023",
+    "5 January 2023",
+    "1/31/94",
+    "31.12.1997",
+    "12/31/2149",
+    "1,234.50",
+    "1.234,56",
+    "99.99",
+    "0.5",
+    "12345",
+    "hello world",
+    "3/45/2020",
+]
+# (raw, cand_type, value_norm) hand-computed expectations for the oracle
+ROUTE_EXPECT = [
+    ("2023-01-15", "date", "01-15-2023"),
+    ("Jan 5, 2023", "date", "01-05-2023"),
+    ("5 January 2023", "date", "01-05-2023"),
+    ("1/31/94", "date", "01-31-1994"),
+    ("31.12.1997", "date", "12-31-1997"),
+    ("12/31/2149", None, None),  # parses but fails the P4 future-date gate
+    ("1,234.50", "amount", "1234.50"),
+    ("1.234,56", "amount", "1234.56"),
+    ("99.99", "amount", "99.99"),
+    ("0.5", "amount", "0.50"),
+    ("12345", None, None),
+    ("hello world", None, None),
+    ("3/45/2020", None, None),
 ]
 
 BM25_QUERY_TERMS = ["spark", "query", "window"]
@@ -477,6 +516,49 @@ def q_date_extract(spark, sf_dir):
     )
 
 
+def q_date_extract_text(spark, sf_dir):
+    """F2 breadth: first date in free text across 6 surface formats (ISO,
+    US slash, EU dot, month-name long/short, 2-digit year) + P4 gate. The
+    oracle is GROUND TRUTH (strftime of the source date), so a hash match
+    means extraction is exact on every format."""
+    from invoicenet_spark.functions.chars import find_first_date
+
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    d, key = F.col("o_orderdate"), F.col("o_orderkey")
+    v = key % 6
+    txt = F.concat(
+        F.lit("invoice issued "),
+        F.when(v == 0, F.date_format(d, "yyyy-MM-dd"))
+        .when(v == 1, F.date_format(d, "M/d/yyyy"))
+        .when(v == 2, F.date_format(d, "d.M.yyyy"))
+        .when(v == 3, F.date_format(d, "MMM d, yyyy"))
+        .when(v == 4, F.date_format(d, "d MMMM yyyy"))
+        .otherwise(F.date_format(d, "M/d/yy")),
+        F.lit(" due upon receipt"),
+    )
+    return orders.select("o_orderkey", find_first_date(txt).alias("date_found"))
+
+
+def q_candidate_routing(spark, sf_dir):
+    """P5: route each token to at most one type (date wins over amount),
+    normalized value per type; None for junk/future dates."""
+    from invoicenet_spark.functions.normalize import route_candidate
+
+    df = spark.createDataFrame([(r,) for r in ROUTE_RAWS], ["raw"])
+    r = route_candidate("raw")
+    return df.select(
+        "raw", r["cand_type"].alias("cand_type"), r["value_norm"].alias("value_norm")
+    )
+
+
+def q_line_segments(spark, sf_dir):
+    """T1 analog: sentence/paragraph line segmentation with line ordinals."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id", F.posexplode(text_analysis.line_segments("text")).alias("line_no", "line")
+    ).select("doc_id", F.col("line_no").cast("long").alias("line_no"), "line")
+
+
 def q_find_amounts(spark, sf_dir):
     """F1+F3: regex find-all amounts + dedupe, exploded."""
     from invoicenet_spark.functions.normalize import find_amounts
@@ -530,6 +612,9 @@ QUERIES = {
     "find_amounts": q_find_amounts,
     "word_hash": q_word_hash,
     "date_extract": q_date_extract,
+    "date_extract_text": q_date_extract_text,
+    "candidate_routing": q_candidate_routing,
+    "line_segments": q_line_segments,
 }
 
 _AMOUNT_VALUES = ", ".join(f"('{r}')" for r in AMOUNT_RAWS)
@@ -576,9 +661,12 @@ ORACLE_SQL = {
         SELECT gram, count(*) AS n FROM grams GROUP BY gram HAVING count(*) >= 50
     """,
     "amount_normalize": (
-        f"SELECT raw, CAST(CAST(floor(CAST(replace(raw, ',', '') AS DECIMAL(28,10)) * 100)"
-        f" / 100 AS DECIMAL(18,2)) AS VARCHAR) AS amount_norm FROM (VALUES {_AMOUNT_VALUES})"
-        " v(raw)"
+        "SELECT raw, CAST(CAST(floor(CAST("
+        r" CASE WHEN regexp_matches(raw, '^\d{1,3}(\.\d{3})*,\d{1,2}$|^\d+,\d{1,2}$')"
+        "      THEN replace(replace(raw, '.', ''), ',', '.')"
+        "      ELSE replace(raw, ',', '') END"
+        " AS DECIMAL(28,10)) * 100) / 100 AS DECIMAL(18,2)) AS VARCHAR) AS amount_norm"
+        f" FROM (VALUES {_AMOUNT_VALUES}) v(raw)"
     ),
     "date_normalize": (
         "SELECT o_orderkey, strftime(o_orderdate, '%m-%d-%Y') AS date_norm FROM orders"
@@ -815,6 +903,42 @@ ORACLE_SQL.update(
                      || ' plus ' || CAST(round(l_extendedprice, 2) AS VARCHAR)
                      || ' fee 1,000.50' AS s
               FROM lineitem WHERE l_orderkey < 1000)
+        """,
+    }
+)
+
+_ROUTE_VALUES = ", ".join(
+    "({}, {}, {})".format(
+        f"'{raw}'",
+        f"'{t}'" if t is not None else "NULL",
+        f"'{v}'" if v is not None else "NULL",
+    )
+    for raw, t, v in ROUTE_EXPECT
+)
+
+ORACLE_SQL.update(
+    {
+        # Ground-truth oracle: the engine query embeds strftime'd dates in
+        # free text and must extract/parse them back exactly.
+        "date_extract_text": (
+            "SELECT o_orderkey, strftime(o_orderdate, '%m-%d-%Y') AS date_found"
+            " FROM orders"
+        ),
+        # Hand-computed golden expectations for the fixed router inputs.
+        "candidate_routing": (
+            f"SELECT raw, cand_type, value_norm FROM (VALUES {_ROUTE_VALUES})"
+            " v(raw, cand_type, value_norm)"
+        ),
+        "line_segments": r"""
+            SELECT doc_id,
+                   CAST(unnest(range(1, len(ls) + 1)) AS BIGINT) - 1 AS line_no,
+                   unnest(ls) AS line
+            FROM (
+              SELECT doc_id,
+                     list_filter(list_transform(
+                       string_split_regex(text, '[.!?]\s+|\n+'), p -> trim(p)),
+                       p -> p <> '') AS ls
+              FROM documents)
         """,
     }
 )

@@ -64,25 +64,59 @@ def word_hash_16(col: str | Column) -> Column:
     return (low32 % F.lit((1 << 16) - 1) + 1).alias("word_hash")
 
 
-DATE_FORMATS = ["yyyy-MM-dd", "MM/dd/yyyy", "dd.MM.yyyy", "MMM d yyyy", "d MMMM yyyy"]
+# F2 — date extraction breadth (reference surface: datefinder across the
+# generator's formats, invoicenet/parsing/date_generator.py:31-78 — month
+# names, 2-digit years, slash/dot/dash numerics). Candidates are regex
+# shapes; each is normalized (initcap month names, strip commas, expand
+# 2-digit years with the POSIX pivot 00-68→20xx / 69-99→19xx) then parsed
+# with a deterministic multi-format try-parse. Separator implies order:
+# slashes/dashes are month-first (US), dots are day-first (EU) — matching
+# the reference's regex pair (invoicenet/common/util.py:45-46).
+_MON3 = "Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec"
+DATE_CANDIDATE_RE = (
+    r"\d{4}-\d{2}-\d{2}"
+    r"|\d{1,2}[/.\-]\d{1,2}[/.\-]\d{2,4}"
+    rf"|(?i:{_MON3})[a-z]* \d{{1,2}},? \d{{4}}"
+    rf"|\d{{1,2}} (?i:{_MON3})[a-z]*,? \d{{4}}"
+)
+DATE_FORMATS = [
+    "yyyy-MM-dd", "M/d/yyyy", "d.M.yyyy", "M-d-yyyy",
+    "MMM d yyyy", "MMMM d yyyy", "d MMM yyyy", "d MMMM yyyy",
+]
+_TWO_DIGIT_RE = r"^(\d{1,2})([/.\-])(\d{1,2})[/.\-](\d{2})$"
+
+
+def parse_date_candidate(col: str | Column) -> Column:
+    """One candidate string → timestamp (null if unparseable). Shared by
+    find_first_date (per array element) and the P5 type router."""
+    c = F.col(col) if isinstance(col, str) else col
+    s = F.when(c.rlike("[A-Za-z]"), F.initcap(c)).otherwise(c)
+    s = F.regexp_replace(s, ",", "")
+    # 2-digit year → 4-digit via the POSIX strptime pivot (00-68 → 20xx,
+    # 69-99 → 19xx), so the DuckDB %y oracle agrees exactly
+    yy = F.regexp_extract(s, _TWO_DIGIT_RE, 4)
+    century = F.when(yy.cast("int") <= 68, F.lit("20")).otherwise(F.lit("19"))
+    rebuilt = F.concat(
+        F.regexp_extract(s, _TWO_DIGIT_RE, 1),
+        F.regexp_extract(s, _TWO_DIGIT_RE, 2),
+        F.regexp_extract(s, _TWO_DIGIT_RE, 3),
+        F.regexp_extract(s, _TWO_DIGIT_RE, 2),
+        century,
+        yy,
+    )
+    s = F.when(yy != "", rebuilt).otherwise(s)
+    return F.coalesce(*[F.try_to_timestamp(s, F.lit(fmt)) for fmt in DATE_FORMATS])
 
 
 def find_first_date(col: str | Column) -> Column:
-    """F2 — date extraction: first parseable date in a string, canonical
-    MM-dd-yyyy (reference: datefinder.find_dates + %m-%d-%Y,
-    invoicenet/common/util.py:49-57,223-227). Deterministic multi-format
-    try-parse over regex candidates instead of the datefinder heuristic."""
+    """F2 — first parseable, plausible date in a string, canonical MM-dd-yyyy
+    (reference: datefinder.find_dates + %m-%d-%Y,
+    invoicenet/common/util.py:49-57,223-227). The P4 plausibility gate
+    (util.py:51,68) rejects future dates BEFORE picking the first hit."""
     c = F.col(col) if isinstance(col, str) else col
-    cand = F.regexp_extract_all(
-        c,
-        F.lit(r"(\d{4}-\d{2}-\d{2}|\d{1,2}/\d{1,2}/\d{4}|\d{1,2}\.\d{1,2}\.\d{4})"),
-        0,
+    cand = F.regexp_extract_all(c, F.lit(DATE_CANDIDATE_RE), 0)
+    parsed = F.transform(cand, lambda s: parse_date_candidate(s))
+    plausible = F.filter(
+        parsed, lambda d: d.isNotNull() & (d <= F.current_timestamp())
     )
-    parsed = F.transform(
-        cand,
-        lambda s: F.coalesce(
-            *[F.try_to_timestamp(s, F.lit(fmt)) for fmt in DATE_FORMATS[:3]]
-        ),
-    )
-    first = F.get(F.filter(parsed, lambda d: d.isNotNull()), 0)  # null-safe index
-    return F.date_format(first, "MM-dd-yyyy")
+    return F.date_format(F.get(plausible, 0), "MM-dd-yyyy")

@@ -79,6 +79,22 @@ def quality_score(col: str | Column = "text") -> Column:
     return F.round(score.cast("double"), 4)
 
 
+LINE_SPLIT_RE = r"[.!?]\s+|\n+"
+
+
+def line_segments(col: str | Column = "text") -> Column:
+    """T1 analog — positions-with-structure: segment text into sentence/
+    paragraph lines (the engine's stand-in for the reference's geometric
+    Δtop/Δleft line grouping, invoicenet/common/util.py:171-190; web text has
+    no glyph geometry, so punctuation/newline boundaries are the structure).
+    Returns array<string> of trimmed non-empty lines in reading order —
+    downstream n-gram candidate windows run per line like the reference's
+    per-line ngrams (util.py:196)."""
+    c = F.col(col) if isinstance(col, str) else col
+    parts = F.transform(F.split(c, LINE_SPLIT_RE), lambda p: F.trim(p))
+    return F.filter(parts, lambda p: p != F.lit(""))
+
+
 def fingerprint(col: str | Column = "text") -> Column:
     """Document fingerprint: md5 of the squeezed-lowercased text — identical
     in DuckDB (md5()) for oracle checks. (xxhash64 is used internally for

@@ -174,3 +174,59 @@ def test_cli_build_and_search(spark, tmp_path):
         spark.read.parquet(f"{idx}/terms").orderBy(F.desc("df")).first()["term"]
     )
     assert main(["search", "--index", idx, "--terms", term, "-k", "3"]) == 0
+
+
+def test_normalize_amount_eu(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"raw": ["1.234,56", "1234,5", "12.345.678,99", "7,25", "12,345.9"]})
+    )
+    got = [r[0] for r in df.select(normalize_amount("raw")).collect()]
+    assert got == ["1234.56", "1234.50", "12345678.99", "7.25", "12345.90"]
+
+
+def test_find_first_date_breadth(spark):
+    from invoicenet_spark.functions.chars import find_first_date
+
+    cases = [
+        ("meeting on Jan 5, 2023 ok", "01-05-2023"),
+        ("due 5 January 2023", "01-05-2023"),
+        ("paid 1/31/94 thanks", "01-31-1994"),
+        ("ts 1996-09-02 end", "09-02-1996"),
+        ("eu 31.12.1997 fin", "12-31-1997"),
+        ("short 9/2/96", "09-02-1996"),
+        ("future 12/31/2149 skipped, real 2/3/2001", "02-03-2001"),
+        ("junk 3/45/2020 then 4 May 2019", "05-04-2019"),
+        ("nothing here", None),
+    ]
+    df = spark.createDataFrame(pd.DataFrame({"s": [c for c, _ in cases]}))
+    got = [r[0] for r in df.select(find_first_date("s")).collect()]
+    assert got == [e for _, e in cases]
+
+
+def test_route_candidate(spark):
+    from invoicenet_spark.functions.normalize import route_candidate
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"raw": ["Jan 5, 2023", "1.234,56", "hello", "12/31/2149"]})
+    )
+    r = route_candidate("raw")
+    got = [
+        (row["t"], row["v"])
+        for row in df.select(r["cand_type"].alias("t"), r["value_norm"].alias("v")).collect()
+    ]
+    assert got == [
+        ("date", "01-05-2023"),
+        ("amount", "1234.56"),
+        (None, None),
+        (None, None),  # future date fails the plausibility gate
+    ]
+
+
+def test_line_segments(spark):
+    from invoicenet_spark.ops.text_analysis import line_segments
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"text": ["One two. Three four!   Five?\n\nPara two here. "]})
+    )
+    got = df.select(line_segments("text").alias("ls")).collect()[0]["ls"]
+    assert list(got) == ["One two", "Three four", "Five", "Para two here"]
