@@ -143,11 +143,13 @@ def _bm25_engine_results(spark: SparkSession, sf_dir: str, terms, mode: str, k: 
         F.col("url").cast("long").alias("doc_id"),
         F.round(F.col("score"), 6).alias("score_r6"),
     )
+    # cap FIRST via orderBy+limit (TakeOrderedAndProject — no single-partition
+    # WindowExec over the full result); (score_r6 desc, doc_id) is a total
+    # order, so ranks over the capped set equal ranks over the full set
+    top = scored.orderBy(F.col("score_r6").desc(), F.col("doc_id").asc()).limit(k)
     w = Window.orderBy(F.col("score_r6").desc(), F.col("doc_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= k)
-        .select("rank", "doc_id", F.round("score_r6", 4).alias("score_r4"))
+    return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "rank", "doc_id", F.round("score_r6", 4).alias("score_r4")
     )
 
 
@@ -357,11 +359,12 @@ def q_ann_cosine_topk(spark, sf_dir):
             6,
         ).alias("cos_r6"),
     )
+    # TakeOrderedAndProject cap, then rank the 10 survivors (total order →
+    # identical ranks, no full-corpus single-partition WindowExec)
+    top = scored.orderBy(F.col("cos_r6").desc(), F.col("vec_id").asc()).limit(10)
     w = Window.orderBy(F.col("cos_r6").desc(), F.col("vec_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= 10)
-        .select("rank", "vec_id", "cos_r6")
+    return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "rank", "vec_id", "cos_r6"
     )
 
 

@@ -23,12 +23,15 @@ shard_size docs, so no straggler task exists by construction; AQE skew-join
 handling stays on as a backstop.
 
 Resumability (north_rule): phase 1 commits the doc dictionary; phase 2
-commits postings shard-by-shard with a manifest row per shard (status,
-n_terms, n_postings, bytes, wall seconds); phase 3 derives terms + stats
-from committed shards. `build_index(..., resume=True)` skips committed
-shards and re-tokenizes only the pages belonging to missing ones —
-per-partition lineage like the reference's best-checkpoint restore
-(invoicenet/common/trainer.py:68-71, acp/acp.py:66-72).
+commits postings shard-by-shard, each commit = a directory publish plus ONE
+appended line in the shard log (index/shardlog.py — O(1) per commit, never a
+rewrite of global state); phase 3 derives terms + stats from committed
+shards and batch-appends per-shard metrics (n_terms, n_postings, bytes) to
+the same log. `build_index(..., resume=True)` reads the committed set from
+the log, skips those shards, and re-tokenizes only the pages belonging to
+missing ones — per-partition lineage like the reference's best-checkpoint
+restore (invoicenet/common/trainer.py:68-71, acp/acp.py:66-72).
+manifest.json holds only fixed-size global state (config, stats, metrics).
 """
 
 from __future__ import annotations
@@ -47,6 +50,7 @@ from invoicenet_spark.functions.analyzer import tokens_col
 from invoicenet_spark.functions.extract import extract_pages_arrow
 from invoicenet_spark.functions.ids import assign_dense_ids
 from invoicenet_spark.index.codec import vb_encode
+from invoicenet_spark.index.shardlog import ShardLog
 
 
 @dataclass
@@ -344,38 +348,42 @@ def build_index(
         manifest = _load_manifest(paths)
         cfg = cfg_from_manifest(manifest, cfg)  # persisted layout wins
     else:
-        manifest = {"shards": {}, "config": _cfg_dict(cfg)}
+        manifest = {"config": _cfg_dict(cfg)}
+    log = ShardLog(out_dir)
 
     pages_text = tokens_from_pages(pages, cfg, use_stored_text=use_stored_text)
 
-    # ---- phase 1: doc dictionary (committed once; reused on resume)
+    # ---- phase 1: doc dictionary (committed once; reused on resume).
+    # Written partitioned by `segment` so incremental appends are per-segment
+    # directories — an aborted update is undone by removing one directory.
     if resume and os.path.exists(paths.docs):
         docs = spark.read.parquet(paths.docs)
     else:
         t0 = time.time()
-        build_doc_table(pages_text, cfg).write.mode("overwrite").parquet(paths.docs)
+        build_doc_table(pages_text, cfg).withColumn(
+            "segment", F.lit("base")
+        ).write.mode("overwrite").partitionBy("segment").parquet(paths.docs)
         docs = spark.read.parquet(paths.docs)
         manifest["phase1_sec"] = round(time.time() - t0, 3)
 
-    shard_counts = {
-        int(r["shard"]): int(r["cnt"])
-        for r in docs.groupBy("shard").agg(F.count("*").alias("cnt")).collect()
-    }
-    done = {int(s) for s, v in manifest["shards"].items() if v.get("status") == "committed"}
-    pending = sorted(set(shard_counts) - done)
+    all_shards = sorted(
+        int(r["shard"]) for r in docs.select("shard").distinct().collect()
+    )
+    done = log.committed()
+    pending = [s for s in all_shards if s not in done]
 
     # ---- phase 2: postings, committed per shard (lineage granularity)
     t0 = time.time()
-    n_new_docs = 0
+    observed = {"n_docs": 0, "posting_rows": 0, "n_postings": 0}
     if pending:
-        docs_pending = docs.where(F.col("shard").isin([int(s) for s in pending]))
-        n_new_docs = _encode_and_commit(
-            spark, pages_text, docs_pending, pending, cfg, paths, manifest,
-            fail_after_shards, n_docs=sum(shard_counts[s] for s in pending),
+        docs_pending = docs.where(F.col("shard").isin(pending))
+        observed = _encode_and_commit(
+            spark, pages_text, docs_pending, pending, cfg, paths, log,
+            fail_after_shards,
         )
 
     # ---- phase 3: terms dictionary + corpus stats + metrics
-    _finalize(spark, docs, cfg, paths, manifest, t0, n_new_docs)
+    _finalize(spark, docs, cfg, paths, manifest, log, t0, observed)
     return paths
 
 
@@ -386,15 +394,18 @@ def _encode_and_commit(
     pending: list[int],
     cfg: EngineConfig,
     paths: IndexPaths,
-    manifest: dict,
+    log: ShardLog,
     fail_after_shards: int | None = None,
-    n_docs: int | None = None,
-) -> int:
+) -> dict:
     """Token shuffle + vectorized encode + per-shard directory commit.
-    Returns the number of docs indexed."""
+    Returns {"n_docs", "posting_rows", "n_postings"} — all measured with
+    Observation (A6/A7: metrics ride the job's own actions instead of
+    re-aggregating with extra jobs)."""
+    from pyspark.sql import Observation
     from pyspark.storagelevel import StorageLevel
 
-    n_new_docs = docs_pending.count() if n_docs is None else n_docs
+    obs_docs = Observation()
+    obs_enc = Observation()
     # join brings (doc_id, doc_len) onto the page text; on a fresh build
     # this is the only wide op before the aggregation cascade. From here:
     #   tokens --groupBy(term, doc_id)--> tf pairs    [JVM hash agg with
@@ -407,7 +418,9 @@ def _encode_and_commit(
     # object churn GC-thrashed at 10^6 docs). shard is an expression
     # (doc_id // shard_size), never a shuffled column, and bounds every
     # (term, shard) group at shard_size docs — no hot-term straggler.
-    src = pages_text.join(docs_pending.drop("shard"), "url")
+    src = pages_text.join(docs_pending.drop("shard"), "url").observe(
+        obs_docs, F.count(F.lit(1)).alias("n_docs")
+    )
     shard_expr = (F.col("doc_id") / F.lit(cfg.shard_size)).cast("long")
     if cfg.with_positions:
         # positional index: token-level rows (term, doc, pos) stream through
@@ -444,6 +457,11 @@ def _encode_and_commit(
             lambda it: _encode_partition(it, cfg.block_size, cfg.shard_size),
             schema=POSTINGS_SCHEMA,
         )
+        .observe(
+            obs_enc,
+            F.count(F.lit(1)).alias("posting_rows"),
+            F.sum("df_shard").alias("n_postings"),
+        )
     )
     # Write straight from the encode partitioning: partitionBy(shard) splits
     # each task's output into its shard dirs, keeping full write parallelism
@@ -454,6 +472,11 @@ def _encode_and_commit(
     staging = os.path.join(paths.root, "_staging_postings")
     encoded.write.mode("overwrite").partitionBy("shard").parquet(staging)
 
+    # Per-shard commit = publish the directory, then append ONE shard-log
+    # line (O(1), flushed — the durable commit point). No global state is
+    # rewritten per shard; at millions of shards the loop is rename + one
+    # appended line each. On an object store the rename becomes a
+    # write-to-final-path and the log line alone is the commit.
     committed = 0
     os.makedirs(paths.postings, exist_ok=True)
     try:
@@ -463,18 +486,34 @@ def _encode_and_commit(
             if not os.path.exists(src_dir):
                 continue
             if fail_after_shards is not None and committed >= fail_after_shards:
-                _save_manifest(paths, manifest)
                 raise RuntimeError(f"injected failure after {committed} shards (test hook)")
             if os.path.exists(dst_dir):
                 shutil.rmtree(dst_dir)
             shutil.move(src_dir, dst_dir)
-            manifest["shards"][str(shard)] = {"status": "committed"}
+            log.append(shard, status="committed")
             committed += 1
-            _save_manifest(paths, manifest)
     finally:
         pairs.unpersist()
     shutil.rmtree(staging, ignore_errors=True)
-    return int(n_new_docs)
+    enc = _obs_metrics(obs_enc)
+    docs_m = _obs_metrics(obs_docs)
+    return {
+        # Observed metrics ride only EXECUTED nodes: when cache/stage reuse
+        # elides the observed subtree (seen on resume), the observation
+        # completes empty — fall back to one explicit aggregate then.
+        "n_docs": int(docs_m.get("n_docs") or docs_pending.count()),
+        "posting_rows": int(enc.get("posting_rows") or 0),
+        "n_postings": int(enc.get("n_postings") or 0),
+    }
+
+
+def _obs_metrics(obs) -> dict:
+    """Observation.get that degrades to {} when the observed node never
+    executed (empty metrics row raises inside toPyRow on Spark 4.1)."""
+    try:
+        return dict(obs.get)
+    except Exception:
+        return {}
 
 
 def _term_dictionary(spark, pairs: DataFrame, cfg: EngineConfig, paths: IndexPaths) -> DataFrame:
@@ -511,8 +550,9 @@ def _finalize(
     cfg: EngineConfig,
     paths: IndexPaths,
     manifest: dict,
+    log: ShardLog,
     t0: float,
-    n_new_docs: int,
+    observed: dict,
 ) -> None:
     """Terms table (dictionary ⋈ global df) + corpus stats from committed
     postings, plus the north_rule build metrics (docs/sec, postings/
@@ -538,8 +578,11 @@ def _finalize(
         json.dump(stats, f)
 
     build_sec = round(time.time() - t0, 3)
-    shard_metrics = {
-        str(r["shard"]): {
+    # per-shard metrics refresh: ONE batched log append (latest line per
+    # shard wins), never a rewrite of global state
+    metric_rows = [
+        {
+            "shard": int(r["shard"]),
             "status": "committed",
             "n_terms": int(r["n_terms"]),
             "n_postings": int(r["n_postings"]),
@@ -552,12 +595,23 @@ def _finalize(
             F.sum(F.length("doc_blob") + F.length("tf_blob")).alias("bytes"),
         )
         .collect()
-    }
-    manifest["shards"].update(shard_metrics)
+    ]
+    log.append_many(metric_rows)
+    log.compact()  # file count stays O(1) across runs
+    n_new_docs = int(observed["n_docs"])
     manifest["phase2_sec"] = build_sec
-    manifest["docs_indexed_this_run"] = int(n_new_docs)
+    manifest["docs_indexed_this_run"] = n_new_docs
     manifest["docs_per_sec_this_run"] = round(n_new_docs / build_sec, 2) if build_sec else None
     manifest["merge_fan_in"] = cfg.build_partitions
+    # A6/A7: counters observed on the build job's own actions (no extra jobs)
+    manifest["observed"] = {
+        **observed,
+        "postings_per_partition": (
+            round(observed["n_postings"] / cfg.build_partitions, 1)
+            if observed["n_postings"]
+            else 0
+        ),
+    }
     manifest["stats"] = stats
     _save_manifest(paths, manifest)
 
@@ -579,7 +633,7 @@ def _load_manifest(paths: IndexPaths) -> dict:
     if os.path.exists(paths.manifest):
         with open(paths.manifest) as f:
             return json.load(f)
-    return {"shards": {}}
+    return {}
 
 
 def cfg_from_manifest(manifest: dict, fallback: EngineConfig) -> EngineConfig:

@@ -77,20 +77,88 @@ def lsh_topk(
     vec_col: str = "embedding",
     n_planes: int = 12,
     seed: int = 7,
+    n_probes: int = 1,
 ) -> DataFrame:
-    """ANN: probe the query's hyperplane bucket, exact re-rank inside it.
+    """ANN over an un-indexed frame: compute buckets on the fly, probe the
+    query's bucket (+ multi-probe flips), exact re-rank inside.
 
-    Recall < 1 by construction (single probe); use multiple tables or lower
-    n_planes for higher recall. Returned schema matches brute_force_topk.
+    For repeated queries use build_ann_index/lsh_topk_indexed — buckets are
+    then PERSISTED as a partition column and each query reads only its
+    probed buckets' files (partition pruning) instead of recomputing
+    signatures over the whole corpus. Returned schema matches
+    brute_force_topk.
     """
     dim = len(query_vec)
     sig = hyperplane_signature_udf(dim, n_planes, seed)
-    planes = np.random.default_rng(seed).standard_normal((dim, n_planes))
-    qsig = 0
+    buckets = query_buckets(query_vec, n_planes, seed, n_probes)
+    bucketed = embeddings.withColumn("bucket", sig(F.col(vec_col)))
+    cand = bucketed.where(F.col("bucket").isin(buckets))
+    return brute_force_topk(cand, query_vec, k, id_col, vec_col)
+
+
+def query_buckets(
+    query_vec: list[float], n_planes: int, seed: int, n_probes: int = 1
+) -> list[int]:
+    """Query bucket + multi-probe neighbors: flip the bits whose hyperplane
+    the query sits closest to (smallest |projection| = most likely to have
+    split near-neighbors away), one flip per extra probe."""
+    planes = np.random.default_rng(seed).standard_normal((len(query_vec), n_planes))
     proj = np.asarray(query_vec, dtype=np.float64) @ planes
+    qsig = 0
     for i in range(n_planes):
         if proj[i] > 0:
             qsig |= 1 << i
-    bucketed = embeddings.withColumn("bucket", sig(F.col(vec_col)))
-    cand = bucketed.where(F.col("bucket") == qsig)
-    return brute_force_topk(cand, query_vec, k, id_col, vec_col)
+    flips = np.argsort(np.abs(proj), kind="stable")
+    return [qsig] + [int(qsig ^ (1 << int(i))) for i in flips[: max(0, n_probes - 1)]]
+
+
+def build_ann_index(
+    embeddings: DataFrame,
+    out_dir: str,
+    n_planes: int = 12,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the corpus partitioned by hyperplane bucket.
+
+    The signature pass runs ONCE at build time (one matmul per Arrow batch);
+    queries then touch only the probed buckets' parquet directories — scan
+    cost ∝ bucket occupancy, not corpus size, enforced by the planner's
+    partition pruning (PartitionFilters on `bucket`)."""
+    import json
+    import os
+
+    dim = len(embeddings.select(vec_col).first()[0])
+    sig = hyperplane_signature_udf(dim, n_planes, seed)
+    (
+        embeddings.withColumn("bucket", sig(F.col(vec_col)))
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(os.path.join(out_dir, "vectors"))
+    )
+    with open(os.path.join(out_dir, "ann_meta.json"), "w") as f:
+        json.dump({"n_planes": n_planes, "seed": seed, "dim": dim,
+                   "id_col": id_col, "vec_col": vec_col}, f)
+
+
+def lsh_topk_indexed(
+    spark,
+    index_dir: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_probes: int = 4,
+) -> DataFrame:
+    """ANN over a persisted bucket-partitioned index: bucket IN (...) reaches
+    the scan as a partition filter, so only the probed directories are read.
+    Multi-probe (default 4) recovers most of the single-probe recall loss."""
+    import json
+    import os
+
+    with open(os.path.join(index_dir, "ann_meta.json")) as f:
+        meta = json.load(f)
+    buckets = query_buckets(query_vec, meta["n_planes"], meta["seed"], n_probes)
+    df = spark.read.parquet(os.path.join(index_dir, "vectors")).where(
+        F.col("bucket").isin(buckets)
+    )
+    return brute_force_topk(df, query_vec, k, meta["id_col"], meta["vec_col"])

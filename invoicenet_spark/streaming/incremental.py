@@ -17,6 +17,12 @@ Design invariants:
   new stats.
 - `update_index` is idempotent per snapshot: the manifest records
   `indexed_snapshot_id`; re-running with no new snapshot is a no-op.
+- crash-safe retries: the docs table is partitioned by `segment` (one
+  directory per snapshot delta). Before any append, the manifest records
+  `pending_segment`; a retry after a crash first removes that segment
+  directory, so re-running a half-applied update can never duplicate doc
+  rows or inflate N/avgdl. Postings shard commits are idempotent anyway
+  (deterministic doc ids → identical shard content, overwritten in place).
 
 A Structured Streaming driver (`stream_pages_to_index`) wires a file-source
 stream into the same update path via foreachBatch — exactly-once per
@@ -42,6 +48,7 @@ from invoicenet_spark.index.build import (
     cfg_from_manifest,
     tokens_from_pages,
 )
+from invoicenet_spark.index.shardlog import ShardLog
 from invoicenet_spark.sources.snapshots import SnapshotTable
 
 
@@ -78,6 +85,20 @@ def update_index(
 
     manifest = _load_manifest(paths)
     cfg = cfg_from_manifest(manifest, cfg)  # persisted layout wins over caller's
+
+    # retry hygiene: if a previous update crashed after appending its docs
+    # segment but before committing, remove that segment — the delta will be
+    # recomputed deterministically below
+    pending_seg = manifest.get("pending_segment")
+    if pending_seg:
+        import shutil
+
+        shutil.rmtree(
+            os.path.join(paths.docs, f"segment={pending_seg}"), ignore_errors=True
+        )
+        manifest.pop("pending_segment")
+        _save_manifest(paths, manifest)
+
     last = manifest.get("indexed_snapshot_id")
     delta = table.read_incremental(spark, after=last, until=current)
     if delta is None:
@@ -91,19 +112,30 @@ def update_index(
 
     pages_text = tokens_from_pages(delta, cfg, use_stored_text=use_stored_text)
     docs_new = build_doc_table(pages_text, cfg, id_offset=offset)
-    docs_new.write.mode("append").parquet(paths.docs)
+
+    # WAL-style: record the pending segment BEFORE the append so a crash
+    # anywhere up to the final manifest commit is undone on retry
+    segment = f"snap{current}"
+    manifest["pending_segment"] = segment
+    _save_manifest(paths, manifest)
+    docs_new.withColumn("segment", F.lit(segment)).write.mode("append").partitionBy(
+        "segment"
+    ).parquet(paths.docs)
     docs_new = spark.read.parquet(paths.docs).where(F.col("doc_id") >= offset)
 
     new_shards = sorted(
         int(r["shard"]) for r in docs_new.select("shard").distinct().collect()
     )
-    n_added = _encode_and_commit(
-        spark, pages_text, docs_new, new_shards, cfg, paths, manifest
+    log = ShardLog(out_dir)
+    observed = _encode_and_commit(
+        spark, pages_text, docs_new, new_shards, cfg, paths, log
     )
+    n_added = observed["n_docs"]
     docs_all = spark.read.parquet(paths.docs)
-    _finalize(spark, docs_all, cfg, paths, manifest, t0, n_added)
+    _finalize(spark, docs_all, cfg, paths, manifest, log, t0, observed)
     manifest = _load_manifest(paths)
     manifest["indexed_snapshot_id"] = current
+    manifest.pop("pending_segment", None)
     _save_manifest(paths, manifest)
     return {
         "indexed_snapshot_id": current,

@@ -149,3 +149,22 @@ def test_block_metadata_consistency(built):
         assert nb == (r["df_shard"] + CFG.block_size - 1) // CFG.block_size
         last = list(r["block_last"])
         assert last == sorted(last)
+
+
+def test_observed_build_metrics(built, oracle, tmp_path_factory):
+    """A6/A7: docs/postings counters come from observe() on the build job's
+    own actions and land in the manifest."""
+    import json
+    import os
+
+    # the `built` fixture's index dir
+    root = built.paths.root
+    with open(os.path.join(root, "manifest.json")) as f:
+        manifest = json.load(f)
+    obs = manifest["observed"]
+    assert obs["n_docs"] == oracle.N == manifest["docs_indexed_this_run"]
+    total_postings = sum(len(p) for p in oracle.postings.values())
+    assert obs["n_postings"] == total_postings
+    assert obs["posting_rows"] >= len(oracle.postings)  # ≥ one row per term
+    assert obs["postings_per_partition"] > 0
+    assert manifest["docs_per_sec_this_run"] > 0

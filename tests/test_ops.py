@@ -230,3 +230,40 @@ def test_line_segments(spark):
     )
     got = df.select(line_segments("text").alias("ls")).collect()[0]["ls"]
     assert list(got) == ["One two", "Three four", "Five", "Para two here"]
+
+
+def test_ann_index_partition_pruning(spark, tmp_path):
+    """Persisted ANN buckets: probe reads ONLY matching buckets' files
+    (planner partition pruning), multi-probe recall beats single-probe."""
+    rng = np.random.default_rng(5)
+    vecs = rng.standard_normal((400, 16)).astype(np.float32)
+    # plant a tight cluster around vec 3 so "true neighbors" exist: ids 0-9
+    vecs[:10] = vecs[3] + 0.15 * rng.standard_normal((10, 16)).astype(np.float32)
+    pdf = pd.DataFrame({"vec_id": range(400), "embedding": [v.tolist() for v in vecs]})
+    df = spark.createDataFrame(pdf, schema="vec_id long, embedding array<float>")
+    idx = str(tmp_path / "ann")
+    similarity.build_ann_index(df, idx, n_planes=5, seed=7)
+
+    q = vecs[3].tolist()
+    res = similarity.lsh_topk_indexed(spark, idx, q, k=5, n_probes=2)
+    # plan: bucket filter is a PartitionFilter on the scan, not a post-scan filter
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan
+    # pruning semantics: the probed frame sees exactly the probed buckets'
+    # occupancy, a small fraction of the corpus (inputFiles() can't be used —
+    # it lists the unfiltered relation)
+    buckets = similarity.query_buckets(q, 5, 7, 2)
+    pruned = spark.read.parquet(f"{idx}/vectors").where(F.col("bucket").isin(buckets))
+    n_probed = pruned.count()
+    per_bucket = sum(
+        spark.read.parquet(f"{idx}/vectors/bucket={b}").count() for b in set(buckets)
+    )
+    assert 0 < n_probed == per_bucket < 400
+    assert res.collect()[0]["vec_id"] == 3  # self in own bucket
+
+    # multi-probe recall ≥ single-probe recall against brute force
+    bf = {r["vec_id"] for r in similarity.brute_force_topk(df, q, k=10).collect()}
+    got1 = {r["vec_id"] for r in similarity.lsh_topk_indexed(spark, idx, q, k=10, n_probes=1).collect()}
+    got4 = {r["vec_id"] for r in similarity.lsh_topk_indexed(spark, idx, q, k=10, n_probes=4).collect()}
+    assert len(got4 & bf) >= len(got1 & bf)
+    assert len(got4 & bf) >= 5  # reasonable recall on 400x16 with 5 planes
