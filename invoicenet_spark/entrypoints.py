@@ -384,6 +384,23 @@ def q_tpch_q1(spark, sf_dir):
     )
 
 
+def q_sessionize(spark, sf_dir):
+    """§2.10 sessionization (batch twin of the applyInPandasWithState
+    stateful operator): 30-min-gap sessions per user over events."""
+    from invoicenet_spark.streaming.windows import sessionize
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    out = sessionize(ev, gap_minutes=30)
+    return out.select(
+        "user_id",
+        F.col("session_no").cast("long").alias("session_no"),
+        "session_start",
+        "session_end",
+        "n_events",
+        "total_value",
+    )
+
+
 def q_events_window(spark, sf_dir):
     """Streaming-analog tumbling-window agg (§2.10) with P4 sanity filter."""
     ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
@@ -605,6 +622,7 @@ QUERIES = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "tpch_q1": q_tpch_q1,
     "events_window": q_events_window,
+    "sessionize": q_sessionize,
     "vocab_unk": q_vocab_unk,
     "train_val_split": q_train_val_split,
     "nearest_1d": q_nearest_1d,
@@ -749,6 +767,25 @@ ORACLE_SQL = {
         " round(sum(value), 2) AS total FROM events WHERE ts <= TIMESTAMP '2025-01-01'"
         " GROUP BY 1, 2"
     ),
+    "sessionize": """
+        WITH ordered AS (
+          SELECT user_id, event_id, ts, value,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR epoch(ts) - epoch(lag(ts) OVER w) > 30 * 60
+                      THEN 1 ELSE 0 END AS new_s
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+          SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+          FROM ordered
+        )
+        SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+               min(ts) AS session_start, max(ts) AS session_end,
+               count(*) AS n_events, round(sum(value), 2) AS total_value
+        FROM sess GROUP BY user_id, session_no
+    """,
 }
 
 

@@ -111,3 +111,60 @@ def test_windowed_counts_streaming_matches_batch(spark, tmp_path):
     for k, v in got.items():
         assert want[k] == v, k
     assert len(got) >= len(want) - 8  # open tail windows may be withheld
+
+
+def test_stateful_sessionize_matches_batch(spark, tmp_path):
+    """applyInPandasWithState sessionization (streaming) == batch sessionize
+    for every CLOSED session; each user's final session stays open in state
+    (no watermark advance after the last batch) and is the only difference."""
+    import datetime as dt
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from invoicenet_spark.streaming.windows import sessionize, stream_sessionize
+
+    base = dt.datetime(2024, 6, 1, 12, 0, 0)
+    rows = []
+    eid = 0
+    for user in (1, 2, 3):
+        t = base + dt.timedelta(minutes=user)
+        for sess in range(3):
+            for j in range(2 + user % 2):
+                rows.append((eid, t, user, "click", float(user * 10 + j), ""))
+                eid += 1
+                t += dt.timedelta(minutes=5)  # within gap
+            t += dt.timedelta(minutes=45)  # gap > 30 min → new session
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    src = str(tmp_path / "events_src")
+    ev = spark.createDataFrame(
+        pdf,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    ev.coalesce(1).write.parquet(src)
+
+    q = stream_sessionize(spark, src, gap_minutes=30, query_name="sess_parity")
+    q.awaitTermination(120)
+    streamed = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"],
+         round(r["total_value"], 2))
+        for r in spark.sql("SELECT * FROM sess_parity").collect()
+    }
+
+    batch = sessionize(ev, gap_minutes=30)
+    w_last = F.max("session_no").over(
+        __import__("pyspark").sql.Window.partitionBy("user_id")
+    )
+    closed_batch = batch.withColumn("last_no", w_last).where(
+        F.col("session_no") != F.col("last_no")
+    )
+    expected = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"],
+         round(r["total_value"], 2))
+        for r in closed_batch.collect()
+    }
+    assert len(expected) == 6  # 2 closed sessions per user
+    assert streamed == expected
