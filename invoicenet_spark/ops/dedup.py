@@ -40,6 +40,20 @@ def portable_hash64(col: Column, seed: int | None = None) -> Column:
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
 
 
+def _spread_small_input(df: DataFrame) -> DataFrame:
+    """Small-input parallelism guard: a tiny corpus often arrives as ONE
+    parquet row group → every downstream per-doc expression (shingling,
+    hashing) runs in a single task. Round-robin it across the default
+    parallelism first. No-op at scale: a real corpus scan already yields
+    ≥ cores partitions (maxPartitionBytes), and the guard never ADDS a
+    shuffle there."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < min(target, 8):
+        return df.repartition(target)
+    return df
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", key_col: str = "doc_id") -> DataFrame:
     """Keep the lowest-key row per identical (canonicalized) text."""
     fp = df.withColumn("fp", fingerprint(text_col))
@@ -52,6 +66,7 @@ def exact_dedup(df: DataFrame, text_col: str = "text", key_col: str = "doc_id") 
 
 def shingles_df(df: DataFrame, text_col: str = "text", key_col: str = "doc_id", n: int = 3):
     """(key, shingle) — distinct word n-gram shingles per doc, JVM-side."""
+    df = _spread_small_input(df)
     toks = tokens_col(text_col)
     sh = F.array_distinct(
         F.when(
@@ -103,14 +118,17 @@ def jaccard_pairs(
     Σ_pairs |shingles(a)|, linear in candidates. This is the 100 TB path:
     LSH (or any blocker) produces candidates, this verifies them.
     """
-    sh = shingles_df(df, text_col, key_col, n)
     if candidates is not None:
         ids = (
             candidates.select(F.col("id_a").alias(key_col))
             .union(candidates.select(F.col("id_b").alias(key_col)))
             .distinct()
         )
-        sh = sh.join(ids, key_col, "leftsemi")
+        # prune DOCS before shingling (broadcast semi-join): only candidate
+        # docs are tokenized/shingled — the pruning must sit below the
+        # generator, not above it, or the full corpus gets shingled anyway
+        sub = df.join(F.broadcast(ids), key_col, "leftsemi")
+        sh = shingles_df(sub, text_col, key_col, n)
         sizes = sh.groupBy(key_col).agg(F.count("*").alias("n_sh"))
         sh_a = sh.select(F.col(key_col).alias("id_a"), "shingle")
         sh_b = sh.select(F.col(key_col).alias("id_b"), "shingle")
@@ -124,6 +142,7 @@ def jaccard_pairs(
         )
         return _jaccard_from_intersections(inter, sizes, key_col, threshold)
 
+    sh = shingles_df(df, text_col, key_col, n)
     sizes = sh.groupBy(key_col).agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = shingles_df(df, text_col, key_col, n).alias("b")
@@ -227,7 +246,8 @@ def simhash_signatures(
     portable hash (sign-free, so the DuckDB oracle reproduces it exactly
     with plain BIGINT shifts)."""
     toks = (
-        df.select(key_col, F.explode(tokens_col(text_col)).alias("term"))
+        _spread_small_input(df)
+        .select(key_col, F.explode(tokens_col(text_col)).alias("term"))
         .groupBy(key_col, "term")
         .agg(F.count("*").alias("tf"))
         .withColumn("h", portable_hash64(F.col("term")))
