@@ -267,3 +267,17 @@ def test_ann_index_partition_pruning(spark, tmp_path):
     got4 = {r["vec_id"] for r in similarity.lsh_topk_indexed(spark, idx, q, k=10, n_probes=4).collect()}
     assert len(got4 & bf) >= len(got1 & bf)
     assert len(got4 & bf) >= 5  # reasonable recall on 400x16 with 5 planes
+
+
+def test_parse_field_registry_dispatch(spark):
+    """J3: field-type registry selects the parser; unknown type raises."""
+    from invoicenet_spark.functions.normalize import parse_field
+
+    df = spark.createDataFrame(pd.DataFrame({"raw": ["1,234.5"]}))
+    assert df.select(parse_field("raw", "amount")).collect()[0][0] == "1234.50"
+    d = spark.createDataFrame(pd.DataFrame({"d": pd.to_datetime(["2023-01-31"])}))
+    assert d.select(parse_field("d", "date")).collect()[0][0] == "01-31-2023"
+    g = spark.createDataFrame(pd.DataFrame({"s": ["a   b"]}))
+    assert g.select(parse_field("s", "general")).collect()[0][0] == "a b"
+    with pytest.raises(ValueError, match="unknown field type"):
+        parse_field("raw", "nope")

@@ -73,13 +73,26 @@ def main():
     report["N"] = index.N
 
     # term selection from the dictionary: hottest term (stopword analog),
-    # a mid term, and a rare term
-    terms = index.terms.orderBy(F.desc("df")).limit(20000).collect()
-    hot = terms[0]["term"]
-    mid = next(t["term"] for t in terms if t["df"] < index.N // 50)
-    rare = next(t["term"] for t in terms if 50 <= t["df"] <= 500)
-    report["terms"] = {"hot": (hot, int(terms[0]["df"])),
-                       "mid": (mid,), "rare": (rare,)}
+    # a mid term, and a rare term — via direct df-band lookups
+    hot_row = index.terms.orderBy(F.desc("df")).first()
+    hot = hot_row["term"]
+
+    def band(lo, hi):
+        r = (
+            index.terms.where((F.col("df") >= lo) & (F.col("df") <= hi))
+            .orderBy(F.desc("df"), "term")
+            .first()
+        )
+        return r
+
+    mid_row = band(index.N // 200, index.N // 20) or band(1000, index.N // 10)
+    rare_row = band(50, 500) or band(10, 2000)
+    mid, rare = mid_row["term"], rare_row["term"]
+    report["terms"] = {
+        "hot": (hot, int(hot_row["df"])),
+        "mid": (mid, int(mid_row["df"])),
+        "rare": (rare, int(rare_row["df"])),
+    }
 
     # warmup
     search(spark, index, gen_queries(10, seed=1), kernel="auto").count()
@@ -115,7 +128,7 @@ def main():
     report["bigram"] = bigram
 
     # batch throughput
-    qb = gen_queries(100, seed=7)
+    qb = gen_queries(100, seed=42)  # seed ties queries to the corpus vocabulary
     search(spark, index, qb, kernel="auto").count()
     t0 = time.time()
     n = search(spark, index, qb, kernel="auto").count()
