@@ -450,8 +450,18 @@ def _encode_and_commit(
             "term_id", "doc_id", "doc_len", "tf"
         )
         sort_cols = ["term_id", "doc_id"]
+    # RANGE partitioning on (term_id, shard) — not hash. Equal keys still
+    # land in one partition (groups are never split, every (term, shard)
+    # group stays ≤ shard_size docs = skew-free), but each output FILE now
+    # covers a NARROW contiguous term_id range instead of a hash-sample of
+    # the whole vocabulary. That is what makes the pushed In(term_id, …)
+    # filter actually skip: parquet row-group/file min-max stats are useless
+    # when every file spans term_id 0..vocab (measured: a point lookup read
+    # the ENTIRE index). With ranges, a query touches only the files whose
+    # term range covers its terms — in both the Spark batch path and the
+    # pyarrow serving path (query/local.py).
     encoded = (
-        enc_input.repartition(cfg.build_partitions, F.col("term_id"), shard_expr)
+        enc_input.repartitionByRange(cfg.build_partitions, F.col("term_id"), shard_expr)
         .sortWithinPartitions(*sort_cols)
         .mapInArrow(
             lambda it: _encode_partition(it, cfg.block_size, cfg.shard_size),
@@ -470,7 +480,16 @@ def _encode_and_commit(
     # Rows stay term-sorted within each file (encode input order), so
     # parquet row-group min/max stats on `term` still prune query scans.
     staging = os.path.join(paths.root, "_staging_postings")
-    encoded.write.mode("overwrite").partitionBy("shard").parquet(staging)
+    # ~1 MB row groups: postings files serve POINT lookups (term_id IN (…)).
+    # Spark's 128 MB default puts a whole file in one row group, so min/max
+    # stats can never skip anything; 1 MB groups let both the Spark batch
+    # path and the pyarrow serving path read only the row groups whose term
+    # range matches (Lucene-segment-ish granularity; the sequential-scan
+    # penalty of smaller groups is a few % and scans are not this table's
+    # job).
+    encoded.write.mode("overwrite").option(
+        "parquet.block.size", str(1 << 20)
+    ).partitionBy("shard").parquet(staging)
 
     # Per-shard commit = publish the directory, then append ONE shard-log
     # line (O(1), flushed — the durable commit point). No global state is

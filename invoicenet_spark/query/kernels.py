@@ -41,7 +41,13 @@ def topk_select(doc_ids: np.ndarray, scores: np.ndarray, k: int) -> tuple[np.nda
     if doc_ids.size == 0:
         return doc_ids[:0], scores[:0]
     k = min(k, doc_ids.size)
-    # argpartition on composite: sort by (-score, doc_id) via lexsort
+    if doc_ids.size > max(4 * k, 1024):
+        # O(n) partial select first: anything below the k-th score can never
+        # place; ties AT the threshold are all kept so the doc_id tie-break
+        # stays exact in the (small) lexsort below
+        kth = np.partition(scores, scores.size - k)[scores.size - k]
+        mask = scores >= kth
+        doc_ids, scores = doc_ids[mask], scores[mask]
     order = np.lexsort((doc_ids, -scores))[:k]
     return doc_ids[order], scores[order]
 
