@@ -46,6 +46,9 @@ def main(argv=None):
     s.add_argument("--mode", default="OR", choices=["OR", "AND", "PHRASE"])
     s.add_argument("-k", type=int, default=10)
     s.add_argument("--kernel", default="auto", choices=["auto", "wand", "exhaustive"])
+    s.add_argument("--local", action="store_true",
+                   help="serve driver-locally via pyarrow (no Spark job; "
+                        "single-query latency path)")
     s.add_argument("--cores", type=int, default=None)
 
     g = sub.add_parser("bench-build", help="synthetic-corpus build throughput")
@@ -100,10 +103,15 @@ def main(argv=None):
         q = pd.DataFrame(
             [{"query_id": 1, "terms": args.terms.split(","), "mode": args.mode, "k": args.k}]
         )
-        rows = search(spark, index, q, kernel=args.kernel).collect()
+        if args.local:
+            from invoicenet_spark.query.local import search_local
+
+            rows = search_local(index, q, kernel=args.kernel).to_dict("records")
+        else:
+            rows = [r.asDict() for r in search(spark, index, q, kernel=args.kernel).collect()]
         for r in rows:
-            print(json.dumps({"rank": r["rank"], "doc_id": r["doc_id"],
-                              "url": r["url"], "score": round(r["score"], 6)}))
+            print(json.dumps({"rank": int(r["rank"]), "doc_id": int(r["doc_id"]),
+                              "url": r["url"], "score": round(float(r["score"]), 6)}))
 
     elif args.cmd == "bench-build":
         from invoicenet_spark.fixtures import gen_pages_spark
