@@ -188,6 +188,61 @@ def decode_positions(row: dict, tfs: np.ndarray) -> tuple[np.ndarray, np.ndarray
     return cum - base, offsets
 
 
+def decode_blocks_batch(
+    row: dict, block_idxs: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Decode MANY blocks of one posting row in O(3) varbyte calls.
+
+    block_idxs: sorted unique block indices. Returns (doc_ids, tfs, dls,
+    offsets) where block block_idxs[i]'s postings live at
+    [offsets[i], offsets[i+1]). Per-block python decode costs ~0.1 ms in
+    loop overhead; batching restores the vectorized decode rate — the
+    difference between block-max probing winning or tying exhaustive.
+
+    Works because varbyte is self-delimiting (concatenated block byte ranges
+    decode as one stream) and each block's first doc delta restarts from the
+    previous block's last docID (block_last), so absolute docIDs reconstruct
+    per block from the flat delta cumsum.
+    """
+    doc_off = np.asarray(row["block_doc_off"], dtype=np.int64)
+    tf_off = np.asarray(row["block_tf_off"], dtype=np.int64)
+    dl_off = np.asarray(row["block_dl_off"], dtype=np.int64)
+    n_blocks = doc_off.size
+    doc_buf = np.frombuffer(row["doc_blob"], dtype=np.uint8)
+    tf_buf = np.frombuffer(row["tf_blob"], dtype=np.uint8)
+    dl_buf = np.frombuffer(row["dl_blob"], dtype=np.uint8)
+
+    def _ends(offs, buf):
+        return np.append(offs[1:], buf.size)
+
+    doc_end, tf_end, dl_end = _ends(doc_off, doc_buf), _ends(tf_off, tf_buf), _ends(dl_off, dl_buf)
+
+    def _gather(buf, offs, ends):
+        return np.concatenate([buf[offs[j]:ends[j]] for j in block_idxs])
+
+    doc_cat = _gather(doc_buf, doc_off, doc_end)
+    deltas = vb_decode(doc_cat).astype(np.int64)
+    tfs = vb_decode(_gather(tf_buf, tf_off, tf_end)).astype(np.int64)
+    dls = vb_decode(_gather(dl_buf, dl_off, dl_end)).astype(np.int64)
+
+    # per-block posting counts = varbyte terminators per block's byte range,
+    # summed per segment of the concatenated stream (reduceat, no loop)
+    blens = (doc_end - doc_off)[block_idxs]
+    bstarts = np.concatenate(([0], np.cumsum(blens[:-1])))
+    counts = np.add.reduceat((doc_cat & 0x80) == 0, bstarts).astype(np.int64)
+    offsets = np.concatenate(([0], np.cumsum(counts)))
+
+    block_last = np.asarray(row["block_last"], dtype=np.int64)
+    bases = np.where(block_idxs > 0, block_last[np.maximum(block_idxs - 1, 0)], 0)
+    cum = np.cumsum(deltas)
+    starts = offsets[:-1]
+    base_vals = bases - np.where(starts > 0, cum[np.maximum(starts - 1, 0)], 0)
+    # first block at flat position 0 has no preceding cum to subtract
+    base_vals[starts == 0] = bases[starts == 0]
+    docs = cum + np.repeat(base_vals, counts)
+    return docs, tfs, dls, offsets
+
+
 def decode_block(
     row: dict, block_idx: int, block_size: int = BLOCK_SIZE
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:

@@ -211,6 +211,11 @@ def search(
     # `PushedFilters: [In(term_id, …)]` + row-group min/max skipping on the
     # term_id-sorted files turn the probe into a near-point lookup.
     probe = index.postings.where(F.col("term_id").isin(term_ids))
+    # column pruning: the position stream is the fattest column and only
+    # PHRASE queries decode it — drop it from the scan when the batch has
+    # none (known for free on pandas query batches)
+    if qpd is not None and not (qpd["mode"] == "PHRASE").any():
+        probe = probe.drop("pos_blob", "block_pos_off")
     cand = probe.join(F.broadcast(q.drop("term")), "term_id")
     # no forward-index join: posting rows are self-contained (per-posting
     # doc_len stream in dl_blob) — the only scan is the pruned postings probe

@@ -192,6 +192,8 @@ def _probe_scores(
     blocks that can contain a candidate (block-granular random access via the
     skip table). Accumulation is per list in plists order — identical float
     order to score_exhaustive."""
+    from invoicenet_spark.index.codec import decode_blocks_batch
+
     scores = np.zeros(cand.size, dtype=np.float64)
     for li, tp in enumerate(plists):
         jb = np.searchsorted(tp.block_last, cand, side="left")
@@ -200,9 +202,15 @@ def _probe_scores(
             continue
         cache = caches[li]
         needed = np.unique(jb[ok])
-        for j in needed:
-            if j not in cache:
-                cache[int(j)] = tp.decode_one_block(int(j))
+        missing = np.array([j for j in needed if int(j) not in cache], dtype=np.int64)
+        if missing.size:
+            # ONE batched varbyte decode for every missing block — per-block
+            # python decode costs ~0.1 ms of loop overhead each, which ties
+            # the pruned path with exhaustive instead of beating it
+            bd, bt, bl, offs = decode_blocks_batch(tp.row, missing)
+            for bi, j in enumerate(missing):
+                sl = slice(offs[bi], offs[bi + 1])
+                cache[int(j)] = (bd[sl], bt[sl], bl[sl])
         parts = [cache[int(j)] for j in needed]  # block ids ascending → docs ascending
         d = np.concatenate([p[0] for p in parts])
         t = np.concatenate([p[1] for p in parts])

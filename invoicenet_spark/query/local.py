@@ -80,7 +80,7 @@ class _PostingsCatalog:
             h = self._handles[path] = pq.ParquetFile(path)
         return h
 
-    def read(self, term_ids: list[int]) -> pd.DataFrame:
+    def read(self, term_ids: list[int], with_positions: bool = False) -> pd.DataFrame:
         from concurrent.futures import ThreadPoolExecutor
 
         import pyarrow as pa
@@ -93,13 +93,20 @@ class _PostingsCatalog:
             hit_rgs = [i for i, lo, hi in rgs if any(lo <= t <= hi for t in tids)]
             if hit_rgs:
                 work.append((path, shard, hit_rgs))
+        columns = None
+        if not with_positions and self.files:
+            # column pruning: the position stream is by far the fattest
+            # column (hot terms carry MBs of positions) and only PHRASE
+            # queries decode it
+            schema_names = self._handle(self.files[0][0]).schema_arrow.names
+            columns = [c for c in schema_names if c not in ("pos_blob", "block_pos_off")]
 
         def fetch(item):
             path, shard, hit_rgs = item
             # Arrow-level row filter BEFORE pandas conversion: materializing
             # non-matching rows' nested blobs into python objects was the
             # hot spot, not the I/O
-            t = self._handle(path).read_row_groups(hit_rgs)
+            t = self._handle(path).read_row_groups(hit_rgs, columns=columns)
             t = t.filter(pc.is_in(t.column("term_id"), value_set=tid_arr))
             return shard, t
 
@@ -119,11 +126,11 @@ class _PostingsCatalog:
         return pdf
 
 
-def _postings_rows(index: Index, term_ids: list[int]) -> pd.DataFrame:
+def _postings_rows(index: Index, term_ids: list[int], with_positions: bool = False) -> pd.DataFrame:
     cat = _CATALOG_CACHE.get(id(index))
     if cat is None:
         cat = _CATALOG_CACHE[id(index)] = _PostingsCatalog(index.paths.postings)
-    return cat.read(term_ids)
+    return cat.read(term_ids, with_positions=with_positions)
 
 
 def _urls_for(index: Index, doc_ids: list[int]) -> dict[int, str]:
@@ -173,7 +180,12 @@ def search_local(
         }
 
     all_tids = sorted({tid for tid, _ in term_info.values()})
-    rows = _postings_rows(index, all_tids) if all_tids else pd.DataFrame()
+    needs_positions = bool((queries["mode"] == "PHRASE").any())
+    rows = (
+        _postings_rows(index, all_tids, with_positions=needs_positions)
+        if all_tids
+        else pd.DataFrame()
+    )
     by_tid_shard: dict[tuple[int, int], dict] = {}
     for rec in rows.to_dict("records") if len(rows) else []:
         by_tid_shard[(int(rec["term_id"]), int(rec["shard"]))] = rec
