@@ -238,6 +238,32 @@ def q_bm25_topk_or(spark, sf_dir):
     return _bm25_engine_results(spark, sf_dir, BM25_QUERY_TERMS, "OR", 20)
 
 
+def q_bm25_local_topk(spark, sf_dir):
+    """The SERVING path (query/local.py — pyarrow reads, no Spark job) under
+    the same DuckDB oracle as the Spark batch path: identical results from
+    identical index files is the whole contract."""
+    import pandas as pd
+
+    from invoicenet_spark.query.exec import load_index
+    from invoicenet_spark.query.local import search_local
+
+    _bm25_engine_results(spark, sf_dir, BM25_QUERY_TERMS, "OR", 1)  # ensure index
+    index = load_index(spark, _INDEX_CACHE[(sf_dir,)])
+    q = pd.DataFrame(
+        [{"query_id": 1, "terms": list(BM25_QUERY_TERMS), "mode": "OR", "k": 100000}]
+    )
+    res = search_local(index, q, kernel="auto")
+    res["doc_id"] = res["url"].astype("int64")
+    res["score_r6"] = res["score"].round(6)
+    res = res.sort_values(["score_r6", "doc_id"], ascending=[False, True]).head(20)
+    res["rank"] = range(1, len(res) + 1)
+    res["score_r4"] = res["score_r6"].round(4)
+    return spark.createDataFrame(
+        res[["rank", "doc_id", "score_r4"]],
+        schema="rank long, doc_id long, score_r4 double",
+    )
+
+
 def q_bm25_topk_and(spark, sf_dir):
     """J4 conjunctive: posting-list intersection + BM25."""
     return _bm25_engine_results(spark, sf_dir, BM25_AND_TERMS, "AND", 20)
@@ -603,6 +629,7 @@ QUERIES = {
     "doc_stats": q_doc_stats,
     "corpus_stats": q_corpus_stats,
     "bm25_topk_or": q_bm25_topk_or,
+    "bm25_local_topk": q_bm25_local_topk,
     "bm25_topk_and": q_bm25_topk_and,
     "bm25_phrase": q_bm25_phrase,
     "substring_search": q_substring_search,
@@ -665,6 +692,7 @@ ORACLE_SQL = {
         " AS dl FROM documents WHERE lang = 'en')"
     ),
     "bm25_topk_or": _duck_bm25(BM25_QUERY_TERMS, "OR", 20),
+    "bm25_local_topk": _duck_bm25(BM25_QUERY_TERMS, "OR", 20),
     "bm25_topk_and": _duck_bm25(BM25_AND_TERMS, "AND", 20),
     "bm25_phrase": _duck_bm25(BM25_PHRASE, "PHRASE", 20),
     "substring_search": (
