@@ -62,6 +62,19 @@ def main():
     n_res = search(spark, index, queries, kernel="auto").count()
     timings["query_batch_100"] = round(time.time() - t0, 3)
 
+    # ---- 2b. serving path: single-query latency without a Spark job
+    from invoicenet_spark.query.local import search_local
+
+    single = queries.iloc[[0]]
+    search_local(index, single)  # warm (catalog + dictionary)
+    lat = []
+    for i in range(20):
+        t0 = time.time()
+        search_local(index, queries.iloc[[i % len(queries)]])
+        lat.append(time.time() - t0)
+    lat.sort()
+    timings["serving_single_p50"] = round(lat[10], 3)
+
     # ---- 3. operator queries over the sf dir
     from invoicenet_spark import entrypoints
 

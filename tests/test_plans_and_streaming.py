@@ -168,3 +168,38 @@ def test_stateful_sessionize_matches_batch(spark, tmp_path):
     }
     assert len(expected) == 6  # 2 closed sessions per user
     assert streamed == expected
+
+
+def test_postings_files_have_narrow_term_ranges(spark, tmp_path):
+    """Layout invariant: range-partitioned postings files each cover a small
+    slice of the vocabulary — the property that makes In(term_id) pruning
+    effective. (Hash layout regressed this: every file spanned the full
+    vocab, so nothing could ever skip.)"""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from invoicenet_spark.config import EngineConfig
+    from invoicenet_spark.fixtures import gen_pages_spark
+    from invoicenet_spark.index.build import build_index
+
+    out = str(tmp_path / "idx")
+    cfg = EngineConfig(shard_size=64, block_size=16, build_partitions=8)
+    build_index(spark, gen_pages_spark(spark, 300, seed=42, partitions=4), out, cfg)
+    terms = spark.read.parquet(f"{out}/terms")
+    vocab_n = terms.count()
+    spans = []
+    for f in glob.glob(f"{out}/postings/shard=*/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        if md.num_rows == 0:
+            continue
+        st = md.row_group(0).column(0).statistics
+        lo, hi = st.min, st.max
+        for i in range(1, md.num_row_groups):
+            s2 = md.row_group(i).column(0).statistics
+            lo, hi = min(lo, s2.min), max(hi, s2.max)
+        spans.append(hi - lo + 1)
+    assert spans
+    # median file covers well under half the vocabulary
+    spans.sort()
+    assert spans[len(spans) // 2] < vocab_n / 2, (spans[len(spans) // 2], vocab_n)
