@@ -325,6 +325,33 @@ def score_wand(
     n = len(plists)
     if n == 0 or k <= 0:
         return np.zeros(0, dtype=np.int64), np.zeros(0)
+    if n == 1:
+        # single list: nothing to prune against — the cursor loop would
+        # visit every posting in python; the vectorized scorer is strictly
+        # better (measured 11 s vs 35 ms on a 1M-posting list)
+        return score_exhaustive(plists, k, "OR")
+
+    # theta warm-up: cold WAND crawls per-posting until k high scores have
+    # been found (measured: 11 s on a stopword+rare query — theta sat below
+    # the stopword's block bounds for ~10% of the hot list). Seeding theta
+    # with the k-th FULL score of the strongest list's own docs is always
+    # sound (real scores only under-estimate the final threshold) and costs
+    # one cheap probe pass when that list is small.
+    if n > 1 and theta0 == -np.inf:
+        ubs0 = np.array([tp.list_ub for tp in plists])
+        seed = int(np.argmax(ubs0))
+        df_seed = int(plists[seed].row["df_shard"])
+        other_blocks = sum(tp.n_blocks for i, tp in enumerate(plists) if i != seed)
+        if df_seed <= 2 * other_blocks:
+            seed_docs = plists[seed].decode_all()[0]
+            if seed_docs.size >= k:
+                seed_scores = _probe_scores(
+                    plists, [dict() for _ in range(n)], seed_docs
+                )
+                kth = np.lexsort((seed_docs, -seed_scores))[k - 1]
+                # just below the kth score: ties at the threshold must still
+                # pass the strict '>' pruning checks
+                theta0 = float(np.nextafter(seed_scores[kth], -np.inf))
 
     INF = np.iinfo(np.int64).max
     blk = [0] * n  # current block index
