@@ -38,22 +38,43 @@ from pyspark.sql.types import StringType
 _BODY_RE = r"(?s)<body><p>(.*)</p></body>"
 _TITLE_RE = r"<title>(.*?)</title>"
 
-# strip_tags pipeline pieces (order matters: blocks → comments → tags →
-# entities → whitespace; decoding entities before tag-stripping would let
-# &lt;script&gt; smuggle markup back in).
-_SCRIPT_STYLE_RE = r"(?is)<(script|style)\b[^>]*>.*?</\1\s*>"
+# strip_tags pipeline pieces (order matters: script blocks → style blocks →
+# comments → tags → entities → whitespace; decoding entities before
+# tag-stripping would let &lt;script&gt; smuggle markup back in).
+#
+# Every pattern is expressible IDENTICALLY in Python `re` and in RE2
+# (pyarrow's pc.replace_substring_regex): no backreferences (script/style
+# are two sequential passes, not one alternation with \1 — two-pass is the
+# pinned semantic on BOTH paths), and whitespace uses an explicit character
+# class because RE2's `\s` is ASCII-only while Python's matches the full
+# Unicode White_Space set (plus \x1c-\x1f). The class below IS Python's \s
+# set, enumerated (a test pins the equivalence against r"\s").
+_WS_CODEPOINTS = (
+    list(range(0x09, 0x0E))          # \\t \\n \\v \\f \\r
+    + list(range(0x1C, 0x21))        # FS GS RS US, space
+    + [0x85, 0xA0, 0x1680]
+    + list(range(0x2000, 0x200B))
+    + [0x2028, 0x2029, 0x202F, 0x205F, 0x3000]
+)
+_WS_CLASS = "[" + "".join(map(chr, _WS_CODEPOINTS)) + "]"
+_SCRIPT_RE = rf"(?is)<script\b[^>]*>.*?</script{_WS_CLASS}*>"
+_STYLE_RE = rf"(?is)<style\b[^>]*>.*?</style{_WS_CLASS}*>"
 _COMMENT_RE = r"(?s)<!--.*?-->"
 _TAG_RE = r"(?s)</?[a-zA-Z!][^>]*>"
 _ENTITY_RE = r"&(?:#[0-9]{1,7}|#x[0-9a-fA-F]{1,6}|[a-zA-Z][a-zA-Z0-9]{1,30});"
+_WS_RUN_RE = _WS_CLASS + "+"
+_EDGE_SPACE_RE = r"^ | $"  # after the squeeze, edges hold at most one ' '
 
 
 def _strip_tags_series(s: pd.Series) -> pd.Series:
-    out = s.str.replace(_SCRIPT_STYLE_RE, " ", regex=True)
+    out = s.str.replace(_SCRIPT_RE, " ", regex=True)
+    out = out.str.replace(_STYLE_RE, " ", regex=True)
     out = out.str.replace(_COMMENT_RE, " ", regex=True)
     out = out.str.replace(_TAG_RE, " ", regex=True)
     # html.unescape per MATCH (not per row); unknown entities pass through
     out = out.str.replace(_ENTITY_RE, lambda m: _html.unescape(m.group(0)), regex=True)
-    return out.str.replace(r"\s+", " ", regex=True).str.strip()
+    out = out.str.replace(_WS_RUN_RE, " ", regex=True)
+    return out.str.replace(_EDGE_SPACE_RE, "", regex=True)
 
 
 def _extract_series(html: pd.Series, strategy: str = "body_p") -> pd.Series:
@@ -102,20 +123,51 @@ def extract_text(df, html_col: str = "html", out_col: str = "text_extracted",
 _ARROW_BODY_RE = r"<body><p>(?P<t>(?s:.*))</p></body>"
 
 
-def extract_text_arrow(html: pa.Array) -> pa.Array:
+def _decode_utf8_arrow(html: pa.Array) -> pa.Array:
+    """binary → large_string with the pandas path's exact decode semantics
+    (U+FFFD replacement on invalid bytes), staying in C++ when the batch is
+    clean UTF-8."""
     try:
-        s = pc.cast(html, pa.large_string())
+        return pc.cast(html, pa.large_string())
     except pa.lib.ArrowInvalid:
-        # invalid UTF-8 somewhere in the batch: decode permissively with the
-        # exact semantics of the pandas path (U+FFFD replacement) so both
-        # extraction paths stay byte-identical for ANY input bytes
         py = html.to_pandas().map(
             lambda b: b.decode("utf-8", errors="replace"), na_action="ignore"
         )
-        s = pa.Array.from_pandas(py, type=pa.large_string())
+        return pa.Array.from_pandas(py, type=pa.large_string())
+
+
+def extract_text_arrow(html: pa.Array) -> pa.Array:
+    s = _decode_utf8_arrow(html)
     st = pc.extract_regex(s, _ARROW_BODY_RE)
     out = pc.struct_field(st, "t")
     return pc.cast(pc.fill_null(out, ""), pa.string())
+
+
+def strip_tags_arrow(html: pa.Array) -> pa.Array:
+    """Arrow-C++ strip_tags: the general messy-HTML extractor on the build
+    hot path. All regex passes (script/style blocks, comments, tags,
+    whitespace squeeze, edge trim) run in RE2 via pc.replace_substring_regex
+    — the patterns are shared with the pandas spec and chosen to behave
+    identically in `re` and RE2 (module header). The one non-RE2 piece is
+    HTML-entity decoding (needs html.unescape's table): only the rows that
+    STILL contain an entity after tag-stripping drop to the vectorized
+    pandas replace — entities are sparse in real web text, so the common
+    row never leaves C++. Byte-identity with _strip_tags_series is pinned
+    by a nested-messy-HTML fuzz test (incl. invalid UTF-8)."""
+    s = _decode_utf8_arrow(html)
+    for pat in (_SCRIPT_RE, _STYLE_RE, _COMMENT_RE, _TAG_RE):
+        s = pc.replace_substring_regex(s, pattern=pat, replacement=" ")
+    mask = pc.match_substring_regex(s, _ENTITY_RE)
+    if pc.any(mask).as_py():
+        py = s.to_pandas()
+        sel = mask.to_pandas().fillna(False).to_numpy(dtype=bool)
+        py[sel] = py[sel].str.replace(
+            _ENTITY_RE, lambda m: _html.unescape(m.group(0)), regex=True
+        )
+        s = pa.Array.from_pandas(py, type=pa.large_string())
+    s = pc.replace_substring_regex(s, pattern=_WS_RUN_RE, replacement=" ")
+    s = pc.replace_substring_regex(s, pattern=_EDGE_SPACE_RE, replacement="")
+    return pc.cast(pc.fill_null(s, ""), pa.string())
 
 
 def extract_pages_arrow(

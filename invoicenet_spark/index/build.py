@@ -23,11 +23,13 @@ shard_size docs, so no straggler task exists by construction; AQE skew-join
 handling stays on as a backstop.
 
 Resumability (north_rule): phase 1 commits the doc dictionary; phase 2
-commits postings shard-by-shard, each commit = a directory publish plus ONE
-appended line in the shard log (index/shardlog.py — O(1) per commit, never a
-rewrite of global state); phase 3 derives terms + stats from committed
-shards and batch-appends per-shard metrics (n_terms, n_postings, bytes) to
-the same log. `build_index(..., resume=True)` reads the committed set from
+writes postings parquet straight to the final shard=N directories and
+commits shard-by-shard via the shard log (index/shardlog.py) — each commit
+is ONE appended line carrying the shard's data-file list; the log line is
+the sole commit point (object-store-shaped: plain write-to-final-path PUTs,
+no staging dir, no driver rename loop, never a rewrite of global state);
+phase 3 derives terms + stats from committed shards and batch-appends
+per-shard metrics (n_terms, n_postings, bytes) to the same log. `build_index(..., resume=True)` reads the committed set from
 the log, skips those shards, and re-tokenizes only the pages belonging to
 missing ones — per-partition lineage like the reference's best-checkpoint
 restore (invoicenet/common/trainer.py:68-71, acp/acp.py:66-72).
@@ -38,7 +40,6 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
 import time
 from dataclasses import dataclass
 
@@ -76,6 +77,78 @@ class IndexPaths:
     @property
     def manifest(self) -> str:
         return os.path.join(self.root, "manifest.json")
+
+
+def _parquet_basenames(postings_root: str, shard: int) -> set[str]:
+    """Data-file basenames currently present in one shard directory."""
+    d = os.path.join(postings_root, f"shard={shard}")
+    if not os.path.isdir(d):
+        return set()
+    return {
+        f
+        for f in os.listdir(d)
+        if f.endswith(".parquet") and not f.startswith((".", "_"))
+    }
+
+
+def committed_postings_files(paths: IndexPaths) -> list[str] | None:
+    """Absolute paths of COMMITTED postings data files per the shard log —
+    the reader half of the object-store commit protocol (files written by a
+    crashed, never-committed run are excluded). Returns None for legacy
+    indexes whose log lines carry no file lists (fall back to a directory
+    scan) or when the log is empty."""
+    entries = ShardLog(paths.root).entries()
+    files: list[str] = []
+    saw_committed = False
+    for shard, rec in entries.items():
+        if rec.get("status") != "committed":
+            continue
+        saw_committed = True
+        fl = rec.get("files")
+        if fl is None:
+            return None  # pre-protocol index: directory scan is authoritative
+        files.extend(
+            os.path.join(paths.postings, f"shard={shard}", f) for f in fl
+        )
+    if not saw_committed or not files:
+        return None
+    return sorted(files)
+
+
+def read_postings(spark: SparkSession, paths: IndexPaths) -> DataFrame:
+    """Postings DataFrame from the committed file list (basePath keeps the
+    hive `shard=` partition column); directory scan for legacy indexes."""
+    files = committed_postings_files(paths)
+    if files is None:
+        return spark.read.parquet(paths.postings)
+    return spark.read.option("basePath", paths.postings).parquet(*files)
+
+
+def vacuum_postings(paths: IndexPaths) -> list[str]:
+    """Delete data files not referenced by any committed log entry (orphans
+    from crashed runs). Safe only when no concurrent build is writing.
+    Returns the deleted paths."""
+    files = committed_postings_files(paths)
+    if files is None:
+        return []
+    keep = set(files)
+    removed = []
+    if not os.path.isdir(paths.postings):
+        return []
+    for d in os.listdir(paths.postings):
+        full_d = os.path.join(paths.postings, d)
+        if not (d.startswith("shard=") and os.path.isdir(full_d)):
+            continue
+        for f in os.listdir(full_d):
+            full = os.path.join(full_d, f)
+            if (
+                f.endswith(".parquet")
+                and not f.startswith((".", "_"))
+                and full not in keep
+            ):
+                os.remove(full)
+                removed.append(full)
+    return removed
 
 
 POSTINGS_SCHEMA = (
@@ -479,7 +552,17 @@ def _encode_and_commit(
     # n_shards tasks — a serial write when the corpus fits few shards).
     # Rows stay term-sorted within each file (encode input order), so
     # parquet row-group min/max stats on `term` still prune query scans.
-    staging = os.path.join(paths.root, "_staging_postings")
+    #
+    # Object-store-shaped publication: tasks write parquet files DIRECTLY
+    # into the final shard=N directories (unique part-file names — append
+    # mode never collides with leftovers from a crashed run), and the
+    # shard-log line listing each shard's files is the SOLE commit point.
+    # Readers (exec.load_index, the pyarrow serving catalog, _finalize)
+    # build the index from the logged file lists, so uncommitted partials
+    # are invisible; no driver-side rename loop and no rename semantics
+    # assumed — on S3-style storage these are plain PUTs plus one log
+    # append. Driver commit work = O(committed lines), one flush.
+    #
     # ~1 MB row groups: postings files serve POINT lookups (term_id IN (…)).
     # Spark's 128 MB default puts a whole file in one row group, so min/max
     # stats can never skip anything; 1 MB groups let both the Spark batch
@@ -487,33 +570,40 @@ def _encode_and_commit(
     # range matches (Lucene-segment-ish granularity; the sequential-scan
     # penalty of smaller groups is a few % and scans are not this table's
     # job).
-    encoded.write.mode("overwrite").option(
-        "parquet.block.size", str(1 << 20)
-    ).partitionBy("shard").parquet(staging)
-
-    # Per-shard commit = publish the directory, then append ONE shard-log
-    # line (O(1), flushed — the durable commit point). No global state is
-    # rewritten per shard; at millions of shards the loop is rename + one
-    # appended line each. On an object store the rename becomes a
-    # write-to-final-path and the log line alone is the commit.
-    committed = 0
     os.makedirs(paths.postings, exist_ok=True)
+    pre_existing = {s: _parquet_basenames(paths.postings, s) for s in pending}
     try:
-        for shard in pending:
-            src_dir = os.path.join(staging, f"shard={shard}")
-            dst_dir = os.path.join(paths.postings, f"shard={shard}")
-            if not os.path.exists(src_dir):
-                continue
-            if fail_after_shards is not None and committed >= fail_after_shards:
-                raise RuntimeError(f"injected failure after {committed} shards (test hook)")
-            if os.path.exists(dst_dir):
-                shutil.rmtree(dst_dir)
-            shutil.move(src_dir, dst_dir)
-            log.append(shard, status="committed")
-            committed += 1
+        encoded.write.mode("append").option(
+            "parquet.block.size", str(1 << 20)
+        ).partitionBy("shard").parquet(paths.postings)
+
+        if fail_after_shards is None:
+            # one batched append, one flush — O(committed lines) driver work
+            log.append_many(
+                [
+                    {
+                        "shard": int(s),
+                        "status": "committed",
+                        "files": sorted(_parquet_basenames(paths.postings, s) - pre_existing[s]),
+                    }
+                    for s in pending
+                ]
+            )
+        else:
+            # test hook: commit the first k shards' log lines then raise —
+            # the remaining shards' files exist on disk but stay invisible
+            # (uncommitted) until a resume re-encodes and commits them
+            committed = 0
+            for shard in pending:
+                if committed >= fail_after_shards:
+                    raise RuntimeError(
+                        f"injected failure after {committed} shards (test hook)"
+                    )
+                new_files = sorted(_parquet_basenames(paths.postings, shard) - pre_existing[shard])
+                log.append(shard, status="committed", files=new_files)
+                committed += 1
     finally:
         pairs.unpersist()
-    shutil.rmtree(staging, ignore_errors=True)
     enc = _obs_metrics(obs_enc)
     docs_m = _obs_metrics(obs_docs)
     return {
@@ -535,27 +625,51 @@ def _obs_metrics(obs) -> dict:
         return {}
 
 
+def _dict_next_term_id(dict_path: str) -> int:
+    """max(term_id)+1 from parquet FOOTER statistics only — O(files) metadata
+    reads, no data scan. Deriving the offset from the dictionary files
+    themselves (not a sidecar counter) makes a crash between the segment
+    append and any bookkeeping harmless: the retry sees the appended terms
+    and continues after them, so two terms can never share an id."""
+    import pyarrow.parquet as pq
+
+    mx = -1
+    for dirpath, _, names in os.walk(dict_path):
+        for f in names:
+            if not f.endswith(".parquet") or f.startswith((".", "_")):
+                continue
+            md = pq.ParquetFile(os.path.join(dirpath, f)).metadata
+            ti = md.schema.names.index("term_id")
+            for i in range(md.num_row_groups):
+                st = md.row_group(i).column(ti).statistics
+                if st is not None and st.max is not None:
+                    mx = max(mx, int(st.max))
+    return mx + 1
+
+
 def _term_dictionary(spark, pairs: DataFrame, cfg: EngineConfig, paths: IndexPaths) -> DataFrame:
-    """term → term_id mapping, merged with any committed dictionary.
+    """term → term_id mapping, grown by APPENDING new-term segments.
 
     Existing terms keep their ids (committed posting segments reference
-    them); terms new to this build get dense ids appended after the current
-    maximum — the UnkDict analog (invoicenet/common/data.py:37-57), except
-    the vocabulary grows instead of mapping to <UNK>.
+    them); terms new to this build get dense ids after the current maximum —
+    the UnkDict analog (invoicenet/common/data.py:37-57), except the
+    vocabulary grows instead of mapping to <UNK>. An incremental update
+    writes O(new terms) bytes (new part files appended into the same
+    directory), never a rewrite of the whole dictionary — at web-scale
+    vocabularies the O(vocab) rewrite-per-delta was the wrong shape. The id
+    offset comes from footer stats (_dict_next_term_id), so a crashed
+    half-applied append is self-healing on retry.
     """
     dict_path = os.path.join(paths.root, "term_dict")
     pairs_terms = pairs.select("term").distinct()
     if os.path.exists(dict_path):
         old = spark.read.parquet(dict_path)
         new_terms = pairs_terms.join(old.select("term"), "term", "left_anti")
-        offset = old.agg(F.max("term_id")).collect()[0][0] + 1
+        offset = _dict_next_term_id(dict_path)
         new_ids = assign_dense_ids(
             new_terms, key="term", id_col="term_id", num_partitions=cfg.build_partitions
         ).withColumn("term_id", F.col("term_id") + F.lit(int(offset)))
-        merged = old.select("term", "term_id").unionByName(new_ids)
-        merged.write.mode("overwrite").parquet(dict_path + "_tmp")
-        shutil.rmtree(dict_path)
-        os.rename(dict_path + "_tmp", dict_path)
+        new_ids.write.mode("append").parquet(dict_path)
     else:
         assign_dense_ids(
             pairs_terms, key="term", id_col="term_id", num_partitions=cfg.build_partitions
@@ -577,7 +691,7 @@ def _finalize(
     postings, plus the north_rule build metrics (docs/sec, postings/
     partition, merge fan-in). Global df = Σ df_shard over committed shards,
     so it is correct under resume and incremental updates alike."""
-    postings = spark.read.parquet(paths.postings)
+    postings = read_postings(spark, paths)
     term_dict = spark.read.parquet(os.path.join(paths.root, "term_dict"))
     df_by_id = postings.groupBy("term_id").agg(F.sum("df_shard").alias("df"))
     terms = term_dict.join(df_by_id, "term_id", "left").fillna(0, subset=["df"])

@@ -12,15 +12,23 @@ object stores. This log is the replacement:
   open, never per commit). `compact()` folds everything into a single file
   so the file count stays O(1) across runs rather than O(runs).
 - the same shard may appear in multiple lines (retries, metric refreshes);
-  the LAST line wins, which makes re-commits idempotent.
+  later lines UPDATE the shard's record field-by-field (a metrics refresh
+  does not clobber the committed file list), and a re-commit line carrying
+  a new `files` list replaces the old one, which makes re-commits
+  idempotent.
 
 manifest.json keeps only fixed-size global state (config, corpus stats,
 run metrics) — it never grows with the shard count.
 
-On an object store the JSONL append per run maps to one immutable object
-per run (no rename required); rename-based shard-directory publication in
-build.py would become write-to-final-path + this log line as the commit
-point, which is exactly the Iceberg/Delta commit-log pattern.
+Commit protocol (Iceberg/Delta-shaped): encode tasks write parquet straight
+to the FINAL <postings>/shard=N/ directories (unique part-file names — no
+staging dir, no driver-side rename loop); the log line recording each
+shard's `files` list is the sole commit point. Readers construct the index
+from the logged file lists (build.committed_postings_files), so partial
+files from a crashed run are invisible until a later run commits its own
+list. On an object store the append per run is one immutable object and
+the data files are plain write-to-final-path PUTs — no rename semantics
+assumed anywhere.
 """
 
 from __future__ import annotations
@@ -74,8 +82,10 @@ class ShardLog:
         return sorted(glob.glob(os.path.join(self.dir, "*.jsonl")))
 
     def entries(self) -> dict[int, dict]:
-        """Latest record per shard (file order is creation order; within a
-        file, line order)."""
+        """Merged record per shard (file order is creation order; within a
+        file, line order). Later lines update FIELDS rather than replacing
+        the record, so a metrics-refresh line never erases the `files` list
+        the commit line wrote."""
         out: dict[int, dict] = {}
         for path in self._files():
             with open(path) as f:
@@ -84,7 +94,7 @@ class ShardLog:
                     if not line:
                         continue
                     rec = json.loads(line)
-                    out[int(rec["shard"])] = rec
+                    out.setdefault(int(rec["shard"]), {}).update(rec)
         return out
 
     def committed(self) -> set[int]:

@@ -31,7 +31,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from invoicenet_spark.index import bm25
-from invoicenet_spark.index.build import IndexPaths
+from invoicenet_spark.index.build import IndexPaths, read_postings
 from invoicenet_spark.query import kernels
 
 
@@ -69,10 +69,13 @@ def load_index(spark: SparkSession, root: str) -> Index:
     with open(paths.stats) as f:
         stats = json.load(f)
     # the dictionary is scanned (with a pushed semi-join filter) on every
-    # query — cache it; it is orders of magnitude smaller than postings
+    # query — cache it; it is orders of magnitude smaller than postings.
+    # Postings come from the COMMITTED file list in the shard log (the
+    # object-store commit protocol) — partial files from a crashed build
+    # are never visible to queries.
     return Index(
         paths=paths,
-        postings=spark.read.parquet(paths.postings),
+        postings=read_postings(spark, paths),
         terms=spark.read.parquet(paths.terms).cache(),
         docs=spark.read.parquet(paths.docs),
         stats=stats,
@@ -114,16 +117,16 @@ def _shard_kernel(stats: dict, kernel: str):
             docs, scores = kernels.score_phrase(plists, k)
         elif mode == "AND" or kernel == "exhaustive":
             docs, scores = kernels.score_exhaustive(plists, k, mode)
-        elif kernel == "wand":
-            docs, scores = kernels.score_wand(plists, k)
         else:
-            # auto → segment-level block-max pruning (rank-identical to
-            # exhaustive, fuzz-pinned). Control loop is per segment chunk,
-            # never per candidate; on flat score distributions it detects
-            # that pruning isn't biting and bails to the exhaustive kernel,
-            # so the worst case stays within a small constant of exhaustive
-            # while skewed corpora (stopword + rare term) skip decoding most
-            # of the hot list. WAND stays selectable (kernel="wand").
+            # auto (and the "wand" alias) → block-max pruned MaxScore
+            # (rank-identical to exhaustive, fuzz-pinned). Control loop is
+            # per segment chunk, never per candidate; on flat score
+            # distributions it detects that pruning isn't biting and bails
+            # to the exhaustive kernel, so the worst case stays within a
+            # small constant of exhaustive while skewed corpora (stopword +
+            # rare term) skip decoding most of the hot list. The per-pivot
+            # Python WAND kernel was retired in round 3 (see kernels.py) —
+            # it never beat this kernel on any fixture.
             docs, scores = kernels.score_blockmax(plists, k)
         return pd.DataFrame(
             {"query_id": np.full(docs.size, query_id, dtype=np.int64),

@@ -299,188 +299,11 @@ def score_blockmax(
     return topk_select(cand, scores, k)
 
 
-def score_wand(
-    plists: list[TermPostings],
-    k: int,
-    theta0: float = -np.inf,
-) -> tuple[np.ndarray, np.ndarray]:
-    """Block-max WAND (disjunctive). Returns exactly the exhaustive top-k
-    (bounds are conservative, pruning is lossless).
-
-    Cursor state per list: current block index + decoded block arrays +
-    position within block. The outer loop advances pivots; decode/score math
-    on blocks is vectorized numpy; the top-k is a heapq (O(log k)/insert).
-
-    Soundness of the failed-shallow-check skip (the round-1 bug): the pivot
-    group ("lead") is extended to EVERY list whose current doc equals the
-    pivot doc — a tied list can contain the pivot, so omitting it from the
-    shallow bound under-estimates the pivot's score. The skip target is
-    capped at the minimum current doc over non-lead lists (BMW's
-    min(d'+1, cur(p+1)) rule): docs between the lead block boundary and a
-    non-lead cursor could score contributions from that non-lead list which
-    the shallow bound never counted.
-    """
-    import heapq
-
-    n = len(plists)
-    if n == 0 or k <= 0:
-        return np.zeros(0, dtype=np.int64), np.zeros(0)
-    if n == 1:
-        # single list: nothing to prune against — the cursor loop would
-        # visit every posting in python; the vectorized scorer is strictly
-        # better (measured 11 s vs 35 ms on a 1M-posting list)
-        return score_exhaustive(plists, k, "OR")
-
-    # theta warm-up: cold WAND crawls per-posting until k high scores have
-    # been found (measured: 11 s on a stopword+rare query — theta sat below
-    # the stopword's block bounds for ~10% of the hot list). Seeding theta
-    # with the k-th FULL score of the strongest list's own docs is always
-    # sound (real scores only under-estimate the final threshold) and costs
-    # one cheap probe pass when that list is small.
-    if n > 1 and theta0 == -np.inf:
-        ubs0 = np.array([tp.list_ub for tp in plists])
-        seed = int(np.argmax(ubs0))
-        df_seed = int(plists[seed].row["df_shard"])
-        other_blocks = sum(tp.n_blocks for i, tp in enumerate(plists) if i != seed)
-        if df_seed <= 2 * other_blocks:
-            seed_docs = plists[seed].decode_all()[0]
-            if seed_docs.size >= k:
-                seed_scores = _probe_scores(
-                    plists, [dict() for _ in range(n)], seed_docs
-                )
-                kth = np.lexsort((seed_docs, -seed_scores))[k - 1]
-                # just below the kth score: ties at the threshold must still
-                # pass the strict '>' pruning checks
-                theta0 = float(np.nextafter(seed_scores[kth], -np.inf))
-
-    INF = np.iinfo(np.int64).max
-    blk = [0] * n  # current block index
-    bdocs = [None] * n  # decoded docs of current block
-    btfs = [None] * n
-    bdls = [None] * n
-    pos = [0] * n  # index within current block
-    exhausted = [False] * n
-
-    def current_doc(i: int) -> int:
-        if exhausted[i]:
-            return INF
-        if bdocs[i] is None:
-            bdocs[i], btfs[i], bdls[i] = plists[i].decode_one_block(blk[i])
-        return int(bdocs[i][pos[i]])
-
-    def advance_to(i: int, target: int) -> None:
-        """Move cursor i to first doc >= target (skip whole blocks first)."""
-        if exhausted[i]:
-            return
-        tp = plists[i]
-        if tp.block_last[tp.n_blocks - 1] < target:
-            exhausted[i] = True
-            return
-        j2 = int(np.searchsorted(tp.block_last, target, side="left"))
-        if j2 != blk[i] or bdocs[i] is None:
-            blk[i] = j2
-            bdocs[i], btfs[i], bdls[i] = tp.decode_one_block(j2)
-            pos[i] = 0
-        p = int(np.searchsorted(bdocs[i], target, side="left"))
-        if p >= bdocs[i].size:  # cannot happen after the block skip
-            exhausted[i] = True
-            return
-        pos[i] = p
-
-    # min-heap of (score, -doc_id): root = current worst (lowest score,
-    # then largest doc_id) → deterministic (score desc, doc asc) top-k
-    heap: list[tuple[float, int]] = []
-    theta = theta0
-    ubs = np.array([tp.list_ub for tp in plists])
-
-    while True:
-        cur = np.array([current_doc(i) for i in range(n)], dtype=np.int64)
-        if (cur == INF).all():
-            break
-        order = np.argsort(cur, kind="stable")
-        # pivot: first prefix whose UB sum exceeds theta
-        acc = 0.0
-        pivot_idx = -1
-        for r, i in enumerate(order):
-            if cur[i] == INF:
-                break
-            acc += ubs[i]
-            if acc > theta:
-                pivot_idx = r
-                break
-        if pivot_idx < 0:
-            break  # no doc can beat theta
-        pivot_doc = int(cur[order[pivot_idx]])
-        # extend the pivot group through ties: any list currently AT the
-        # pivot doc contributes to its score and must be in the bound
-        while pivot_idx + 1 < n and int(cur[order[pivot_idx + 1]]) == pivot_doc:
-            pivot_idx += 1
-        lead = [int(i) for i in order[: pivot_idx + 1] if cur[i] != INF]
-
-        # shallow (block-max) check: refine UB with current blocks at pivot
-        bub = 0.0
-        for i in lead:
-            tp = plists[i]
-            j = int(np.searchsorted(tp.block_last, pivot_doc, side="left"))
-            if j < tp.n_blocks:
-                bub += float(tp.block_ub[j])
-        if bub <= theta:
-            # pivot (and everything up to the nearest lead block boundary)
-            # can't qualify — skip, capped at the first non-lead cursor
-            nxt = pivot_doc + 1
-            bounds = []
-            for i in lead:
-                tp = plists[i]
-                j = int(np.searchsorted(tp.block_last, pivot_doc, side="left"))
-                if j < tp.n_blocks:
-                    bounds.append(int(tp.block_last[j]))
-            if bounds:
-                nxt = max(nxt, min(bounds) + 1)
-            if pivot_idx + 1 < n:
-                nonlead_cur = int(cur[order[pivot_idx + 1]])
-                if nonlead_cur != INF:
-                    nxt = min(nxt, nonlead_cur)
-            for i in lead:
-                advance_to(i, nxt)
-            continue
-
-        if int(cur[order[0]]) == pivot_doc:
-            # all leading cursors aligned on pivot → fully score it
-            score = 0.0
-            # deterministic order: by list index (caller sorts terms)
-            for i in range(n):
-                if not exhausted[i] and current_doc(i) == pivot_doc:
-                    tf = float(btfs[i][pos[i]])
-                    dl = float(bdls[i][pos[i]])
-                    score += plists[i].idf * float(
-                        bm25.tf_score(np.float64(tf), np.float64(dl), plists[i].avgdl,
-                                      plists[i].k1, plists[i].b)
-                    )
-            item = (score, -pivot_doc)
-            if len(heap) < k:
-                heapq.heappush(heap, item)
-            elif item > heap[0]:
-                heapq.heapreplace(heap, item)
-            if len(heap) == k:
-                theta = heap[0][0]
-            # advance all cursors sitting on pivot
-            for i in range(n):
-                if not exhausted[i] and current_doc(i) == pivot_doc:
-                    pos[i] += 1
-                    if pos[i] >= bdocs[i].size:
-                        blk[i] += 1
-                        pos[i] = 0
-                        bdocs[i] = None
-                        if blk[i] >= plists[i].n_blocks:
-                            exhausted[i] = True
-        else:
-            # advance cursors before the pivot up to it
-            for i in lead:
-                if int(cur[i]) < pivot_doc:
-                    advance_to(i, pivot_doc)
-
-    if not heap:
-        return np.zeros(0, dtype=np.int64), np.zeros(0)
-    heap_docs = np.array([-d for _, d in heap], dtype=np.int64)
-    heap_scores = np.array([s for s, _ in heap], dtype=np.float64)
-    return topk_select(heap_docs, heap_scores, k)
+# score_wand (document-at-a-time block-max WAND with a per-pivot Python
+# cursor loop) was REMOVED in round 3: it was sound and fuzz-pinned after
+# the round-2 fixes, but per-shard it measured 22 ms vs score_blockmax's
+# 3.4 ms on the skewed fixture and never beat either kernel on any fixture
+# (BENCH/BASELINE.md §3) — it only avoided an 11 s single-list pathology
+# via a guard. score_blockmax (vectorized MaxScore with block-granular
+# probes) is the one pruned disjunctive kernel; callers that pass
+# kernel="wand" get it (alias kept for CLI/back-compat).

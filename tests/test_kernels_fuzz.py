@@ -1,10 +1,10 @@
-"""Kernel-level fuzz: score_wand and score_blockmax must be rank- AND
-score-identical to score_exhaustive on random corpora with tiny blocks
-(block_size 4/8 trips the shallow-check/skip paths constantly).
+"""Kernel-level fuzz: score_blockmax must be rank- AND score-identical to
+score_exhaustive on random corpora with tiny blocks (block_size 4/8 trips
+the shallow-check/skip paths constantly).
 
-Regression seeds 7/21/34 reproduced the round-1 WAND unsoundness (skip
-target uncapped at the next non-lead cursor + tied lists dropped from the
-shallow bound): dropped top-1 docs and missing term contributions.
+Seeds 7/21/34 reproduced the round-1 WAND unsoundness; the WAND kernel was
+retired in round 3 (it never beat score_blockmax — see kernels.py), but the
+seeds stay pinned against the surviving pruned kernel.
 """
 
 import numpy as np
@@ -43,13 +43,8 @@ def _assert_kernel_matches(kernel_fn, seed):
 
 
 @pytest.mark.parametrize("seed", [7, 21, 34])  # round-1 failure reproductions
-def test_wand_regression_seeds(seed):
-    _assert_kernel_matches(kernels.score_wand, seed)
-
-
-def test_wand_fuzz_vs_exhaustive():
-    for seed in range(500):
-        _assert_kernel_matches(kernels.score_wand, seed)
+def test_pruned_kernel_regression_seeds(seed):
+    _assert_kernel_matches(kernels.score_blockmax, seed)
 
 
 def test_blockmax_fuzz_vs_exhaustive():

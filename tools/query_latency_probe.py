@@ -106,8 +106,8 @@ def main():
     report["ref_p50_ms"] = round(pctl(lat, 0.5) * 1000)
     report["ref_p95_ms"] = round(pctl(lat, 0.95) * 1000)
 
-    # skewed stopword+rare: auto (MaxScore) vs exhaustive vs wand
-    for kernel in ("auto", "exhaustive", "wand"):
+    # skewed stopword+rare: auto (MaxScore) vs exhaustive (WAND retired r3)
+    for kernel in ("auto", "exhaustive"):
         ts = time_query(spark, index, search, [hot, rare], "OR", kernel)
         report[f"skew_or_{kernel}_p50_ms"] = round(pctl(ts, 0.5) * 1000)
     # hot-only single-term and hot+mid for context
