@@ -41,12 +41,13 @@ class EngineConfig:
     # Shuffle parallelism used for explicit repartitions during the build.
     build_partitions: int = 32
 
-    # Text extraction strategy (functions/extract.py): "body_p" is the
-    # fast-path regex for the well-formed fixture shape; "strip_tags" is the
-    # general messy-HTML extractor (drops script/style/comments, strips tags,
-    # decodes entities, squeezes whitespace). Layout-affecting: persisted in
-    # the index manifest like the analyzer knobs.
-    extract_strategy: str = "body_p"
+    # Text extraction strategy (functions/extract.py): "strip_tags" — the
+    # general messy-HTML extractor (drops script/style/comments, strips
+    # tags, decodes entities, squeezes whitespace), Arrow-C++ on the build
+    # hot path — is the DEFAULT: real Common-Crawl HTML is messy, and the
+    # well-formed-page fast path ("body_p") stays selectable. Layout-
+    # affecting: persisted in the index manifest like the analyzer knobs.
+    extract_strategy: str = "strip_tags"
 
     # Positional postings (phrase-query support). Opt-in: the build then
     # streams token-level rows (with positions) through the encoder instead

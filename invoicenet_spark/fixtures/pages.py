@@ -23,7 +23,12 @@ import pandas as pd
 
 VOCAB_SIZE = 10_000
 EPOCH = np.datetime64("2024-01-01T00:00:00")
-_HTML_TMPL = "<html><head><title>{title}</title></head><body><p>{text}</p></body></html>"
+# Empty <title>: the fixture text is single-spaced alnum words, so BOTH
+# extraction strategies (body_p capture, strip_tags general extractor —
+# the engine default) recover the `text` column byte-identically, keeping
+# every extraction-built index comparable to text-based oracles under
+# either strategy.
+_HTML_TMPL = "<html><head><title></title></head><body><p>{text}</p></body></html>"
 
 # Zipf exponent for term draws (classic web-text shape).
 _ZIPF_S = 1.07
@@ -72,8 +77,7 @@ def gen_doc(seed: int, doc_seq: int, vocab: np.ndarray, probs: np.ndarray) -> di
     lang = "en" if r < 0.90 else ("de" if r < 0.94 else ("fr" if r < 0.97 else "xx"))
     site_id = doc_seq % 97
     url = f"https://site{site_id}.example/p/{doc_seq}"
-    title = f"page {doc_seq}"
-    html = _HTML_TMPL.format(title=title, text=text).encode("utf-8")
+    html = _HTML_TMPL.format(text=text).encode("utf-8")
     return {
         "url": url,
         "warc_ts": EPOCH + np.timedelta64(doc_seq, "s"),

@@ -66,21 +66,26 @@ def word_hash_16(col: str | Column) -> Column:
 
 # F2 — date extraction breadth (reference surface: datefinder across the
 # generator's formats, invoicenet/parsing/date_generator.py:31-78 — month
-# names, 2-digit years, slash/dot/dash numerics). Candidates are regex
-# shapes; each is normalized (initcap month names, strip commas, expand
-# 2-digit years with the POSIX pivot 00-68→20xx / 69-99→19xx) then parsed
-# with a deterministic multi-format try-parse. Separator implies order:
-# slashes/dashes are month-first (US), dots are day-first (EU) — matching
-# the reference's regex pair (invoicenet/common/util.py:45-46).
+# names, 2-digit years, slash/dot/dash numerics, ordinal days, dotted month
+# abbreviations). Candidates are regex shapes; each is normalized (initcap
+# month names, strip commas, drop the "." after abbreviated month names,
+# drop st/nd/rd/th ordinal suffixes, expand 2-digit years with the POSIX
+# pivot 00-68→20xx / 69-99→19xx) then parsed with a deterministic
+# multi-format try-parse. Separator implies order: slashes/dashes are
+# month-first (US), dots are day-first (EU) — matching the reference's
+# regex pair (invoicenet/common/util.py:45-46); a 4-digit leading year
+# (yyyy/M/d, yyyy-M-d) is always year-first.
 _MON3 = "Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec"
+_ORD = r"(?:st|nd|rd|th)"
 DATE_CANDIDATE_RE = (
-    r"\d{4}-\d{2}-\d{2}"
+    r"\d{4}-\d{1,2}-\d{1,2}"
+    r"|\d{4}/\d{1,2}/\d{1,2}"
     r"|\d{1,2}[/.\-]\d{1,2}[/.\-]\d{2,4}"
-    rf"|(?i:{_MON3})[a-z]* \d{{1,2}},? \d{{4}}"
-    rf"|\d{{1,2}} (?i:{_MON3})[a-z]*,? \d{{4}}"
+    rf"|(?i:{_MON3})[a-z]*\.? \d{{1,2}}(?i:{_ORD})?,? \d{{4}}"
+    rf"|\d{{1,2}}(?i:{_ORD})? (?i:{_MON3})[a-z]*\.?,? \d{{4}}"
 )
 DATE_FORMATS = [
-    "yyyy-MM-dd", "M/d/yyyy", "d.M.yyyy", "M-d-yyyy",
+    "yyyy-MM-dd", "yyyy-M-d", "yyyy/M/d", "M/d/yyyy", "d.M.yyyy", "M-d-yyyy",
     "MMM d yyyy", "MMMM d yyyy", "d MMM yyyy", "d MMMM yyyy",
 ]
 _TWO_DIGIT_RE = r"^(\d{1,2})([/.\-])(\d{1,2})[/.\-](\d{2})$"
@@ -92,6 +97,10 @@ def parse_date_candidate(col: str | Column) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     s = F.when(c.rlike("[A-Za-z]"), F.initcap(c)).otherwise(c)
     s = F.regexp_replace(s, ",", "")
+    # "Jan. 5 2023" → "Jan 5 2023" (dot only when it follows a letter, so
+    # EU numeric dots "5.6.2023" survive); "5th Jan 2023" → "5 Jan 2023"
+    s = F.regexp_replace(s, r"(?<=[A-Za-z])\.", "")
+    s = F.regexp_replace(s, r"(?i)(?<=\d)(st|nd|rd|th)\b", "")
     # 2-digit year → 4-digit via the POSIX strptime pivot (00-68 → 20xx,
     # 69-99 → 19xx), so the DuckDB %y oracle agrees exactly
     yy = F.regexp_extract(s, _TWO_DIGIT_RE, 4)

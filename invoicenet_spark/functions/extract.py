@@ -8,11 +8,12 @@ extractor:
 - "body_p"     — greedy `<body><p>…</p></body>` capture; the fast path for
                  well-formed Common-Crawl-style fixture pages (runs in Arrow
                  C++ via pc.extract_regex, zero Python string boxing).
-- "strip_tags" — general messy-HTML extractor: drop <script>/<style> blocks
-                 and comments, strip all tags, decode HTML entities (named +
-                 numeric), squeeze whitespace. Vectorized pandas string ops
-                 over Arrow batches (regex in C; the entity callable runs per
-                 MATCH, and entities are sparse).
+- "strip_tags" — general messy-HTML extractor (the DEFAULT): drop
+                 <script>/<style> blocks and comments, strip all tags,
+                 decode HTML entities (named + numeric), squeeze whitespace.
+                 Runs in Arrow C++ (RE2 regex passes, strip_tags_arrow) on
+                 the build hot path; the pandas pipeline is the semantic
+                 spec and the byte-identity twin.
 - "title"      — `<title>…</title>` capture.
 
 Invariant (BASELINE.json input_hint): extract(html) is **byte-identical per
@@ -178,8 +179,9 @@ def extract_pages_arrow(
 ):
     """pages → (keep..., text) wholly inside one mapInArrow stage.
 
-    body_p runs the regex in Arrow C++; other strategies run the vectorized
-    pandas pipeline on the batch (same Arrow boundary, same output schema).
+    body_p and strip_tags (the default) run their regexes in Arrow C++
+    (RE2); other strategies run the vectorized pandas pipeline on the batch
+    (same Arrow boundary, same output schema).
     """
     cols = list(keep)
 
@@ -187,6 +189,8 @@ def extract_pages_arrow(
         for batch in batches:
             if strategy == "body_p":
                 text = extract_text_arrow(batch.column(html_col))
+            elif strategy == "strip_tags":
+                text = strip_tags_arrow(batch.column(html_col))
             else:
                 py = batch.column(html_col).to_pandas()
                 text = pa.Array.from_pandas(

@@ -111,6 +111,77 @@ def test_extract_invalid_utf8_both_paths_agree():
     assert "�" in ar_out[0]
 
 
+def test_ws_class_equals_python_backslash_s():
+    """The explicit whitespace class (shared by the re and RE2 strip_tags
+    pipelines) must be EXACTLY Python's \\s set — the squeeze/strip passes
+    diverge between paths otherwise."""
+    import re
+
+    from invoicenet_spark.functions.extract import _WS_CLASS
+
+    cls = re.compile(_WS_CLASS)
+    for c in range(0x11000):
+        assert bool(cls.match(chr(c))) == bool(re.match(r"\s", chr(c))), hex(c)
+
+
+def _random_messy_html(rng, depth=0):
+    """Adversarial nested-HTML generator: interleaved/unclosed script &
+    style blocks, comments, entities (valid + junk), random whitespace
+    (incl. unicode), stray '<' and invalid UTF-8 bytes."""
+    pieces = []
+    ws = ["", " ", "\t", "\n", "\xa0", " ", "\x1c", "  \r\n "]
+    words = ["alpha", "beta", "b&amp;w", "x&#65;y", "&nbsp;", "&bogus;", "a<b", "5 &#x42;"]
+    for _ in range(rng.integers(2, 8)):
+        kind = rng.integers(0, 7)
+        w = lambda: ws[rng.integers(0, len(ws))]
+        if kind == 0:
+            pieces.append(w() + words[rng.integers(0, len(words))] + w())
+        elif kind == 1:
+            pieces.append(f"<script type='x'>if (a<b) {{ bad(); }}{w()}</script{w()}>")
+        elif kind == 2:
+            pieces.append(f"<style>p {{x:1}}{w()}</style>")
+        elif kind == 3:
+            pieces.append(f"<!-- {words[rng.integers(0, len(words))]} -->")
+        elif kind == 4:
+            tag = ["div", "span", "P", "br/", "a href='q'"][rng.integers(0, 5)]
+            inner = _random_messy_html(rng, depth + 1) if depth < 2 else "leaf"
+            pieces.append(f"<{tag}>{inner}</{tag.split(' ')[0].rstrip('/')}>")
+        elif kind == 5:
+            pieces.append("<script>unclosed " + w())  # never closed
+        else:
+            pieces.append("plain < not a tag " + w())
+    return "".join(pieces)
+
+
+def test_strip_tags_arrow_byte_identity_fuzz():
+    """Round-2 judge item #5 done-criterion: the Arrow-C++ strip_tags path
+    is byte-identical to the pandas spec over messy nested HTML, including
+    invalid UTF-8 bytes."""
+    import numpy as np
+    import pyarrow as pa
+
+    from invoicenet_spark.functions.extract import strip_tags_arrow
+
+    rng = np.random.default_rng(99)
+    payloads = []
+    for i in range(300):
+        b = _random_messy_html(rng).encode("utf-8")
+        if i % 5 == 0:  # splice invalid bytes mid-stream
+            cut = int(rng.integers(0, len(b) + 1))
+            b = b[:cut] + bytes([0xFF, 0x80, 0xC3]) + b[cut:]
+        payloads.append(b)
+    payloads += [h for h, _ in MESSY_HTML] + [None]
+
+    pd_out = _extract_series(pd.Series(payloads), "strip_tags")
+    ar_out = strip_tags_arrow(pa.array(payloads, type=pa.binary())).to_pylist()
+    for i, b in enumerate(payloads):
+        if b is None:
+            continue
+        assert pd_out.iloc[i].encode() == ar_out[i].encode(), (
+            f"case {i}: {pd_out.iloc[i]!r} != {ar_out[i]!r} for {b!r}"
+        )
+
+
 def test_build_with_strip_tags_strategy(spark, tmp_path):
     """End-to-end: index built over messy HTML with the strip_tags strategy."""
     from invoicenet_spark.config import EngineConfig

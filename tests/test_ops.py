@@ -242,23 +242,31 @@ def test_ann_index_partition_pruning(spark, tmp_path):
     pdf = pd.DataFrame({"vec_id": range(400), "embedding": [v.tolist() for v in vecs]})
     df = spark.createDataFrame(pdf, schema="vec_id long, embedding array<float>")
     idx = str(tmp_path / "ann")
-    similarity.build_ann_index(df, idx, n_planes=5, seed=7)
+    similarity.build_ann_index(df, idx, n_tables=4, n_planes=5, seed=7)
 
     q = vecs[3].tolist()
     res = similarity.lsh_topk_indexed(spark, idx, q, k=5, n_probes=2)
-    # plan: bucket filter is a PartitionFilter on the scan, not a post-scan filter
+    # plan: (tbl, bucket) filter is a PartitionFilter on the scan, not a
+    # post-scan filter
     plan = res._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "bucket" in plan
-    # pruning semantics: the probed frame sees exactly the probed buckets'
-    # occupancy, a small fraction of the corpus (inputFiles() can't be used —
-    # it lists the unfiltered relation)
-    buckets = similarity.query_buckets(q, 5, 7, 2)
-    pruned = spark.read.parquet(f"{idx}/vectors").where(F.col("bucket").isin(buckets))
-    n_probed = pruned.count()
-    per_bucket = sum(
-        spark.read.parquet(f"{idx}/vectors/bucket={b}").count() for b in set(buckets)
-    )
-    assert 0 < n_probed == per_bucket < 400
+    # pruning semantics: the probed frame sees exactly the probed
+    # (tbl, bucket) dirs' occupancy, a small fraction of the corpus×tables
+    # (inputFiles() can't be used — it lists the unfiltered relation)
+    import os
+
+    pred = None
+    per_dir = 0
+    for t in range(4):
+        buckets = set(similarity.query_buckets(q, 5, 7 + t, 2))
+        p = (F.col("tbl") == t) & F.col("bucket").isin(buckets)
+        pred = p if pred is None else (pred | p)
+        for b in buckets:
+            d = f"{idx}/vectors/tbl={t}/bucket={b}"
+            if os.path.exists(d):
+                per_dir += spark.read.parquet(d).count()
+    n_probed = spark.read.parquet(f"{idx}/vectors").where(pred).count()
+    assert 0 < n_probed == per_dir < 4 * 400
     assert res.collect()[0]["vec_id"] == 3  # self in own bucket
 
     # multi-probe recall ≥ single-probe recall against brute force
