@@ -75,6 +75,13 @@ def main():
     lat.sort()
     timings["serving_single_p50"] = round(lat[10], 3)
 
+    # ---- 2c. serving path, 100-query batch (one shared postings read,
+    # serial kernels — measured faster than both a thread pool and the
+    # Spark batch path at this shape)
+    t0 = time.time()
+    search_local(index, queries)
+    timings["serving_batch_100"] = round(time.time() - t0, 3)
+
     # ---- 3. operator queries over the sf dir
     from invoicenet_spark import entrypoints
 

@@ -762,6 +762,137 @@ def _cfg_dict(cfg: EngineConfig) -> dict:
     }
 
 
+# ------------------------------------------------ range-partitioned builds --
+# The multi-host topology the north_rule's scaling target assumes: input is
+# range-partitioned on docID (what an Iceberg table sorted/partitioned on
+# ingest order gives), each executor group builds ONLY the shards inside its
+# docID range, and the outputs concatenate into the final index because
+# shard = doc_id // shard_size is a pure function of the range. The only
+# global artifacts are the doc-id table and the term dictionary
+# (BENCH/BASELINE.md §2); posting data never crosses a range boundary.
+# tests/test_range_local_build.py pins byte-equality of the concatenated
+# shards against a single-process build; tools/range_local_build_probe.py
+# runs the ranges as two core-pinned OS processes.
+
+
+def prepare_global_artifacts(
+    spark: SparkSession,
+    pages: DataFrame,
+    root: str,
+    cfg: EngineConfig | None = None,
+    use_stored_text: bool = False,
+) -> IndexPaths:
+    """Phase 0 of a range-partitioned build: the doc-id table and the term
+    dictionary — small, broadcastable, and the ONLY state range builders
+    share. Everything else is range-local."""
+    cfg = cfg or EngineConfig()
+    paths = IndexPaths(root)
+    os.makedirs(root, exist_ok=True)
+    pages_text = tokens_from_pages(pages, cfg, use_stored_text=use_stored_text)
+    build_doc_table(pages_text, cfg).withColumn("segment", F.lit("base")).write.mode(
+        "overwrite"
+    ).partitionBy("segment").parquet(paths.docs)
+    terms = pages_text.select(
+        F.explode(tokens_col("text", cfg.token_pattern)).alias("term")
+    )
+    _term_dictionary(spark, terms, cfg, paths)
+    _save_manifest(paths, {"config": _cfg_dict(cfg)})
+    return paths
+
+
+def build_index_range(
+    spark: SparkSession,
+    pages: DataFrame,
+    global_root: str,
+    out_dir: str,
+    doc_lo: int,
+    doc_hi: int,
+    cfg: EngineConfig | None = None,
+    use_stored_text: bool = False,
+) -> dict:
+    """One executor group's share of a range-partitioned build: encode and
+    commit ONLY the shards covered by docIDs [doc_lo, doc_hi).
+
+    `pages` is that range's input slice; the global doc table / dictionary
+    are read from global_root (shared storage in a real cluster — copied
+    here so the range build's own commit log stays self-contained). By
+    construction no posting row references a doc outside the range and no
+    shard outside [doc_lo//shard_size, doc_hi//shard_size) is written —
+    the zero-cross-range-exchange property the scaling argument rests on.
+    """
+    import shutil
+
+    cfg = cfg or EngineConfig()
+    manifest = _load_manifest(IndexPaths(global_root))
+    cfg = cfg_from_manifest(manifest, cfg)
+    if doc_lo % cfg.shard_size or (doc_hi % cfg.shard_size):
+        raise ValueError("range bounds must be shard-aligned")
+    paths = IndexPaths(out_dir)
+    os.makedirs(out_dir, exist_ok=True)
+    src_dict = os.path.join(global_root, "term_dict")
+    dst_dict = os.path.join(out_dir, "term_dict")
+    if not os.path.exists(dst_dict):
+        shutil.copytree(src_dict, dst_dict)
+    docs_range = (
+        spark.read.parquet(IndexPaths(global_root).docs)
+        .where((F.col("doc_id") >= doc_lo) & (F.col("doc_id") < doc_hi))
+    )
+    pending = sorted(
+        int(r["shard"]) for r in docs_range.select("shard").distinct().collect()
+    )
+    pages_text = tokens_from_pages(pages, cfg, use_stored_text=use_stored_text)
+    log = ShardLog(out_dir)
+    observed = _encode_and_commit(
+        spark, pages_text, docs_range, pending, cfg, paths, log
+    )
+    log.close()
+    return {"shards": pending, **observed}
+
+
+def merge_range_builds(
+    spark: SparkSession,
+    range_roots: list[str],
+    global_root: str,
+    merged_root: str,
+    cfg: EngineConfig | None = None,
+) -> IndexPaths:
+    """Concatenate range builds into the final index: shard dirs and commit
+    logs are unioned (disjoint by construction — ranges own disjoint shard
+    sets), the global artifacts are carried over, and the terms/stats
+    finalize runs once over the committed whole. On an object store this is
+    pure metadata (the shard logs) plus two aggregates — no posting bytes
+    move."""
+    import shutil
+    import time as _time
+
+    cfg = cfg or EngineConfig()
+    manifest = _load_manifest(IndexPaths(global_root))
+    cfg = cfg_from_manifest(manifest, cfg)
+    paths = IndexPaths(merged_root)
+    os.makedirs(paths.postings, exist_ok=True)
+    shutil.copytree(IndexPaths(global_root).docs, paths.docs, dirs_exist_ok=True)
+    shutil.copytree(
+        os.path.join(global_root, "term_dict"),
+        os.path.join(merged_root, "term_dict"),
+        dirs_exist_ok=True,
+    )
+    log = ShardLog(merged_root)
+    rows = []
+    for root in range_roots:
+        for shard, rec in ShardLog(root).entries().items():
+            if rec.get("status") != "committed":
+                continue
+            src = os.path.join(IndexPaths(root).postings, f"shard={shard}")
+            dst = os.path.join(paths.postings, f"shard={shard}")
+            shutil.copytree(src, dst, dirs_exist_ok=True)
+            rows.append(rec)
+    log.append_many(rows)
+    docs = spark.read.parquet(paths.docs)
+    observed = {"n_docs": docs.count(), "posting_rows": 0, "n_postings": 0}
+    _finalize(spark, docs, cfg, paths, manifest, log, _time.time(), observed)
+    return paths
+
+
 def _load_manifest(paths: IndexPaths) -> dict:
     if os.path.exists(paths.manifest):
         with open(paths.manifest) as f:

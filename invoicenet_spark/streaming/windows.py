@@ -143,7 +143,14 @@ def stream_sessionize(
                 cur[2] += 1
                 cur[3] += float(val)
             state.update(tuple(cur))
-            state.setTimeoutTimestamp((cur[1] + gap_s) * 1000)
+            # clamp: for a group whose newest event sits at/behind the
+            # watermark boundary, last_event+gap can be <= the current
+            # watermark, and Spark rejects a timeout that isn't strictly
+            # ahead of it (IllegalArgumentException fails the whole query).
+            # Clamping to watermark+1ms keeps the group timing out on the
+            # very next trigger — the semantics the gap intends.
+            wm = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(max(wm + 1, (cur[1] + gap_s) * 1000))
         if not closed:
             yield pd.DataFrame(
                 columns=["user_id", "session_start", "session_end", "n_events", "total_value"]

@@ -1,0 +1,108 @@
+"""Range-partitioned build == single build (round-2 judge item #8).
+
+BENCH/BASELINE.md §2 argues the docID-range sharding makes the token
+shuffle range-local: executor groups holding disjoint docID ranges can
+build their shards with ZERO posting data crossing the range boundary,
+sharing only the doc table and term dictionary. This test demonstrates it
+at engine level (extending the N-partition == 1-partition invariant):
+
+  single build  ==  concat( build_range[0,128), build_range[128,256) )
+
+byte-for-byte on every posting row, with each sub-build's output proven to
+reference only its own docID range. tools/range_local_build_probe.py runs
+the same topology as two core-pinned OS processes for BENCH evidence.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from invoicenet_spark.config import EngineConfig
+from invoicenet_spark.fixtures import gen_pages_spark, gen_queries
+from invoicenet_spark.index.build import (
+    build_index,
+    build_index_range,
+    merge_range_builds,
+    prepare_global_artifacts,
+    read_postings,
+    IndexPaths,
+)
+from invoicenet_spark.index.codec import decode_posting_list
+from invoicenet_spark.query.exec import load_index, search
+
+CFG = EngineConfig(shard_size=64, block_size=16, build_partitions=4)
+
+POSTING_KEY_COLS = ["term_id", "shard"]
+BLOB_COLS = ["doc_blob", "tf_blob", "dl_blob"]
+BLOCK_COLS = ["block_last", "block_doc_off", "block_tf_off", "block_dl_off",
+              "block_max_tf", "block_min_dl"]
+
+
+def _rows(spark, root):
+    pdf = (
+        read_postings(spark, IndexPaths(root))
+        .select(*POSTING_KEY_COLS, "df_shard", *BLOB_COLS, *BLOCK_COLS)
+        .toPandas()
+        .sort_values(POSTING_KEY_COLS)
+        .reset_index(drop=True)
+    )
+    return pdf
+
+
+def test_range_builds_concatenate_to_single_build(spark, tmp_path):
+    pages = gen_pages_spark(spark, 240, seed=42, partitions=4)
+
+    full = str(tmp_path / "full")
+    build_index(spark, pages, full, CFG)
+
+    g = str(tmp_path / "global")
+    prepare_global_artifacts(spark, pages, g, CFG)
+    docs = spark.read.parquet(IndexPaths(g).docs)
+    n_docs = docs.count()
+    assert docs.agg(F.max("doc_id")).collect()[0][0] < 256
+
+    # range-partitioned input: each builder receives only its slice of pages
+    ranges = [(0, 128), (128, 256)]
+    roots = []
+    for i, (lo, hi) in enumerate(ranges):
+        urls = [
+            r["url"]
+            for r in docs.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+            .select("url")
+            .collect()
+        ]
+        slice_pages = pages.where(F.col("url").isin(urls))
+        root = str(tmp_path / f"range{i}")
+        res = build_index_range(spark, slice_pages, g, root, lo, hi, CFG)
+        roots.append(root)
+        # the sub-build wrote ONLY shards inside its range...
+        assert all(lo // 64 <= s < hi // 64 for s in res["shards"]), res["shards"]
+        # ...and every posting row decodes to docIDs inside the range:
+        # zero cross-range posting rows, row-level proof
+        pdf = _rows(spark, root)
+        for rec in pdf.to_dict("records"):
+            d, _, _ = decode_posting_list(rec)
+            assert (d >= lo).all() and (d < hi).all(), (rec["term_id"], rec["shard"])
+
+    merged = merge_range_builds(spark, roots, g, str(tmp_path / "merged"), CFG)
+
+    # byte-for-byte posting equality with the single-process build
+    pf, pm = _rows(spark, full), _rows(spark, str(merged.root))
+    assert len(pf) == len(pm) > 0
+    assert (pf["term_id"].values == pm["term_id"].values).all()
+    assert (pf["shard"].values == pm["shard"].values).all()
+    assert (pf["df_shard"].values == pm["df_shard"].values).all()
+    for c in BLOB_COLS:
+        assert all(bytes(a) == bytes(b) for a, b in zip(pf[c], pm[c])), c
+    for c in BLOCK_COLS:
+        assert all(list(a) == list(b) for a, b in zip(pf[c], pm[c])), c
+
+    # and the merged index serves queries rank-identically to the full one
+    idx_f, idx_m = load_index(spark, full), load_index(spark, str(merged.root))
+    assert idx_m.N == idx_f.N == n_docs
+    q = gen_queries(20, seed=42)
+    rf = [(r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+          for r in search(spark, idx_f, q).collect()]
+    rm = [(r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+          for r in search(spark, idx_m, q).collect()]
+    assert sorted(rf) == sorted(rm)
