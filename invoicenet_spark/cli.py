@@ -45,7 +45,10 @@ def main(argv=None):
     s.add_argument("--terms", required=True, help="comma-separated")
     s.add_argument("--mode", default="OR", choices=["OR", "AND", "PHRASE"])
     s.add_argument("-k", type=int, default=10)
-    s.add_argument("--kernel", default="auto", choices=["auto", "wand", "exhaustive"])
+    s.add_argument("--kernel", default="auto", choices=["auto", "wand", "exhaustive"],
+                   help="'auto' = vectorized MaxScore block-max pruning; "
+                        "'wand' is a back-compat alias for it (the cursor "
+                        "WAND kernel was retired in round 3)")
     s.add_argument("--local", action="store_true",
                    help="serve driver-locally via pyarrow (no Spark job; "
                         "single-query latency path)")

@@ -394,6 +394,14 @@ def q_ann_cosine_topk(spark, sf_dir):
     )
 
 
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (exact all-pairs twin; the scale
+    path blocks with multi-table LSH first — ops/similarity.py
+    lsh_candidate_pairs, recall contract in BENCH/ANN_RECALL.json)."""
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return similarity.cosine_near_dup_pairs(emb, threshold=0.45)
+
+
 def q_tpch_q1(spark, sf_dir):
     """Generic agg parity (A1/A2 partial+final agg): TPC-H Q1 shape."""
     li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
@@ -669,6 +677,7 @@ QUERIES = {
     "quality_score": q_quality_score,
     "binary_meta": q_binary_meta,
     "ann_cosine_topk": q_ann_cosine_topk,
+    "embedding_near_dup": q_embedding_near_dup,
     "tpch_q1": q_tpch_q1,
     "events_window": q_events_window,
     "sessionize": q_sessionize,
@@ -805,6 +814,15 @@ ORACLE_SQL = {
         SELECT CAST(row_number() OVER (ORDER BY cos_r6 DESC, vec_id) AS BIGINT) AS rank,
                vec_id, cos_r6
         FROM scored QUALIFY rank <= 10 ORDER BY rank
+    """,
+    "embedding_near_dup": """
+        WITH scored AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                              CAST(b.embedding AS DOUBLE[])), 6) AS cos_r6
+          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        )
+        SELECT id_a, id_b, cos_r6 FROM scored WHERE cos_r6 >= 0.45
     """,
     "tpch_q1": (
         "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,"

@@ -68,12 +68,23 @@ def masked_mean(df: DataFrame, value_col: str, mask_col: Column) -> DataFrame:
     )
 
 
-def running_best(df: DataFrame, order_col: str, value_col: str) -> DataFrame:
+def running_best(
+    df: DataFrame, order_col: str, value_col: str, partition_cols: list[str] | None = None
+) -> DataFrame:
     """A5 — running min / best-so-far tracking (invoicenet/common/
     trainer.py:37,68-71: keep best val loss, save on improvement).
-    Emits is_improvement = this row beats everything before it."""
+    Emits is_improvement = this row beats everything before it.
+
+    partition_cols=None is the reference's GLOBAL best-so-far — inherently
+    one total order, so the Window is unpartitioned (fine on a metrics
+    stream, wrong shape for big data). Pass partition_cols (e.g. per
+    experiment / per user) for the scale-safe keyed variant — then the
+    window shuffles on the keys and no single task sees the whole frame."""
     w = Window.orderBy(F.col(order_col)).rowsBetween(Window.unboundedPreceding, 0)
     wprev = Window.orderBy(F.col(order_col)).rowsBetween(Window.unboundedPreceding, -1)
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+        wprev = wprev.partitionBy(*partition_cols)
     return (
         df.withColumn("best_so_far", F.min(value_col).over(w))
         .withColumn(

@@ -125,6 +125,78 @@ def query_buckets(
     return [qsig] + [int(qsig ^ (1 << int(i))) for i in flips[: max(0, n_probes - 1)]]
 
 
+def cosine_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cos_r6) with
+    id_a < id_b and round(cos, 6) ≥ threshold — the embedding analog of
+    jaccard_pairs (the LLM-pipeline near-dup family, SURVEY.md §2 extras).
+
+    candidates=None: exact all-pairs self-join — the DuckDB-oracle twin,
+    quadratic, small-scale/verification use only. candidates=(id_a, id_b)
+    frame: verify ONLY those pairs (work ∝ candidates) — at 100 TB the
+    pairs come from multi-table LSH blocking (lsh_candidate_pairs), same
+    blocker-then-exact-verify topology as minhash_lsh_pairs. Thresholding
+    on the ROUNDED cosine keeps membership engine-portable.
+    """
+    a = embeddings.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    )
+    b = embeddings.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+    )
+    if candidates is not None:
+        pairs = candidates.select("id_a", "id_b").distinct().join(a, "id_a").join(b, "id_b")
+    else:
+        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn("cos_r6", F.round(cosine_col(F.col("va"), F.col("vb")), 6))
+        .where(F.col("cos_r6") >= threshold)
+        .select("id_a", "id_b", "cos_r6")
+    )
+
+
+def lsh_candidate_pairs(
+    embeddings: DataFrame,
+    n_tables: int = 8,
+    n_planes: int = 10,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Blocking stage for embedding near-dup at scale: (id_a, id_b) pairs
+    that collide in ANY of the multi-table LSH buckets — one signature pass
+    per table (vectorized UDF), a self-join per (tbl, bucket), distinct.
+    Work ∝ Σ bucket_occupancy², never n²; recall follows the multi-table
+    contract (ann_recall_curve / BENCH/ANN_RECALL.json)."""
+    dim = len(embeddings.select(vec_col).first()[0])
+    tables = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                hyperplane_signature_udf(dim, n_planes, seed + t)(F.col(vec_col)).alias(
+                    "bucket"
+                ),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    banded = embeddings.withColumn("t", F.explode(tables)).select(
+        F.col(id_col).alias("id"), F.col("t.tbl").alias("tbl"), F.col("t.bucket").alias("bucket")
+    )
+    x, y = banded.alias("x"), banded.alias("y")
+    return (
+        x.join(y, ["tbl", "bucket"])
+        .where(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+
+
 def candidate_mask_numpy(
     corpus: np.ndarray,
     query_vec: np.ndarray,

@@ -92,6 +92,40 @@ def test_neardup_recall_floor(emb):
     assert s2 <= 0.05 and s4 <= 0.08, f"scan fractions {s2:.3f}/{s4:.3f} regressed"
 
 
+def test_lsh_blocked_near_dup_pairs(spark, emb):
+    """Blocker-then-exact-verify topology for embedding near-dup (same
+    shape as minhash_lsh_pairs): plant 20 cos≈0.95 duplicates, assert the
+    LSH-blocked path (lsh_candidate_pairs → cosine_near_dup_pairs on
+    candidates only) recovers ≥80% of what the exact all-pairs path finds,
+    and every pair it reports is also in the exact result."""
+    corpus, ids, _ = emb
+    rng = np.random.default_rng(5)
+    base = corpus[:200]
+    dup_src = rng.choice(200, size=20, replace=False)
+    dups = base[dup_src] + 0.03 * rng.standard_normal((20, base.shape[1]))
+    allv = np.vstack([base, dups])
+    pdf = pd.DataFrame(
+        {"vec_id": range(len(allv)),
+         "embedding": [v.astype(np.float32).tolist() for v in allv]}
+    )
+    sdf = spark.createDataFrame(pdf, schema="vec_id long, embedding array<float>")
+
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.cosine_near_dup_pairs(sdf, threshold=0.9).collect()
+    }
+    assert len(exact) >= 20  # every planted pair qualifies
+    cand = similarity.lsh_candidate_pairs(sdf)
+    blocked = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.cosine_near_dup_pairs(
+            sdf, threshold=0.9, candidates=cand
+        ).collect()
+    }
+    assert blocked <= exact  # verification is exact — no false positives
+    assert len(blocked) / len(exact) >= 0.8, (len(blocked), len(exact))
+
+
 def test_adversarial_topk_recall_documented(emb):
     """The no-gap regime: recall@10 over near-uniform vectors is LOW for
     any sublinear method — pin the measured multi-table value (0.31 at 8

@@ -289,3 +289,27 @@ def test_parse_field_registry_dispatch(spark):
     assert g.select(parse_field("s", "general")).collect()[0][0] == "a b"
     with pytest.raises(ValueError, match="unknown field type"):
         parse_field("raw", "nope")
+
+
+def test_running_best_keyed_variant(spark):
+    """A5 keyed variant: per-key best-so-far windows shuffle on the key
+    (scale-safe) and match a per-key pandas recompute."""
+    from invoicenet_spark.operators.relational import running_best
+
+    pdf = pd.DataFrame(
+        {
+            "k": ["a"] * 4 + ["b"] * 4,
+            "step": [1, 2, 3, 4] * 2,
+            "loss": [5.0, 4.0, 4.5, 3.0, 9.0, 9.5, 8.0, 8.5],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = (
+        running_best(df, "step", "loss", partition_cols=["k"])
+        .orderBy("k", "step")
+        .collect()
+    )
+    assert [r["best_so_far"] for r in out] == [5.0, 4.0, 4.0, 3.0, 9.0, 9.0, 8.0, 8.0]
+    assert [r["is_improvement"] for r in out] == [
+        True, True, False, True, True, False, True, False,
+    ]
