@@ -359,11 +359,15 @@ def search_local(
 
     Batches: the postings read is shared across the whole batch (one
     catalog probe for the union of term_ids), then the per-query kernels
-    run serially by default — measured on a 100k-doc index, a 100-query
-    batch answers in 0.8 s serial vs 2.0 s with 8 threads (the kernels are
-    many small GIL-bound numpy calls; threading only pays when individual
-    queries are heavy) vs 1.4 s for the Spark batch path. Pass n_threads>1
-    to fan heavy queries out over a pool.
+    run serially by default. Measured, 100-query batches: on a 100k-doc
+    index 0.8 s serial vs 1.5 s Spark batch vs 2.0 s with 8 threads; on a
+    1M-doc index 7.2 s serial vs 3.2 s Spark batch vs 37.7 s (!) with 8
+    threads — the kernels are many small GIL-bound numpy calls and thread
+    contention degrades superlinearly, so n_threads>1 is measured to never
+    help on this workload (kept for experimentation only). Division of
+    labor: this path owns interactive/single queries and small-corpus
+    batches; the Spark path owns large-corpus batch throughput (its 32
+    cores run kernels truly in parallel).
     """
     li = local_index(index)
     stats = li.stats
