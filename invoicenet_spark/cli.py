@@ -61,7 +61,36 @@ def main(argv=None):
     g.add_argument("--pages-parquet", default=None, help="pre-generated input")
     g.add_argument("--shard-size", type=int, default=None)
 
+    v = sub.add_parser(
+        "vacuum",
+        help="delete postings data files not referenced by any committed "
+             "shard-log entry (orphans from crashed runs); Spark-free",
+    )
+    v.add_argument("--index", required=True)
+
     args = p.parse_args(argv)
+
+    if args.cmd == "vacuum":
+        from invoicenet_spark.index.build import IndexPaths, vacuum_postings
+
+        removed = vacuum_postings(IndexPaths(args.index))
+        print(json.dumps({"cmd": "vacuum", "removed": len(removed)}))
+        return 0
+
+    if args.cmd == "search" and args.local:
+        # the serving path is Spark-free end-to-end: no session, no JVM —
+        # this is what a query replica's CLI invocation costs
+        import pandas as pd
+
+        from invoicenet_spark.query.local import search_local
+
+        q = pd.DataFrame(
+            [{"query_id": 1, "terms": args.terms.split(","), "mode": args.mode, "k": args.k}]
+        )
+        for r in search_local(args.index, q, kernel=args.kernel).to_dict("records"):
+            print(json.dumps({"rank": int(r["rank"]), "doc_id": int(r["doc_id"]),
+                              "url": r["url"], "score": round(float(r["score"]), 6)}))
+        return 0
 
     from invoicenet_spark.config import EngineConfig
     from invoicenet_spark.session import get_spark
@@ -106,12 +135,7 @@ def main(argv=None):
         q = pd.DataFrame(
             [{"query_id": 1, "terms": args.terms.split(","), "mode": args.mode, "k": args.k}]
         )
-        if args.local:
-            from invoicenet_spark.query.local import search_local
-
-            rows = search_local(index, q, kernel=args.kernel).to_dict("records")
-        else:
-            rows = [r.asDict() for r in search(spark, index, q, kernel=args.kernel).collect()]
+        rows = [r.asDict() for r in search(spark, index, q, kernel=args.kernel).collect()]
         for r in rows:
             print(json.dumps({"rank": int(r["rank"]), "doc_id": int(r["doc_id"]),
                               "url": r["url"], "score": round(float(r["score"]), 6)}))

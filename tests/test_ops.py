@@ -174,6 +174,9 @@ def test_cli_build_and_search(spark, tmp_path):
         spark.read.parquet(f"{idx}/terms").orderBy(F.desc("df")).first()["term"]
     )
     assert main(["search", "--index", idx, "--terms", term, "-k", "3"]) == 0
+    # Spark-free serving CLI (no session started) + vacuum subcommand
+    assert main(["search", "--index", idx, "--terms", term, "--local", "-k", "3"]) == 0
+    assert main(["vacuum", "--index", idx]) == 0
 
 
 def test_normalize_amount_eu(spark):
