@@ -571,18 +571,19 @@ def q_date_extract(spark, sf_dir):
 
 
 def q_date_extract_text(spark, sf_dir):
-    """F2 breadth: first date in free text across 9 surface formats (ISO,
+    """F2 breadth: first date in free text across 11 surface formats (ISO,
     US slash, EU dot, month-name long/short, 2-digit year, yyyy/M/d,
-    ordinal day "5th Jan 2023", dotted month "Jan. 5, 2023" — the round-2
-    judge's remaining datefinder tail,
-    /root/reference/invoicenet/parsing/date_generator.py:31-78) + P4 gate.
-    The oracle is GROUND TRUTH (strftime of the source date), so a hash
-    match means extraction is exact on every format."""
+    yyyy.M.d, ordinal day "5th Jan 2023", dotted month "Jan. 5, 2023",
+    dashed month-name "5-Jan-23" — the datefinder tail of
+    /root/reference/invoicenet/parsing/date_generator.py:31-78, restricted
+    to its deterministically-parseable forms) + P4 gate. The oracle is
+    GROUND TRUTH (strftime of the source date), so a hash match means
+    extraction is exact on every format."""
     from invoicenet_spark.functions.chars import find_first_date
 
     orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
     d, key = F.col("o_orderdate"), F.col("o_orderkey")
-    v = key % 9
+    v = key % 11
     dom = F.dayofmonth(d)
     suffix = (
         F.when(dom.isin(11, 12, 13), F.lit("th"))
@@ -604,12 +605,15 @@ def q_date_extract_text(spark, sf_dir):
             v == 7,  # ordinal day: "5th Jan 2023"
             F.concat(dom.cast("string"), suffix, F.lit(" "), F.date_format(d, "MMM yyyy")),
         )
-        .otherwise(  # dotted month abbreviation: "Jan. 5, 2023"
+        .when(
+            v == 8,  # dotted month abbreviation: "Jan. 5, 2023"
             F.concat(
                 F.date_format(d, "MMM"), F.lit(". "), dom.cast("string"),
                 F.lit(", "), F.date_format(d, "yyyy"),
             )
-        ),
+        )
+        .when(v == 9, F.date_format(d, "yyyy.M.d"))
+        .otherwise(F.date_format(d, "d-MMM-yy")),  # "5-Jan-23"
         F.lit(" due upon receipt"),
     )
     return orders.select("o_orderkey", find_first_date(txt).alias("date_found"))

@@ -78,17 +78,21 @@ def word_hash_16(col: str | Column) -> Column:
 _MON3 = "Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec"
 _ORD = r"(?:st|nd|rd|th)"
 DATE_CANDIDATE_RE = (
-    r"\d{4}-\d{1,2}-\d{1,2}"
-    r"|\d{4}/\d{1,2}/\d{1,2}"
+    r"\d{4}[-./]\d{1,2}[-./]\d{1,2}"
     r"|\d{1,2}[/.\-]\d{1,2}[/.\-]\d{2,4}"
     rf"|(?i:{_MON3})[a-z]*\.? \d{{1,2}}(?i:{_ORD})?,? \d{{4}}"
     rf"|\d{{1,2}}(?i:{_ORD})? (?i:{_MON3})[a-z]*\.?,? \d{{4}}"
+    rf"|\d{{1,2}}-(?i:{_MON3})[a-z]*\.?-\d{{2,4}}"
 )
 DATE_FORMATS = [
-    "yyyy-MM-dd", "yyyy-M-d", "yyyy/M/d", "M/d/yyyy", "d.M.yyyy", "M-d-yyyy",
-    "MMM d yyyy", "MMMM d yyyy", "d MMM yyyy", "d MMMM yyyy",
+    "yyyy-MM-dd", "yyyy-M-d", "yyyy/M/d", "yyyy.M.d", "M/d/yyyy", "d.M.yyyy",
+    "M-d-yyyy", "MMM d yyyy", "MMMM d yyyy", "d MMM yyyy", "d MMMM yyyy",
+    "d-MMM-yyyy", "d-MMMM-yyyy",
 ]
 _TWO_DIGIT_RE = r"^(\d{1,2})([/.\-])(\d{1,2})[/.\-](\d{2})$"
+# 2-digit-year month-name form ("5-Jan-23"): expand the year with the same
+# POSIX pivot before the multi-format parse
+_TWO_DIGIT_MON_RE = r"^(\d{1,2}-[A-Za-z]+-)(\d{2})$"
 
 
 def parse_date_candidate(col: str | Column) -> Column:
@@ -114,6 +118,10 @@ def parse_date_candidate(col: str | Column) -> Column:
         yy,
     )
     s = F.when(yy != "", rebuilt).otherwise(s)
+    yy2 = F.regexp_extract(s, _TWO_DIGIT_MON_RE, 2)
+    century2 = F.when(yy2.cast("int") <= 68, F.lit("20")).otherwise(F.lit("19"))
+    rebuilt2 = F.concat(F.regexp_extract(s, _TWO_DIGIT_MON_RE, 1), century2, yy2)
+    s = F.when(yy2 != "", rebuilt2).otherwise(s)
     return F.coalesce(*[F.try_to_timestamp(s, F.lit(fmt)) for fmt in DATE_FORMATS])
 
 
