@@ -61,6 +61,16 @@ def main(argv=None):
     g.add_argument("--pages-parquet", default=None, help="pre-generated input")
     g.add_argument("--shard-size", type=int, default=None)
 
+    c = sub.add_parser(
+        "compact",
+        help="merge small docID-range shards into a larger shard_size by "
+             "decode→re-encode of the postings (no re-tokenize); the "
+             "Lucene-merge-policy analog for incremental indexes",
+    )
+    c.add_argument("--index", required=True)
+    c.add_argument("--shard-size", type=int, required=True, dest="new_shard_size")
+    c.add_argument("--cores", type=int, default=None)
+
     v = sub.add_parser(
         "vacuum",
         help="delete postings data files not referenced by any committed "
@@ -139,6 +149,12 @@ def main(argv=None):
         for r in rows:
             print(json.dumps({"rank": int(r["rank"]), "doc_id": int(r["doc_id"]),
                               "url": r["url"], "score": round(float(r["score"]), 6)}))
+
+    elif args.cmd == "compact":
+        from invoicenet_spark.index.maintain import compact_index
+
+        out = compact_index(spark, args.index, args.new_shard_size)
+        print(json.dumps({"cmd": "compact", **out}))
 
     elif args.cmd == "bench-build":
         from invoicenet_spark.fixtures import gen_pages_spark

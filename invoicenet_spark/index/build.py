@@ -570,38 +570,8 @@ def _encode_and_commit(
     # range matches (Lucene-segment-ish granularity; the sequential-scan
     # penalty of smaller groups is a few % and scans are not this table's
     # job).
-    os.makedirs(paths.postings, exist_ok=True)
-    pre_existing = {s: _parquet_basenames(paths.postings, s) for s in pending}
     try:
-        encoded.write.mode("append").option(
-            "parquet.block.size", str(1 << 20)
-        ).partitionBy("shard").parquet(paths.postings)
-
-        if fail_after_shards is None:
-            # one batched append, one flush — O(committed lines) driver work
-            log.append_many(
-                [
-                    {
-                        "shard": int(s),
-                        "status": "committed",
-                        "files": sorted(_parquet_basenames(paths.postings, s) - pre_existing[s]),
-                    }
-                    for s in pending
-                ]
-            )
-        else:
-            # test hook: commit the first k shards' log lines then raise —
-            # the remaining shards' files exist on disk but stay invisible
-            # (uncommitted) until a resume re-encodes and commits them
-            committed = 0
-            for shard in pending:
-                if committed >= fail_after_shards:
-                    raise RuntimeError(
-                        f"injected failure after {committed} shards (test hook)"
-                    )
-                new_files = sorted(_parquet_basenames(paths.postings, shard) - pre_existing[shard])
-                log.append(shard, status="committed", files=new_files)
-                committed += 1
+        write_and_commit_postings(encoded, pending, paths, log, fail_after_shards)
     finally:
         pairs.unpersist()
     enc = _obs_metrics(obs_enc)
@@ -614,6 +584,54 @@ def _encode_and_commit(
         "posting_rows": int(enc.get("posting_rows") or 0),
         "n_postings": int(enc.get("n_postings") or 0),
     }
+
+
+def write_and_commit_postings(
+    encoded: DataFrame,
+    pending: list[int],
+    paths: IndexPaths,
+    log: ShardLog,
+    fail_after_shards: int | None = None,
+    also_append: list[dict] | None = None,
+) -> None:
+    """The object-store commit step, shared by the build and compaction
+    paths: append-write the encoded posting rows straight into the final
+    shard=N dirs, then log each shard's new-file list (the sole commit
+    point). Driver work = O(committed lines), zero renames. also_append:
+    extra log records written in the SAME batched append (e.g. compaction
+    retiring absorbed shards atomically with the new commits)."""
+    os.makedirs(paths.postings, exist_ok=True)
+    pre_existing = {s: _parquet_basenames(paths.postings, s) for s in pending}
+    encoded.write.mode("append").option(
+        "parquet.block.size", str(1 << 20)
+    ).partitionBy("shard").parquet(paths.postings)
+
+    if fail_after_shards is None:
+        # one batched append, one flush — O(committed lines) driver work
+        log.append_many(
+            [
+                {
+                    "shard": int(s),
+                    "status": "committed",
+                    "files": sorted(_parquet_basenames(paths.postings, s) - pre_existing[s]),
+                }
+                for s in pending
+            ]
+            + list(also_append or [])
+        )
+    else:
+        # test hook: commit the first k shards' log lines then raise —
+        # the remaining shards' files exist on disk but stay invisible
+        # (uncommitted) until a resume re-encodes and commits them
+        committed = 0
+        for shard in pending:
+            if committed >= fail_after_shards:
+                raise RuntimeError(
+                    f"injected failure after {committed} shards (test hook)"
+                )
+            new_files = sorted(_parquet_basenames(paths.postings, shard) - pre_existing[shard])
+            log.append(shard, status="committed", files=new_files)
+            committed += 1
 
 
 def _obs_metrics(obs) -> dict:
