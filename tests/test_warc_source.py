@@ -1,0 +1,104 @@
+"""WARC source (sources/warc.py): Common Crawl's native format → pages.
+
+Covers: plain + per-record-gzipped archives (the Common Crawl shape),
+non-response records skipped, HTTP envelope stripped byte-exactly,
+timestamps parsed, extraction + lang-id fill the pages schema, and an
+end-to-end index build over WARC input answers queries.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from invoicenet_spark.sources.warc import parse_warc, read_warc_pages, write_warc
+
+HTML_EN = (
+    "<html><head><title>T</title></head><body><p>the quick brown fox and the "
+    "lazy dog that was with a cat in the house</p></body></html>"
+).encode()
+HTML_DE = (
+    "<html><body><p>der hund und die katze sind das haus mit einem brief und "
+    "nicht auf dem tisch</p></body></html>"
+).encode()
+
+
+def _records():
+    return [
+        ("https://a.example/1", "2024-01-01T00:00:00Z", HTML_EN),
+        ("https://b.example/2", "2024-01-02T12:30:00Z", HTML_DE),
+        ("https://c.example/3", None, b"<body><p>plain text body</p></body>"),
+    ]
+
+
+def test_parse_roundtrip_plain_and_gzip(tmp_path):
+    for gz in (False, True):
+        p = str(tmp_path / (f"t{'gz' if gz else ''}.warc" + (".gz" if gz else "")))
+        write_warc(_records(), p, gzip_per_record=gz)
+        got = list(parse_warc(open(p, "rb").read()))
+        assert [(u, h) for u, _, h in got] == [(u, h) for u, _, h in _records()]
+        assert got[0][1] == "2024-01-01T00:00:00Z"
+
+
+def test_parse_skips_non_response_records(tmp_path):
+    p = str(tmp_path / "mix.warc")
+    req = (
+        b"WARC/1.0\r\nWARC-Type: request\r\n"
+        b"WARC-Target-URI: https://a.example/1\r\nContent-Length: 10\r\n\r\n"
+        b"GET / HTTP\r\n\r\n"
+    )
+    info = (
+        b"WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 4\r\n\r\nabcd\r\n\r\n"
+    )
+    with open(p, "wb") as f:
+        f.write(info + req)
+    write_warc(_records()[:1], str(tmp_path / "resp.warc"))
+    with open(p, "ab") as f:
+        f.write(open(str(tmp_path / "resp.warc"), "rb").read())
+    got = list(parse_warc(open(p, "rb").read()))
+    assert len(got) == 1 and got[0][0] == "https://a.example/1"
+    assert got[0][2] == HTML_EN  # HTTP envelope stripped byte-exactly
+
+
+def test_read_warc_pages_schema_and_langid(spark, tmp_path):
+    d = str(tmp_path / "archives")
+    os.makedirs(d)
+    write_warc(_records()[:2], os.path.join(d, "a.warc.gz"), gzip_per_record=True)
+    write_warc(_records()[2:], os.path.join(d, "b.warc"))
+    pages = read_warc_pages(spark, d)
+    rows = {r["url"]: r for r in pages.collect()}
+    assert set(rows) == {"https://a.example/1", "https://b.example/2", "https://c.example/3"}
+    assert rows["https://a.example/1"]["lang"] == "en"
+    assert rows["https://b.example/2"]["lang"] == "de"
+    assert rows["https://a.example/1"]["warc_ts"].year == 2024
+    # strip_tags extraction: title + body text, tags gone
+    assert "quick brown fox" in rows["https://a.example/1"]["text"]
+    assert "<" not in rows["https://a.example/1"]["text"]
+    assert bytes(rows["https://a.example/1"]["html"]) == HTML_EN
+
+
+def test_build_index_over_warc(spark, tmp_path):
+    from invoicenet_spark.config import EngineConfig
+    from invoicenet_spark.query.exec import load_index, search
+
+    d = str(tmp_path / "archives")
+    os.makedirs(d)
+    recs = [
+        (f"https://site.example/{i}", "2024-01-01T00:00:00Z",
+         f"<html><body><p>the common crawl page number {i} about the quick fox</p></body></html>".encode())
+        for i in range(40)
+    ]
+    write_warc(recs, os.path.join(d, "seg.warc.gz"), gzip_per_record=True)
+    pages = read_warc_pages(spark, d)
+    from invoicenet_spark.index.build import build_index
+
+    out = str(tmp_path / "idx")
+    cfg = EngineConfig(shard_size=32, block_size=8, build_partitions=2)
+    build_index(spark, pages, out, cfg, use_stored_text=True)
+    import pandas as pd
+
+    res = search(
+        spark, load_index(spark, out),
+        pd.DataFrame([{"query_id": 1, "terms": ["quick", "fox"], "mode": "AND", "k": 5}]),
+    ).collect()
+    assert len(res) == 5
