@@ -39,17 +39,19 @@ from pyspark.sql.types import StringType
 _BODY_RE = r"(?s)<body><p>(.*)</p></body>"
 _TITLE_RE = r"<title>(.*?)</title>"
 
-# strip_tags pipeline pieces (order matters: script blocks → style blocks →
+# strip_tags pipeline pieces (order matters: script/style blocks →
 # comments → tags → entities → whitespace; decoding entities before
 # tag-stripping would let &lt;script&gt; smuggle markup back in).
 #
 # Every pattern is expressible IDENTICALLY in Python `re` and in RE2
-# (pyarrow's pc.replace_substring_regex): no backreferences (script/style
-# are two sequential passes, not one alternation with \1 — two-pass is the
-# pinned semantic on BOTH paths), and whitespace uses an explicit character
-# class because RE2's `\s` is ASCII-only while Python's matches the full
-# Unicode White_Space set (plus \x1c-\x1f). The class below IS Python's \s
-# set, enumerated (a test pins the equivalence against r"\s").
+# (pyarrow's pc.replace_substring_regex): the script/style pass writes the
+# two branches out in full instead of `<(script|style)…</\1>` (RE2 has no
+# backreferences; the explicit alternation keeps the ORIGINAL single-pass
+# leftmost-match semantics for interleaved script/style tags), and
+# whitespace uses an explicit character class because RE2's `\s` is
+# ASCII-only while Python's matches the full Unicode White_Space set (plus
+# \x1c-\x1f). The class below IS Python's \s set, enumerated (a test pins
+# the equivalence against r"\s").
 _WS_CODEPOINTS = (
     list(range(0x09, 0x0E))          # \\t \\n \\v \\f \\r
     + list(range(0x1C, 0x21))        # FS GS RS US, space
@@ -58,8 +60,10 @@ _WS_CODEPOINTS = (
     + [0x2028, 0x2029, 0x202F, 0x205F, 0x3000]
 )
 _WS_CLASS = "[" + "".join(map(chr, _WS_CODEPOINTS)) + "]"
-_SCRIPT_RE = rf"(?is)<script\b[^>]*>.*?</script{_WS_CLASS}*>"
-_STYLE_RE = rf"(?is)<style\b[^>]*>.*?</style{_WS_CLASS}*>"
+_SCRIPT_STYLE_RE = (
+    rf"(?is)<script\b[^>]*>.*?</script{_WS_CLASS}*>"
+    rf"|<style\b[^>]*>.*?</style{_WS_CLASS}*>"
+)
 _COMMENT_RE = r"(?s)<!--.*?-->"
 _TAG_RE = r"(?s)</?[a-zA-Z!][^>]*>"
 _ENTITY_RE = r"&(?:#[0-9]{1,7}|#x[0-9a-fA-F]{1,6}|[a-zA-Z][a-zA-Z0-9]{1,30});"
@@ -68,8 +72,7 @@ _EDGE_SPACE_RE = r"^ | $"  # after the squeeze, edges hold at most one ' '
 
 
 def _strip_tags_series(s: pd.Series) -> pd.Series:
-    out = s.str.replace(_SCRIPT_RE, " ", regex=True)
-    out = out.str.replace(_STYLE_RE, " ", regex=True)
+    out = s.str.replace(_SCRIPT_STYLE_RE, " ", regex=True)
     out = out.str.replace(_COMMENT_RE, " ", regex=True)
     out = out.str.replace(_TAG_RE, " ", regex=True)
     # html.unescape per MATCH (not per row); unknown entities pass through
@@ -156,7 +159,7 @@ def strip_tags_arrow(html: pa.Array) -> pa.Array:
     row never leaves C++. Byte-identity with _strip_tags_series is pinned
     by a nested-messy-HTML fuzz test (incl. invalid UTF-8)."""
     s = _decode_utf8_arrow(html)
-    for pat in (_SCRIPT_RE, _STYLE_RE, _COMMENT_RE, _TAG_RE):
+    for pat in (_SCRIPT_STYLE_RE, _COMMENT_RE, _TAG_RE):
         s = pc.replace_substring_regex(s, pattern=pat, replacement=" ")
     mask = pc.match_substring_regex(s, _ENTITY_RE)
     if pc.any(mask).as_py():

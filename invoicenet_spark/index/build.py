@@ -110,8 +110,11 @@ def committed_postings_files(paths: IndexPaths) -> list[str] | None:
         files.extend(
             os.path.join(paths.postings, f"shard={shard}", f) for f in fl
         )
-    if not saw_committed or not files:
+    if not saw_committed:
         return None
+    # an all-empty-file-list committed state is NOT legacy: return [] so
+    # readers serve the (legitimately empty) committed view instead of
+    # falling back to a directory scan that could expose orphans
     return sorted(files)
 
 
@@ -121,6 +124,8 @@ def read_postings(spark: SparkSession, paths: IndexPaths) -> DataFrame:
     files = committed_postings_files(paths)
     if files is None:
         return spark.read.parquet(paths.postings)
+    if not files:
+        return spark.createDataFrame([], POSTINGS_SCHEMA + ", shard long")
     return spark.read.option("basePath", paths.postings).parquet(*files)
 
 
@@ -438,6 +443,12 @@ def build_index(
         ).write.mode("overwrite").partitionBy("segment").parquet(paths.docs)
         docs = spark.read.parquet(paths.docs)
         manifest["phase1_sec"] = round(time.time() - t0, 3)
+    # the stored `shard` column is advisory — derive it from the LAYOUT
+    # (manifest shard_size) so it can never go stale (compaction changes
+    # shard_size without rewriting the docs table)
+    docs = docs.withColumn(
+        "shard", (F.col("doc_id") / F.lit(cfg.shard_size)).cast("long")
+    )
 
     all_shards = sorted(
         int(r["shard"]) for r in docs.select("shard").distinct().collect()
@@ -656,12 +667,22 @@ def _dict_next_term_id(dict_path: str) -> int:
         for f in names:
             if not f.endswith(".parquet") or f.startswith((".", "_")):
                 continue
-            md = pq.ParquetFile(os.path.join(dirpath, f)).metadata
+            full = os.path.join(dirpath, f)
+            pf = pq.ParquetFile(full)
+            md = pf.metadata
             ti = md.schema.names.index("term_id")
             for i in range(md.num_row_groups):
                 st = md.row_group(i).column(ti).statistics
                 if st is not None and st.max is not None:
                     mx = max(mx, int(st.max))
+                elif md.row_group(i).num_rows:
+                    # stats absent (foreign writer config): read the column —
+                    # silently skipping would under-compute the offset and
+                    # assign COLLIDING term ids
+                    col = pf.read_row_group(i, columns=["term_id"]).column("term_id")
+                    import pyarrow.compute as _pc
+
+                    mx = max(mx, int(_pc.max(col).as_py()))
     return mx + 1
 
 
@@ -725,8 +746,14 @@ def _finalize(
         "block_size": cfg.block_size,
         "with_positions": cfg.with_positions,
     }
-    with open(paths.stats, "w") as f:
+    # atomic replace: the serving path's freshness protocol keys on
+    # stats.json (mtime_ns, size) as the index generation — a truncating
+    # in-place write would expose a partial/empty file to a concurrently
+    # reading replica
+    tmp_stats = paths.stats + ".tmp"
+    with open(tmp_stats, "w") as f:
         json.dump(stats, f)
+    os.replace(tmp_stats, paths.stats)
 
     build_sec = round(time.time() - t0, 3)
     # per-shard metrics refresh: ONE batched log append (latest line per

@@ -30,7 +30,6 @@ update's next-shard-boundary math stays aligned).
 
 from __future__ import annotations
 
-import os
 import time
 
 import numpy as np
@@ -146,17 +145,11 @@ def compact_index(
     ]
     write_and_commit_postings(encoded, new_shards, paths, log, also_append=retire)
 
-    # docs table carries a derived `shard` column — refresh it to the new
-    # boundaries (small table: one row per doc)
-    docs = spark.read.parquet(paths.docs).withColumn(
-        "shard", (F.col("doc_id") / F.lit(new_shard_size)).cast("long")
-    )
-    tmp = paths.docs + "_compact_tmp"
-    docs.write.mode("overwrite").partitionBy("segment").parquet(tmp)
-    import shutil
-
-    shutil.rmtree(paths.docs)
-    os.rename(tmp, paths.docs)
+    # the docs table is NOT touched: its stored `shard` column is advisory
+    # (every consumer derives shard from doc_id + the manifest shard_size),
+    # so compaction mutates nothing outside the commit log + new postings
+    # files — no rewrite window in which readers could see a missing or
+    # half-swapped docs table.
 
     # persist the new layout, then refresh terms/stats/metrics
     manifest.setdefault("config", {})["shard_size"] = int(new_shard_size)

@@ -51,14 +51,32 @@ def _spread_small_input(df: DataFrame) -> DataFrame:
     Sizing uses inputFiles() (driver-side metadata, Connect-compatible) —
     NOT df.rdd.getNumPartitions(), which materializes the plan into an RDD
     on every call (round-2 judge wrong-item #4). Frames with no file
-    provenance (in-memory test frames) count as small — they are."""
+    provenance (in-memory test frames) count as small — they are. File
+    count alone is NOT a proxy for scan parallelism (one 10 GB file scans
+    as ~80 split partitions), so the guard also checks total bytes where
+    the filesystem exposes them and never repartitions a large input."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     try:
-        n_files = len(df.inputFiles())
+        in_files = df.inputFiles()
     except Exception:
-        n_files = 0
-    if n_files < min(target, 8):
+        in_files = []
+    if len(in_files) >= min(target, 8):
+        return df
+    total = 0
+    for uri in in_files:
+        if uri.startswith("file:"):
+            import os
+            from urllib.parse import urlparse
+
+            try:
+                total += os.path.getsize(urlparse(uri).path)
+            except OSError:
+                pass
+        else:
+            return df  # non-local fs: can't size cheaply — don't shuffle
+    # few files AND small (≤ ~4 row groups' worth per core): spread them
+    if total <= 128 * (1 << 20):
         return df.repartition(target)
     return df
 

@@ -346,6 +346,14 @@ def lsh_topk_indexed(
 
     with open(os.path.join(index_dir, "ann_meta.json")) as f:
         meta = json.load(f)
+    if "n_tables" not in meta:
+        # round-2 single-table layout (no tbl partition column): probe the
+        # bucket list directly instead of crashing on the new meta field
+        buckets = query_buckets(query_vec, meta["n_planes"], meta["seed"], n_probes)
+        df = spark.read.parquet(os.path.join(index_dir, "vectors")).where(
+            F.col("bucket").isin(buckets)
+        )
+        return brute_force_topk(df, query_vec, k, meta["id_col"], meta["vec_col"])
     pred = None
     for t in range(meta["n_tables"]):
         buckets = query_buckets(query_vec, meta["n_planes"], meta["seed"] + t, n_probes)

@@ -77,33 +77,60 @@ class _PostingsCatalog:
         if files is None:
             d = ds.dataset(path, format="parquet", partitioning="hive")
             files = [frag.path for frag in d.get_fragments()]
-        # (path, shard, [(rg_idx, lo, hi), ...]) — row-group granularity
+        # (path, shard, [(rg_idx, lo, hi), ...]) — row-group granularity.
+        # Handles are NOT retained here: an index can have far more files
+        # than the fd limit, so footers are read through a transient handle
+        # at open and reads go through the bounded-LRU _handle() below.
+        import threading
+
         self.files: list[tuple[str, int, list[tuple[int, int, int]]]] = []
-        self._handles: dict[str, "pq.ParquetFile"] = {}
+        self._handles: "OrderedDict[str, pq.ParquetFile]" = OrderedDict()
+        self._lock = threading.Lock()
+        self._schema_names: list[str] = []
         for fpath in files:
             pf = pq.ParquetFile(fpath)
-            md = pf.metadata
-            if md.num_rows == 0:
-                continue
-            col_idx = pf.schema_arrow.names.index("term_id")
-            rgs = []
-            for i in range(md.num_row_groups):
-                st = md.row_group(i).column(col_idx).statistics
-                if st is None or st.min is None or st.max is None:
-                    rgs.append((i, _INT64_MIN, _INT64_MAX))
-                else:
-                    rgs.append((i, int(st.min), int(st.max)))
-            m = re.search(r"shard=(\d+)", fpath)
-            self.files.append((fpath, int(m.group(1)), rgs))
-            self._handles[fpath] = pf
+            try:
+                md = pf.metadata
+                if md.num_rows == 0:
+                    continue
+                if not self._schema_names:
+                    self._schema_names = list(pf.schema_arrow.names)
+                col_idx = pf.schema_arrow.names.index("term_id")
+                rgs = []
+                for i in range(md.num_row_groups):
+                    st = md.row_group(i).column(col_idx).statistics
+                    if st is None or st.min is None or st.max is None:
+                        rgs.append((i, _INT64_MIN, _INT64_MAX))
+                    else:
+                        rgs.append((i, int(st.min), int(st.max)))
+                m = re.search(r"shard=(\d+)", fpath)
+                self.files.append((fpath, int(m.group(1)), rgs))
+            finally:
+                pf.close()
 
-    def _handle(self, path: str):
+    _MAX_OPEN_HANDLES = 256
+
+    def _handles_for(self, paths: list[str]) -> dict:
+        """Resolve open handles for one read, SERIALLY under the lock (the
+        per-file fetch threads must never mutate the LRU). Hot term-range
+        files stay open across queries; fd usage is bounded by
+        max(_MAX_OPEN_HANDLES, files this read touches) — a function of
+        query fan-out, never of index size."""
         import pyarrow.parquet as pq
 
-        h = self._handles.get(path)
-        if h is None:
-            h = self._handles[path] = pq.ParquetFile(path)
-        return h
+        cap = max(self._MAX_OPEN_HANDLES, len(paths))
+        out = {}
+        with self._lock:
+            for p in paths:
+                h = self._handles.get(p)
+                if h is None:
+                    h = self._handles[p] = pq.ParquetFile(p)
+                self._handles.move_to_end(p)
+                out[p] = h
+            while len(self._handles) > cap:
+                _, old = self._handles.popitem(last=False)
+                old.close()
+        return out
 
     def read(self, term_ids: list[int], with_positions: bool = False) -> pd.DataFrame:
         from concurrent.futures import ThreadPoolExecutor
@@ -119,19 +146,21 @@ class _PostingsCatalog:
             if hit_rgs:
                 work.append((path, shard, hit_rgs))
         columns = None
-        if not with_positions and self.files:
+        if not with_positions and self._schema_names:
             # column pruning: the position stream is by far the fattest
             # column (hot terms carry MBs of positions) and only PHRASE
             # queries decode it
-            schema_names = self._handle(self.files[0][0]).schema_arrow.names
-            columns = [c for c in schema_names if c not in ("pos_blob", "block_pos_off")]
+            columns = [
+                c for c in self._schema_names if c not in ("pos_blob", "block_pos_off")
+            ]
+        handles = self._handles_for([p for p, _, _ in work])
 
         def fetch(item):
             path, shard, hit_rgs = item
             # Arrow-level row filter BEFORE pandas conversion: materializing
             # non-matching rows' nested blobs into python objects was the
             # hot spot, not the I/O
-            t = self._handle(path).read_row_groups(hit_rgs, columns=columns)
+            t = handles[path].read_row_groups(hit_rgs, columns=columns)
             t = t.filter(pc.is_in(t.column("term_id"), value_set=tid_arr))
             return shard, t
 
@@ -179,6 +208,7 @@ class LocalIndex:
             self.stats = json.load(f)
         self._catalog: _PostingsCatalog | None = None
         self._docs_ds = None
+        self._terms_ds = None
         self._dict: pd.DataFrame | None = None
         self._dict_too_big = False
 
@@ -196,12 +226,18 @@ class LocalIndex:
             )
         return self._docs_ds
 
+    def _terms_dataset(self):
+        if self._terms_ds is None:
+            self._terms_ds = ds.dataset(self.paths.terms, format="parquet")
+        return self._terms_ds
+
     def term_info(self, needed: set[str]) -> dict[str, tuple[int, int]]:
         """term → (term_id, df) for the requested terms. The dictionary is
-        held hot when it fits (a serving node's hot dictionary); above
+        held hot when it fits (a serving node's hot dictionary — the common
+        case pays NO dataset/filesystem work per query); above
         MAX_HOT_TERMS the lookup stays a pushed-filter parquet read."""
-        tds = ds.dataset(self.paths.terms, format="parquet")
         if self._dict is None and not self._dict_too_big:
+            tds = self._terms_dataset()
             if tds.count_rows() > self.MAX_HOT_TERMS:  # metadata-only count
                 self._dict_too_big = True
             else:
@@ -210,7 +246,7 @@ class LocalIndex:
         if self._dict is not None:
             hit = self._dict.loc[sorted(needed & set(self._dict.index))]
             return {t: (int(r["term_id"]), int(r["df"])) for t, r in hit.iterrows()}
-        tbl = tds.to_table(
+        tbl = self._terms_dataset().to_table(
             columns=["term", "term_id", "df"],
             filter=ds.field("term").isin(sorted(needed)),
         )

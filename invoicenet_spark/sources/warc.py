@@ -42,15 +42,21 @@ WARC_PAGES_SCHEMA = "url string, warc_ts timestamp, html binary"
 
 def _gunzip_members(data: bytes) -> bytes:
     """Decompress a (possibly multi-member) gzip stream; raw bytes pass
-    through untouched."""
+    through untouched. Tolerant of trailing garbage after a valid member
+    (truncated tails / padding are common in crawl archives): members
+    decode until the remainder no longer starts a gzip header or fails to
+    decompress — everything recovered so far is kept."""
     if data[:2] != b"\x1f\x8b":
         return data
     out = io.BytesIO()
     pos = 0
-    while pos < len(data):
+    while pos < len(data) and data[pos : pos + 2] == b"\x1f\x8b":
         d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
-        out.write(d.decompress(data[pos:]))
-        out.write(d.flush())
+        try:
+            out.write(d.decompress(data[pos:]))
+            out.write(d.flush())
+        except zlib.error:
+            break  # corrupt/truncated member: keep what decoded so far
         if not d.unused_data:
             break
         pos = len(data) - len(d.unused_data)
@@ -123,11 +129,13 @@ def read_warc_pages(
             for content in pdf["content"]:
                 for url, ts, html in parse_warc(bytes(content)):
                     out["url"].append(url)
-                    if ts:
+                    try:
                         t = pd.Timestamp(ts)  # WARC-Date is ISO8601, usually Z
                         if t.tzinfo is not None:
                             t = t.tz_convert("UTC").tz_localize(None)
-                    else:
+                    except (ValueError, TypeError):
+                        # one malformed WARC-Date must not fail the whole
+                        # ~1 GB archive's task — keep the record, null ts
                         t = pd.NaT
                     out["warc_ts"].append(t)
                     out["html"].append(html)

@@ -121,7 +121,13 @@ def update_index(
     docs_new.withColumn("segment", F.lit(segment)).write.mode("append").partitionBy(
         "segment"
     ).parquet(paths.docs)
-    docs_new = spark.read.parquet(paths.docs).where(F.col("doc_id") >= offset)
+    # stored `shard` is advisory — derive from the layout (robust to any
+    # earlier compaction having changed shard_size)
+    docs_new = (
+        spark.read.parquet(paths.docs)
+        .where(F.col("doc_id") >= offset)
+        .withColumn("shard", (F.col("doc_id") / F.lit(cfg.shard_size)).cast("long"))
+    )
 
     new_shards = sorted(
         int(r["shard"]) for r in docs_new.select("shard").distinct().collect()

@@ -311,3 +311,35 @@ def test_structured_streaming_ingestion(spark, tmp_path_factory):
     assert index.N > 0
     res = search(spark, index, gen_queries(5, seed=42)).count()
     assert res >= 0
+
+
+def test_committed_files_empty_state_is_not_legacy(tmp_path):
+    """An all-empty-file-list committed state returns [] (empty committed
+    view), NOT None (legacy directory-scan fallback that could expose
+    orphans); a record MISSING the files key still means legacy."""
+    from invoicenet_spark.index.build import IndexPaths, committed_postings_files
+    from invoicenet_spark.index.shardlog import ShardLog
+
+    paths = IndexPaths(str(tmp_path))
+    log = ShardLog(str(tmp_path))
+    log.append(0, files=[])
+    log.append(1, files=[])
+    assert committed_postings_files(paths) == []
+    log.append(2)  # legacy-style line, no files key
+    assert committed_postings_files(paths) is None
+
+
+def test_dict_next_term_id_without_parquet_stats(tmp_path):
+    """Dictionary offset derivation must not silently return 0 (colliding
+    term ids) when parquet statistics are disabled — it falls back to
+    reading the column."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from invoicenet_spark.index.build import _dict_next_term_id
+
+    d = str(tmp_path / "term_dict")
+    os.makedirs(d)
+    t = pa.table({"term": ["a", "b"], "term_id": pa.array([5, 9], type=pa.int64())})
+    pq.write_table(t, os.path.join(d, "p0.parquet"), write_statistics=False)
+    assert _dict_next_term_id(d) == 10

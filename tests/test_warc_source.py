@@ -102,3 +102,25 @@ def test_build_index_over_warc(spark, tmp_path):
         pd.DataFrame([{"query_id": 1, "terms": ["quick", "fox"], "mode": "AND", "k": 5}]),
     ).collect()
     assert len(res) == 5
+
+
+def test_parse_tolerates_gzip_trailing_garbage_and_bad_dates(spark, tmp_path):
+    """Crawl-data reality: trailing junk after gzip members and malformed
+    WARC-Date headers must not fail the archive's task."""
+    import gzip
+
+    d = str(tmp_path / "arch")
+    os.makedirs(d)
+    p = os.path.join(d, "t.warc.gz")
+    write_warc(_records()[:2], p, gzip_per_record=True)
+    with open(p, "ab") as f:
+        f.write(b"\x00garbage-after-members\xff\xfe")
+    got = list(parse_warc(open(p, "rb").read()))
+    assert [u for u, _, _ in got] == ["https://a.example/1", "https://b.example/2"]
+
+    bad = os.path.join(d, "bad.warc")
+    write_warc([("https://x.example/9", "not-a-date-at-all", b"<p>x</p>")], bad)
+    rows = read_warc_pages(spark, d).collect()
+    by_url = {r["url"]: r for r in rows}
+    assert "https://x.example/9" in by_url
+    assert by_url["https://x.example/9"]["warc_ts"] is None
