@@ -60,7 +60,18 @@ class IndexPaths:
 
     @property
     def docs(self) -> str:
-        return os.path.join(self.root, "docs")
+        """Current docs tree. Manifest-driven (`docs_dir`) so a purge can
+        swap in a rewritten tree with ONE atomic manifest replace — readers
+        flip from the old tree to the new one at a single commit point and
+        never observe a half-rewritten directory; the old tree becomes an
+        orphan for vacuum_docs_dirs(). Fresh builds (no manifest yet) and
+        never-purged indexes use the default "docs"."""
+        try:
+            with open(self.manifest) as f:
+                name = json.load(f).get("docs_dir", "docs")
+        except (OSError, ValueError):
+            name = "docs"
+        return os.path.join(self.root, name)
 
     @property
     def postings(self) -> str:
@@ -153,6 +164,27 @@ def vacuum_postings(paths: IndexPaths) -> list[str]:
             ):
                 os.remove(full)
                 removed.append(full)
+    return removed
+
+
+def vacuum_docs_dirs(paths: IndexPaths) -> list[str]:
+    """Remove docs trees other than the one the manifest points at —
+    orphans left by a purge's atomic docs-dir swap. Safe only when no
+    reader opened the index before the swap is still running (same
+    contract as vacuum_postings). Returns the removed directories."""
+    import shutil
+
+    current = os.path.realpath(paths.docs)
+    removed = []
+    for d in os.listdir(paths.root):
+        full = os.path.join(paths.root, d)
+        if (
+            (d == "docs" or d.startswith("docs_g"))
+            and os.path.isdir(full)
+            and os.path.realpath(full) != current
+        ):
+            shutil.rmtree(full)
+            removed.append(full)
     return removed
 
 
@@ -730,12 +762,20 @@ def _finalize(
     postings, plus the north_rule build metrics (docs/sec, postings/
     partition, merge fan-in). Global df = Σ df_shard over committed shards,
     so it is correct under resume and incremental updates alike."""
+    from invoicenet_spark.index.deletes import read_tombstones_spark
+
     postings = read_postings(spark, paths)
     term_dict = spark.read.parquet(os.path.join(paths.root, "term_dict"))
     df_by_id = postings.groupBy("term_id").agg(F.sum("df_shard").alias("df"))
     terms = term_dict.join(df_by_id, "term_id", "left").fillna(0, subset=["df"])
     terms.write.mode("overwrite").parquet(paths.terms)
 
+    # corpus stats never count tombstoned docs a purge hasn't reclaimed yet
+    # (df above intentionally still does — Lucene semantics: per-term df is
+    # corrected when compaction's purge re-derives it from purged postings)
+    tomb = read_tombstones_spark(spark, paths)
+    if tomb is not None:
+        docs = docs.join(F.broadcast(tomb), "doc_id", "left_anti")
     stats_row = docs.agg(F.count("*").alias("N"), F.avg("doc_len").alias("avgdl")).collect()[0]
     stats = {
         "N": int(stats_row["N"]),

@@ -30,6 +30,7 @@ update's next-shard-boundary math stays aligned).
 
 from __future__ import annotations
 
+import os
 import time
 
 import numpy as np
@@ -89,16 +90,32 @@ def compact_index(
     spark: SparkSession,
     root: str,
     new_shard_size: int,
+    purge_deletes: bool = True,
 ) -> dict:
     """Merge small docID-range shards into shards of `new_shard_size` docs.
 
-    Returns {"old_shards": n, "new_shards": m, "seconds": s}. The compacted
-    index is byte-identical to a fresh build at new_shard_size and serves
-    queries identically (both pinned by tests/test_compaction.py); the
-    manifest/stats record the new layout so later incremental updates align
-    to the new boundaries.
+    Returns {"old_shards": n, "new_shards": m, "purged_docs": p,
+    "seconds": s}. The compacted index is byte-identical to a fresh build at
+    new_shard_size and serves queries identically (both pinned by
+    tests/test_compaction.py); the manifest/stats record the new layout so
+    later incremental updates align to the new boundaries.
+
+    purge_deletes (default): tombstoned docs (index/deletes.py) are dropped
+    during the decode→re-encode pass (the merge-drops-deletions step of the
+    Lucene analogy), a purged docs tree is swapped in via ONE atomic
+    manifest commit (IndexPaths.docs), stats/df are re-derived from the
+    survivors, and the consumed tombstones are cleared. Crash ordering:
+    postings commit → docs tree write → manifest commit → tombstone clear —
+    a crash at any point leaves a consistent index (stale tombstones mask
+    already-purged ids as no-ops; an uncommitted docs tree is an orphan for
+    vacuum_docs_dirs).
     """
     from invoicenet_spark.config import EngineConfig
+    from invoicenet_spark.index.deletes import (
+        clear_tombstones,
+        load_tombstones,
+        read_tombstones_spark,
+    )
 
     paths = IndexPaths(root)
     manifest = _load_manifest(paths)
@@ -114,6 +131,8 @@ def compact_index(
     log = ShardLog(root)
     old_shards = sorted(log.committed())
     positional = bool(cfg.with_positions)
+    tomb = read_tombstones_spark(spark, paths) if purge_deletes else None
+    n_purged = int(load_tombstones(paths).size) if tomb is not None else 0
 
     pairs = read_postings(spark, paths).mapInArrow(
         lambda it: _decode_partition(it, positional),
@@ -122,6 +141,10 @@ def compact_index(
             + ("pos long" if positional else "tf long")
         ),
     )
+    if tomb is not None:
+        # physical purge: drop tombstoned docs from the decoded pair rows —
+        # the re-encode below then writes postings that never contained them
+        pairs = pairs.join(F.broadcast(tomb), "doc_id", "left_anti")
     shard_expr = (F.col("doc_id") / F.lit(new_shard_size)).cast("long")
     sort_cols = ["term_id", "doc_id", "pos"] if positional else ["term_id", "doc_id"]
     encoded = (
@@ -145,21 +168,40 @@ def compact_index(
     ]
     write_and_commit_postings(encoded, new_shards, paths, log, also_append=retire)
 
-    # the docs table is NOT touched: its stored `shard` column is advisory
-    # (every consumer derives shard from doc_id + the manifest shard_size),
-    # so compaction mutates nothing outside the commit log + new postings
-    # files — no rewrite window in which readers could see a missing or
-    # half-swapped docs table.
+    # Without a purge the docs table is NOT touched: the stored `shard`
+    # column is advisory (consumers derive shard from doc_id + manifest
+    # shard_size), so plain compaction mutates nothing outside the commit
+    # log + new postings files. With a purge, the surviving docs are written
+    # to a NEW generation directory and the manifest's docs_dir pointer is
+    # the single atomic commit — readers never see a half-rewritten tree.
+    if tomb is not None and n_purged:
+        gen = int(manifest.get("docs_gen", 1)) + 1
+        new_docs_name = f"docs_g{gen}"
+        (
+            spark.read.parquet(paths.docs)
+            .join(F.broadcast(tomb), "doc_id", "left_anti")
+            .write.mode("overwrite")
+            .partitionBy("segment")
+            .parquet(os.path.join(root, new_docs_name))
+        )
+        manifest["docs_dir"] = new_docs_name
+        manifest["docs_gen"] = gen
 
-    # persist the new layout, then refresh terms/stats/metrics
+    # persist the new layout (and the docs swap, if any) in ONE manifest
+    # replace, then refresh terms/stats/metrics
     manifest.setdefault("config", {})["shard_size"] = int(new_shard_size)
     _save_manifest(paths, manifest)
     cfg = cfg_from_manifest(manifest, cfg)
     docs = spark.read.parquet(paths.docs)
     observed = {"n_docs": docs.count(), "posting_rows": 0, "n_postings": 0}
     _finalize(spark, docs, cfg, paths, manifest, log, t0, observed)
+    if tomb is not None:
+        # consumed tombstones: purged postings/docs no longer contain these
+        # ids, so the masks are no-ops — clear AFTER everything committed
+        clear_tombstones(paths)
     return {
         "old_shards": len(old_shards),
         "new_shards": len(new_shards),
+        "purged_docs": n_purged,
         "seconds": round(time.time() - t0, 3),
     }

@@ -43,6 +43,7 @@ class Index:
     docs: DataFrame
     stats: dict
     _local_dict: "pd.DataFrame | None" = None
+    _deleted_bc: "object | None" = None  # broadcast {shard: sorted doc_ids}
 
     @property
     def N(self) -> int:
@@ -51,6 +52,22 @@ class Index:
     @property
     def avgdl(self) -> float:
         return self.stats["avgdl"]
+
+    def deleted_broadcast(self, spark: SparkSession):
+        """Tombstones as a per-shard dict broadcast to executors — created
+        once per Index handle (the Lucene liveDocs analog: memory ∝
+        outstanding un-purged tombstones, reset by compaction's purge).
+        None when the index has no tombstones, so the common case adds
+        nothing to the query plan."""
+        if self._deleted_bc is None:
+            from invoicenet_spark.index.deletes import load_tombstones, split_by_shard
+
+            tomb = load_tombstones(self.paths)
+            by_shard = split_by_shard(tomb, int(self.stats["shard_size"]))
+            self._deleted_bc = (
+                spark.sparkContext.broadcast(by_shard) if by_shard else False
+            )
+        return self._deleted_bc or None
 
     def local_dict(self, max_terms: int = 5_000_000) -> "pd.DataFrame | None":
         """Driver-side term → (term_id, df) cache for low-latency lookups —
@@ -92,13 +109,16 @@ def _empty_results(spark: SparkSession, with_url: bool) -> DataFrame:
     return spark.createDataFrame([], schema=schema)
 
 
-def _shard_kernel(stats: dict, kernel: str):
-    """applyInPandas body for one (query_id, shard) group."""
+def _shard_kernel(stats: dict, kernel: str, deleted_bc=None):
+    """applyInPandas body for one (query_id, shard) group. deleted_bc: a
+    broadcast {shard: sorted tombstoned doc_ids} or None — each group masks
+    with ITS shard's slice only."""
     k1, b = stats["k1"], stats["b"]
     avgdl, N = stats["avgdl"], stats["N"]
 
     def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
         query_id = int(key[0])
+        deleted = deleted_bc.value.get(int(key[1])) if deleted_bc is not None else None
         mode = pdf["mode"].iloc[0]
         sort_col = "qpos" if mode == "PHRASE" else "term_id"
         pdf = pdf.sort_values(sort_col).reset_index(drop=True)
@@ -114,9 +134,9 @@ def _shard_kernel(stats: dict, kernel: str):
             for row in pdf.to_dict("records")
         ]
         if mode == "PHRASE":
-            docs, scores = kernels.score_phrase(plists, k)
+            docs, scores = kernels.score_phrase(plists, k, deleted=deleted)
         elif mode == "AND" or kernel == "exhaustive":
-            docs, scores = kernels.score_exhaustive(plists, k, mode)
+            docs, scores = kernels.score_exhaustive(plists, k, mode, deleted=deleted)
         else:
             # auto (and the "wand" alias) → block-max pruned MaxScore
             # (rank-identical to exhaustive, fuzz-pinned). Control loop is
@@ -127,7 +147,7 @@ def _shard_kernel(stats: dict, kernel: str):
             # rare term) skip decoding most of the hot list. The per-pivot
             # Python WAND kernel was retired in round 3 (see kernels.py) —
             # it never beat this kernel on any fixture.
-            docs, scores = kernels.score_blockmax(plists, k)
+            docs, scores = kernels.score_blockmax(plists, k, deleted=deleted)
         return pd.DataFrame(
             {"query_id": np.full(docs.size, query_id, dtype=np.int64),
              "doc_id": docs.astype(np.int64),
@@ -224,7 +244,8 @@ def search(
     # doc_len stream in dl_blob) — the only scan is the pruned postings probe
 
     out = cand.groupBy("query_id", "shard").applyInPandas(
-        _shard_kernel(index.stats, kernel), schema=RESULT_SCHEMA
+        _shard_kernel(index.stats, kernel, index.deleted_broadcast(spark)),
+        schema=RESULT_SCHEMA,
     )
 
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("doc_id").asc())

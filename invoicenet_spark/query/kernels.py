@@ -22,6 +22,15 @@ from invoicenet_spark.index import bm25
 from invoicenet_spark.index.codec import decode_block, decode_positions, decode_posting_list
 
 
+def drop_deleted(docs: np.ndarray, deleted: np.ndarray | None) -> np.ndarray:
+    """Boolean KEEP mask over a sorted-or-not doc array vs a SORTED tombstone
+    array (index/deletes.py). Vectorized membership via searchsorted."""
+    if deleted is None or deleted.size == 0 or docs.size == 0:
+        return np.ones(docs.size, dtype=bool)
+    idx = np.minimum(np.searchsorted(deleted, docs), deleted.size - 1)
+    return deleted[idx] != docs
+
+
 def gallop_intersect(lists: list[np.ndarray]) -> np.ndarray:
     """Intersect sorted int64 arrays, smallest-first, via vectorized binary
     search (np.searchsorted == batched galloping)."""
@@ -87,6 +96,7 @@ def score_exhaustive(
     plists: list[TermPostings],
     k: int,
     mode: str = "OR",
+    deleted: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Vectorized exhaustive scoring of one shard.
 
@@ -94,6 +104,10 @@ def score_exhaustive(
     forward-index side input is needed. Deterministic accumulation:
     per-term partials added in caller-supplied list order (callers sort
     by term_id).
+
+    deleted: sorted tombstone doc_ids for THIS shard (index/deletes.py) —
+    masked before top-k selection so tombstoned docs never displace live
+    ones from a shard's k slots.
     """
     if not plists:
         return np.zeros(0, dtype=np.int64), np.zeros(0)
@@ -103,6 +117,7 @@ def score_exhaustive(
         # intersect-then-score: gallop the doc sets first, then gather
         # (tf, dl) for survivors only — skips scoring the union
         keep = gallop_intersect([d[0] for d in decoded])
+        keep = keep[drop_deleted(keep, deleted)]
         if keep.size == 0:
             return np.zeros(0, dtype=np.int64), np.zeros(0)
         agg = np.zeros(keep.size, dtype=np.float64)
@@ -121,12 +136,14 @@ def score_exhaustive(
     uniq, inv = np.unique(docs_cat, return_inverse=True)
     agg = np.zeros(uniq.size, dtype=np.float64)
     np.add.at(agg, inv, scores_cat)
-    return topk_select(uniq, agg, k)
+    live = drop_deleted(uniq, deleted)
+    return topk_select(uniq[live], agg[live], k)
 
 
 def score_phrase(
     plists_by_qpos: list[TermPostings],
     k: int,
+    deleted: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Exact phrase query over a positional index.
 
@@ -143,6 +160,9 @@ def score_phrase(
         tp.decode_positions(decoded[i][1]) for i, tp in enumerate(plists_by_qpos)
     ]
     cand = gallop_intersect([d[0] for d in decoded])
+    # mask tombstones BEFORE the (expensive) position alignment — deleted
+    # docs shouldn't pay for slot checks they can never survive
+    cand = cand[drop_deleted(cand, deleted)]
     if cand.size == 0:
         return np.zeros(0, dtype=np.int64), np.zeros(0)
 
@@ -227,6 +247,7 @@ def _probe_scores(
 def score_blockmax(
     plists: list[TermPostings],
     k: int,
+    deleted: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Vectorized MaxScore with block-granular probes (disjunctive),
     rank-identical to score_exhaustive.
@@ -247,12 +268,20 @@ def score_blockmax(
 
     Control flow is per LIST, never per candidate; all decode/score/probe
     math is vectorized numpy.
+
+    Tombstone soundness (deleted=): masks are applied to the seed docs
+    BEFORE theta is seeded and to the candidate union BEFORE probing.
+    Theta from live seed docs is a lower bound on the final (live-only)
+    k-th score, so the essential-list decomposition stays lossless; block
+    upper bounds remain valid upper bounds whether or not the docs behind
+    them are deleted (a deleted top doc only makes a bound conservative).
+    Pinned by the deletion fuzz in tests/test_kernels_fuzz.py.
     """
     n = len(plists)
     if n == 0 or k <= 0:
         return np.zeros(0, dtype=np.int64), np.zeros(0)
     if n == 1:
-        return score_exhaustive(plists, k, "OR")
+        return score_exhaustive(plists, k, "OR", deleted=deleted)
 
     caches: list[dict] = [dict() for _ in range(n)]
     ubs = np.array([tp.list_ub for tp in plists])
@@ -266,8 +295,9 @@ def score_blockmax(
     df_seed = int(plists[seed].row["df_shard"])
     other_blocks = sum(tp.n_blocks for i, tp in enumerate(plists) if i != seed)
     if df_seed > 2 * other_blocks:
-        return score_exhaustive(plists, k, "OR")
+        return score_exhaustive(plists, k, "OR", deleted=deleted)
     seed_docs = plists[seed].decode_all()[0]
+    seed_docs = seed_docs[drop_deleted(seed_docs, deleted)]
     seed_scores = _probe_scores(plists, caches, seed_docs)
     if seed_docs.size >= k:
         kth = np.lexsort((seed_docs, -seed_scores))[k - 1]
@@ -281,20 +311,21 @@ def score_blockmax(
     non_ess = cum < theta  # strict: pruned docs score < theta, ties impossible
     essential = [int(i) for i, ne in zip(order, non_ess) if not ne]
     if len(essential) == n:
-        return score_exhaustive(plists, k, "OR")
+        return score_exhaustive(plists, k, "OR", deleted=deleted)
     total_df = sum(int(tp.row["df_shard"]) for tp in plists)
     ess_df = sum(int(plists[i].row["df_shard"]) for i in essential) + (
         df_seed if seed not in essential else 0
     )
     if ess_df > total_df // 2:
         # candidates cover most postings — probe overhead beats the savings
-        return score_exhaustive(plists, k, "OR")
+        return score_exhaustive(plists, k, "OR", deleted=deleted)
 
     cand_parts = [seed_docs]
     for i in essential:
         if i != seed:
             cand_parts.append(plists[i].decode_all()[0])
     cand = np.unique(np.concatenate(cand_parts))
+    cand = cand[drop_deleted(cand, deleted)]
     scores = _probe_scores(plists, caches, cand)
     return topk_select(cand, scores, k)
 

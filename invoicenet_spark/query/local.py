@@ -211,6 +211,19 @@ class LocalIndex:
         self._terms_ds = None
         self._dict: pd.DataFrame | None = None
         self._dict_too_big = False
+        self._deleted_by_shard: dict | None = None
+
+    def deleted_by_shard(self) -> dict:
+        """{shard: sorted tombstoned doc_ids} for query-time masking — the
+        serving replica's liveDocs. Loaded once per generation (delete_docs
+        bumps the generation, so a cached handle never serves a stale mask)."""
+        if self._deleted_by_shard is None:
+            from invoicenet_spark.index.deletes import load_tombstones, split_by_shard
+
+            self._deleted_by_shard = split_by_shard(
+                load_tombstones(self.paths), int(self.stats["shard_size"])
+            )
+        return self._deleted_by_shard
 
     def catalog(self) -> _PostingsCatalog:
         if self._catalog is None:
@@ -312,6 +325,7 @@ def _run_one_query(
     shards_by_tid: dict,
     stats: dict,
     kernel: str,
+    deleted_by_shard: dict | None = None,
 ) -> list[tuple]:
     """Score one query against the pre-fetched posting rows. Pure numpy —
     safe to run from a thread pool (kernels release the GIL in the heavy
@@ -351,17 +365,18 @@ def _run_one_query(
             )
         if not ok or not plists:
             continue
+        deleted = deleted_by_shard.get(shard) if deleted_by_shard else None
         if mode == "PHRASE":
-            d, s = kernels.score_phrase(plists, k)
+            d, s = kernels.score_phrase(plists, k, deleted=deleted)
         elif mode == "AND":
             plists.sort(key=lambda tp: int(tp.row["term_id"]))
-            d, s = kernels.score_exhaustive(plists, k, "AND")
+            d, s = kernels.score_exhaustive(plists, k, "AND", deleted=deleted)
         else:
             plists.sort(key=lambda tp: int(tp.row["term_id"]))
             if kernel == "exhaustive":
-                d, s = kernels.score_exhaustive(plists, k, "OR")
+                d, s = kernels.score_exhaustive(plists, k, "OR", deleted=deleted)
             else:
-                d, s = kernels.score_blockmax(plists, k)
+                d, s = kernels.score_blockmax(plists, k, deleted=deleted)
         docs_all.append(d)
         scores_all.append(s)
     if not docs_all:
@@ -431,6 +446,7 @@ def search_local(
         shards_by_tid.setdefault(tid, []).append(shard)
 
     qlist = [q for _, q in queries.iterrows()]
+    deleted_by_shard = li.deleted_by_shard()
     workers = n_threads if n_threads is not None else 1
     if workers > 1 and len(qlist) > 1:
         from concurrent.futures import ThreadPoolExecutor
@@ -439,14 +455,18 @@ def search_local(
             per_query = list(
                 ex.map(
                     lambda q: _run_one_query(
-                        q, term_info, by_tid_shard, shards_by_tid, stats, kernel
+                        q, term_info, by_tid_shard, shards_by_tid, stats, kernel,
+                        deleted_by_shard,
                     ),
                     qlist,
                 )
             )
     else:
         per_query = [
-            _run_one_query(q, term_info, by_tid_shard, shards_by_tid, stats, kernel)
+            _run_one_query(
+                q, term_info, by_tid_shard, shards_by_tid, stats, kernel,
+                deleted_by_shard,
+            )
             for q in qlist
         ]
     out_rows = [row for rows_ in per_query for row in rows_]

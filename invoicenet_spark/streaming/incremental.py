@@ -58,10 +58,20 @@ def update_index(
     out_dir: str,
     cfg: EngineConfig | None = None,
     use_stored_text: bool = False,
+    upsert: bool = True,
 ) -> dict:
     """Bring the index at out_dir up to the table's latest snapshot.
 
-    Returns a summary dict {indexed_snapshot_id, docs_added, seconds}.
+    upsert (default): a url re-appearing in the delta REPLACES its older
+    indexed version — the old doc_id is tombstoned (index/deletes.py) in
+    the same update, so a re-crawled page is served exactly once, at its
+    newest content (last-writer-wins by snapshot order — the web-index
+    semantic). Cost: one join of the delta's urls against the docs table
+    per update; the tombstones are reclaimed by compaction's purge.
+    upsert=False keeps pure append semantics (both versions searchable).
+
+    Returns a summary dict {indexed_snapshot_id, docs_added, docs_upserted,
+    seconds}.
     """
     cfg = cfg or EngineConfig()
     paths = IndexPaths(out_dir)
@@ -81,7 +91,7 @@ def update_index(
         _save_manifest(paths, manifest)
         n = manifest.get("docs_indexed_this_run", 0)
         return {"indexed_snapshot_id": current, "docs_added": n,
-                "seconds": round(time.time() - t0, 3)}
+                "docs_upserted": 0, "seconds": round(time.time() - t0, 3)}
 
     manifest = _load_manifest(paths)
     cfg = cfg_from_manifest(manifest, cfg)  # persisted layout wins over caller's
@@ -102,7 +112,8 @@ def update_index(
     last = manifest.get("indexed_snapshot_id")
     delta = table.read_incremental(spark, after=last, until=current)
     if delta is None:
-        return {"indexed_snapshot_id": last, "docs_added": 0, "seconds": 0.0}
+        return {"indexed_snapshot_id": last, "docs_added": 0,
+                "docs_upserted": 0, "seconds": 0.0}
 
     t0 = time.time()
     docs_existing = spark.read.parquet(paths.docs)
@@ -112,6 +123,19 @@ def update_index(
 
     pages_text = tokens_from_pages(delta, cfg, use_stored_text=use_stored_text)
     docs_new = build_doc_table(pages_text, cfg, id_offset=offset)
+
+    # re-crawl upsert: tombstone the EXISTING doc of every url the delta
+    # re-delivers, before any stats refresh. Retry-idempotent (duplicate
+    # tombstones are a set union); done against docs_existing (read before
+    # this delta's append) so a doc can never tombstone itself.
+    n_upserted = 0
+    if upsert:
+        from invoicenet_spark.index.deletes import write_tombstones
+
+        old_ids = docs_existing.join(
+            docs_new.select("url"), "url"
+        ).select("doc_id")
+        n_upserted = write_tombstones(old_ids, paths)
 
     # WAL-style: record the pending segment BEFORE the append so a crash
     # anywhere up to the final manifest commit is undone on retry
@@ -146,6 +170,7 @@ def update_index(
     return {
         "indexed_snapshot_id": current,
         "docs_added": n_added,
+        "docs_upserted": n_upserted,
         "seconds": round(time.time() - t0, 3),
     }
 

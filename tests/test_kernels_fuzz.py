@@ -52,6 +52,62 @@ def test_blockmax_fuzz_vs_exhaustive():
         _assert_kernel_matches(kernels.score_blockmax, seed)
 
 
+def test_blockmax_deletion_fuzz_vs_masked_bruteforce():
+    """Tombstone soundness of the pruned kernel: with a random deletion set,
+    score_blockmax(deleted=...) must be rank- AND score-identical to the
+    ground truth (exhaustive scores over ALL docs, deleted rows removed,
+    top-k re-ranked over the survivors). This pins the two places pruning
+    interacts with deletions: theta must be seeded from LIVE docs only, and
+    candidate masking must happen before top-k — a deleted doc inflating
+    theta or occupying a slot would silently drop live docs."""
+    for seed in range(300):
+        rng = np.random.default_rng(50_000 + seed)
+        n_docs = int(rng.integers(8, 60))
+        n_terms = int(rng.integers(2, 4))
+        bs = int(rng.choice([4, 8]))
+        k = int(rng.integers(1, 6))
+        plists = _random_corpus(rng, n_docs, n_terms, bs)
+        n_del = int(rng.integers(0, max(1, n_docs // 2)))
+        deleted = np.sort(
+            rng.choice(n_docs, size=n_del, replace=False)
+        ).astype(np.int64)
+
+        # ground truth: full exhaustive scores, then drop deleted, then top-k
+        full_d, full_s = kernels.score_exhaustive(plists, n_docs + 1, "OR")
+        live = kernels.drop_deleted(full_d, deleted)
+        ed, es = kernels.topk_select(full_d[live], full_s[live], k)
+
+        for fn in (kernels.score_blockmax, kernels.score_exhaustive):
+            gd, gs = (
+                fn(plists, k, deleted=deleted)
+                if fn is kernels.score_blockmax
+                else fn(plists, k, "OR", deleted=deleted)
+            )
+            assert np.array_equal(ed, gd), f"seed={seed} {fn.__name__}: {ed} != {gd}"
+            assert np.allclose(es, gs, rtol=1e-12, atol=1e-12), f"seed={seed}"
+
+
+def test_phrase_and_and_deletion_masking():
+    """AND and PHRASE kernels drop tombstoned docs before top-k."""
+    rng = np.random.default_rng(99)
+    n_docs, bs = 30, 4
+    dls = rng.integers(20, 200, size=n_docs).astype(np.int64)
+    avgdl = float(dls.mean())
+    docs = np.arange(n_docs, dtype=np.int64)
+    plists = []
+    for t in range(2):
+        tfs = rng.integers(1, 9, size=n_docs).astype(np.int64)
+        row = encode_posting_list(docs, tfs, dls, block_size=bs)
+        row["term_id"] = t
+        plists.append(kernels.TermPostings(row, idf=1.0, avgdl=avgdl, k1=1.2, b=0.75))
+    ad, _ = kernels.score_exhaustive(plists, n_docs, "AND")
+    deleted = ad[:3].copy()  # tombstone the top-3 AND results
+    deleted.sort()
+    gd, _ = kernels.score_exhaustive(plists, n_docs, "AND", deleted=deleted)
+    assert not set(gd.tolist()) & set(deleted.tolist())
+    assert gd.size == n_docs - 3
+
+
 def test_blockmax_prunes_stopword_blocks():
     """Skew scenario: one stopword list (every doc) + one rare list. The
     block-max path must not decode most of the stopword list's blocks."""
