@@ -119,10 +119,7 @@ _INDEX_CACHE: dict = {}
 def _bm25_engine_results(spark: SparkSession, sf_dir: str, terms, mode: str, k: int):
     """Run the real engine (build index over en-docs, search) and return
     (rank, doc_id, score_r4) ranked on rounded score for oracle stability."""
-    import pandas as pd
-
     from invoicenet_spark.index.build import build_index
-    from invoicenet_spark.query.exec import load_index, search
 
     cache_key = (sf_dir,)
     if cache_key not in _INDEX_CACHE:
@@ -134,7 +131,15 @@ def _bm25_engine_results(spark: SparkSession, sf_dir: str, terms, mode: str, k: 
             spark, _docs_as_pages(spark, sf_dir), out, cfg, use_stored_text=True
         )
         _INDEX_CACHE[cache_key] = out
-    index = load_index(spark, _INDEX_CACHE[cache_key])
+    return _ranked_from_index(spark, _INDEX_CACHE[cache_key], terms, mode, k)
+
+
+def _ranked_from_index(spark: SparkSession, index_root: str, terms, mode: str, k: int):
+    import pandas as pd
+
+    from invoicenet_spark.query.exec import load_index, search
+
+    index = load_index(spark, index_root)
     q = pd.DataFrame(
         [{"query_id": 1, "terms": list(terms), "mode": mode, "k": 100000}]
     )
@@ -153,7 +158,52 @@ def _bm25_engine_results(spark: SparkSession, sf_dir: str, terms, mode: str, k: 
     )
 
 
-def _duck_bm25(terms, mode: str, k: int) -> str:
+# predicate (on the ORIGINAL documents.doc_id) selecting the docs the
+# delete-semantics queries tombstone — shared by engine side and oracle SQL
+_DELETE_PRED_SQL = "doc_id % 10 = 3"
+
+
+def _bm25_deleted_results(
+    spark: SparkSession, sf_dir: str, terms, mode: str, k: int, purged: bool
+):
+    """Engine results from an index where docs matching _DELETE_PRED_SQL were
+    tombstoned (index/deletes.py). purged=False: query-time masking only —
+    stats (N/avgdl/df) stay as-built over the full corpus, tombstoned docs
+    are excluded from ranking. purged=True: compact_index's physical purge
+    ran — postings/docs rewritten without the victims and stats re-derived
+    over the survivors. Each is pinned against the matching DuckDB oracle."""
+    from invoicenet_spark.index.build import build_index
+    from invoicenet_spark.index.deletes import delete_docs
+
+    key = (sf_dir, "purged" if purged else "deleted")
+    if key not in _INDEX_CACHE:
+        out = os.path.join(tempfile.mkdtemp(prefix="ivs_idx_del_"), "index")
+        cfg = EngineConfig(
+            shard_size=256, block_size=64, build_partitions=8, with_positions=True
+        )
+        build_index(
+            spark, _docs_as_pages(spark, sf_dir), out, cfg, use_stored_text=True
+        )
+        victims = [
+            r["url"]
+            for r in _docs(spark, sf_dir)
+            .where(F.expr(_DELETE_PRED_SQL))
+            .select(F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("url"))
+            .collect()
+        ]
+        delete_docs(spark, out, urls=victims)
+        if purged:
+            from invoicenet_spark.index.maintain import compact_index
+
+            compact_index(spark, out, new_shard_size=256)
+        _INDEX_CACHE[key] = out
+    return _ranked_from_index(spark, _INDEX_CACHE[key], terms, mode, k)
+
+
+def _duck_bm25(terms, mode: str, k: int, deleted: str | None = None) -> str:
+    """deleted: 'masked' — exclude _DELETE_PRED_SQL docs from ranking only
+    (tombstone semantics: corpus stats still count them); 'purged' — exclude
+    them from the corpus entirely (post-purge semantics: stats re-derived)."""
     tlist = ", ".join(f"('{t}')" for t in dict.fromkeys(terms))
     n_terms = len(dict.fromkeys(terms))
     having = f"HAVING count(DISTINCT term) = {n_terms}" if mode == "AND" else ""
@@ -172,11 +222,13 @@ def _duck_bm25(terms, mode: str, k: int) -> str:
     scored_src = (
         "scored JOIN phrase_docs USING(doc_id)" if mode == "PHRASE" else "scored"
     )
+    corpus_pred = f" AND NOT ({_DELETE_PRED_SQL})" if deleted == "purged" else ""
+    rank_pred = f" WHERE NOT ({_DELETE_PRED_SQL})" if deleted == "masked" else ""
     return f"""
 WITH toks AS (
   SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
          t -> t <> '')) AS term
-  FROM documents WHERE lang = 'en'
+  FROM documents WHERE lang = 'en'{corpus_pred}
 ),
 dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
 stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
@@ -194,7 +246,7 @@ scored AS (
   GROUP BY tf.doc_id
   {having}
 ){phrase_filter},
-r AS (SELECT doc_id, round(score, 6) AS score_r6 FROM {scored_src})
+r AS (SELECT doc_id, round(score, 6) AS score_r6 FROM {scored_src}{rank_pred})
 SELECT CAST(row_number() OVER (ORDER BY score_r6 DESC, doc_id) AS BIGINT) AS rank,
        doc_id, round(score_r6, 4) AS score_r4
 FROM r QUALIFY rank <= {k} ORDER BY rank
@@ -272,6 +324,22 @@ def q_bm25_topk_and(spark, sf_dir):
 def q_bm25_phrase(spark, sf_dir):
     """T2/J4 positional: exact-phrase filter + BM25 over the phrase terms."""
     return _bm25_engine_results(spark, sf_dir, BM25_PHRASE, "PHRASE", 20)
+
+
+def q_bm25_topk_deleted(spark, sf_dir):
+    """Tombstone masking (index/deletes.py): docs matching _DELETE_PRED_SQL
+    are deleted (no purge) — stats stay as-built, ranking excludes them."""
+    return _bm25_deleted_results(
+        spark, sf_dir, BM25_QUERY_TERMS, "OR", 20, purged=False
+    )
+
+
+def q_bm25_topk_purged(spark, sf_dir):
+    """Physical purge (compact_index purge_deletes): victims rewritten out of
+    postings+docs, N/avgdl/df re-derived over survivors before querying."""
+    return _bm25_deleted_results(
+        spark, sf_dir, BM25_QUERY_TERMS, "OR", 20, purged=True
+    )
 
 
 def q_substring_search(spark, sf_dir):
@@ -666,6 +734,8 @@ QUERIES = {
     "bm25_local_topk": q_bm25_local_topk,
     "bm25_topk_and": q_bm25_topk_and,
     "bm25_phrase": q_bm25_phrase,
+    "bm25_topk_deleted": q_bm25_topk_deleted,
+    "bm25_topk_purged": q_bm25_topk_purged,
     "substring_search": q_substring_search,
     "ngram_counts": q_ngram_counts,
     "amount_normalize": q_amount_normalize,
@@ -730,6 +800,8 @@ ORACLE_SQL = {
     "bm25_local_topk": _duck_bm25(BM25_QUERY_TERMS, "OR", 20),
     "bm25_topk_and": _duck_bm25(BM25_AND_TERMS, "AND", 20),
     "bm25_phrase": _duck_bm25(BM25_PHRASE, "PHRASE", 20),
+    "bm25_topk_deleted": _duck_bm25(BM25_QUERY_TERMS, "OR", 20, deleted="masked"),
+    "bm25_topk_purged": _duck_bm25(BM25_QUERY_TERMS, "OR", 20, deleted="purged"),
     "substring_search": (
         "SELECT doc_id FROM documents WHERE contains(lower(text), 'window')"
     ),
