@@ -43,7 +43,11 @@ def main(argv=None):
     s = sub.add_parser("search", help="query an index")
     s.add_argument("--index", required=True)
     s.add_argument("--terms", required=True, help="comma-separated")
-    s.add_argument("--mode", default="OR", choices=["OR", "AND", "PHRASE"])
+    s.add_argument("--mode", default="OR", choices=["OR", "AND", "PHRASE", "PREFIX"])
+    s.add_argument("--neg-terms", default=None,
+                   help="comma-separated must_not terms: matching docs are excluded")
+    s.add_argument("--min-match", type=int, default=0,
+                   help="OR queries: keep docs matching >= N distinct terms")
     s.add_argument("-k", type=int, default=10)
     s.add_argument("--kernel", default="auto", choices=["auto", "wand", "exhaustive"],
                    help="'auto' = vectorized MaxScore block-max pruning; "
@@ -94,9 +98,11 @@ def main(argv=None):
 
         from invoicenet_spark.query.local import search_local
 
-        q = pd.DataFrame(
-            [{"query_id": 1, "terms": args.terms.split(","), "mode": args.mode, "k": args.k}]
-        )
+        qrow = {"query_id": 1, "terms": args.terms.split(","), "mode": args.mode,
+                "k": args.k, "min_match": args.min_match}
+        if args.neg_terms:
+            qrow["neg_terms"] = args.neg_terms.split(",")
+        q = pd.DataFrame([qrow])
         for r in search_local(args.index, q, kernel=args.kernel).to_dict("records"):
             print(json.dumps({"rank": int(r["rank"]), "doc_id": int(r["doc_id"]),
                               "url": r["url"], "score": round(float(r["score"]), 6)}))
@@ -142,9 +148,11 @@ def main(argv=None):
         from invoicenet_spark.query.exec import load_index, search
 
         index = load_index(spark, args.index)
-        q = pd.DataFrame(
-            [{"query_id": 1, "terms": args.terms.split(","), "mode": args.mode, "k": args.k}]
-        )
+        qrow = {"query_id": 1, "terms": args.terms.split(","), "mode": args.mode,
+                "k": args.k, "min_match": args.min_match}
+        if args.neg_terms:
+            qrow["neg_terms"] = args.neg_terms.split(",")
+        q = pd.DataFrame([qrow])
         rows = [r.asDict() for r in search(spark, index, q, kernel=args.kernel).collect()]
         for r in rows:
             print(json.dumps({"rank": int(r["rank"]), "doc_id": int(r["doc_id"]),

@@ -116,7 +116,9 @@ def _docs_as_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
 _INDEX_CACHE: dict = {}
 
 
-def _bm25_engine_results(spark: SparkSession, sf_dir: str, terms, mode: str, k: int):
+def _bm25_engine_results(
+    spark: SparkSession, sf_dir: str, terms, mode: str, k: int, **qextra
+):
     """Run the real engine (build index over en-docs, search) and return
     (rank, doc_id, score_r4) ranked on rounded score for oracle stability."""
     from invoicenet_spark.index.build import build_index
@@ -131,17 +133,21 @@ def _bm25_engine_results(spark: SparkSession, sf_dir: str, terms, mode: str, k: 
             spark, _docs_as_pages(spark, sf_dir), out, cfg, use_stored_text=True
         )
         _INDEX_CACHE[cache_key] = out
-    return _ranked_from_index(spark, _INDEX_CACHE[cache_key], terms, mode, k)
+    return _ranked_from_index(spark, _INDEX_CACHE[cache_key], terms, mode, k, **qextra)
 
 
-def _ranked_from_index(spark: SparkSession, index_root: str, terms, mode: str, k: int):
+def _ranked_from_index(
+    spark: SparkSession, index_root: str, terms, mode: str, k: int, **qextra
+):
+    """qextra: optional per-query fields (neg_terms, min_match) passed
+    straight into the query row — exercised by the query-language oracles."""
     import pandas as pd
 
     from invoicenet_spark.query.exec import load_index, search
 
     index = load_index(spark, index_root)
     q = pd.DataFrame(
-        [{"query_id": 1, "terms": list(terms), "mode": mode, "k": 100000}]
+        [{"query_id": 1, "terms": list(terms), "mode": mode, "k": 100000, **qextra}]
     )
     res = search(spark, index, q, kernel="auto", with_url=True)
     scored = res.select(
@@ -200,13 +206,27 @@ def _bm25_deleted_results(
     return _ranked_from_index(spark, _INDEX_CACHE[key], terms, mode, k)
 
 
-def _duck_bm25(terms, mode: str, k: int, deleted: str | None = None) -> str:
+def _duck_bm25(
+    terms,
+    mode: str,
+    k: int,
+    deleted: str | None = None,
+    neg_terms=None,
+    min_match: int = 0,
+    prefix: bool = False,
+) -> str:
     """deleted: 'masked' — exclude _DELETE_PRED_SQL docs from ranking only
     (tombstone semantics: corpus stats still count them); 'purged' — exclude
-    them from the corpus entirely (post-purge semantics: stats re-derived)."""
+    them from the corpus entirely (post-purge semantics: stats re-derived).
+    neg_terms: docs containing any are excluded from ranking (must_not).
+    min_match: OR queries keep docs matching >= m distinct terms.
+    prefix: `terms` are prefixes; the query-term set is every corpus term
+    matching one (the engine's dictionary == distinct corpus terms)."""
     tlist = ", ".join(f"('{t}')" for t in dict.fromkeys(terms))
     n_terms = len(dict.fromkeys(terms))
     having = f"HAVING count(DISTINCT term) = {n_terms}" if mode == "AND" else ""
+    if min_match > 1:
+        having = f"HAVING count(DISTINCT term) >= {min_match}"
     phrase_filter = ""
     if mode == "PHRASE":
         adj = " AND ".join(f"ts[i+{j}] = '{t}'" for j, t in enumerate(terms))
@@ -223,7 +243,20 @@ def _duck_bm25(terms, mode: str, k: int, deleted: str | None = None) -> str:
         "scored JOIN phrase_docs USING(doc_id)" if mode == "PHRASE" else "scored"
     )
     corpus_pred = f" AND NOT ({_DELETE_PRED_SQL})" if deleted == "purged" else ""
-    rank_pred = f" WHERE NOT ({_DELETE_PRED_SQL})" if deleted == "masked" else ""
+    rank_conds = []
+    if deleted == "masked":
+        rank_conds.append(f"NOT ({_DELETE_PRED_SQL})")
+    if neg_terms:
+        nlist = ", ".join(f"'{t}'" for t in dict.fromkeys(neg_terms))
+        rank_conds.append(
+            f"doc_id NOT IN (SELECT DISTINCT doc_id FROM toks WHERE term IN ({nlist}))"
+        )
+    rank_pred = (" WHERE " + " AND ".join(rank_conds)) if rank_conds else ""
+    if prefix:
+        plike = " OR ".join(f"term LIKE '{p}%'" for p in dict.fromkeys(terms))
+        qt_cte = f"qt AS (SELECT DISTINCT term FROM toks WHERE {plike})"
+    else:
+        qt_cte = f"qt(term) AS (VALUES {tlist})"
     return f"""
 WITH toks AS (
   SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
@@ -232,7 +265,7 @@ WITH toks AS (
 ),
 dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
 stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
-qt(term) AS (VALUES {tlist}),
+{qt_cte},
 tf AS (
   SELECT term, doc_id, count(*) AS tf FROM toks
   WHERE term IN (SELECT term FROM qt) GROUP BY term, doc_id
@@ -324,6 +357,30 @@ def q_bm25_topk_and(spark, sf_dir):
 def q_bm25_phrase(spark, sf_dir):
     """T2/J4 positional: exact-phrase filter + BM25 over the phrase terms."""
     return _bm25_engine_results(spark, sf_dir, BM25_PHRASE, "PHRASE", 20)
+
+
+BM25_MSM_TERMS = ["spark", "window", "join", "query"]
+
+
+def q_bm25_topk_not(spark, sf_dir):
+    """Negated terms (Lucene must_not): score the OR query, exclude every
+    doc containing the negated term; survivors' scores unchanged."""
+    return _bm25_engine_results(
+        spark, sf_dir, BM25_QUERY_TERMS, "OR", 20, neg_terms=["join"]
+    )
+
+
+def q_bm25_topk_msm(spark, sf_dir):
+    """minimum_should_match: OR over 4 terms keeping docs matching >= 3."""
+    return _bm25_engine_results(
+        spark, sf_dir, BM25_MSM_TERMS, "OR", 20, min_match=3
+    )
+
+
+def q_bm25_topk_prefix(spark, sf_dir):
+    """PREFIX query: 's' expands against the term dictionary (spark, scan,
+    sort, …) and scores as OR over the expansion."""
+    return _bm25_engine_results(spark, sf_dir, ["s"], "PREFIX", 20)
 
 
 def q_bm25_topk_deleted(spark, sf_dir):
@@ -736,6 +793,9 @@ QUERIES = {
     "bm25_phrase": q_bm25_phrase,
     "bm25_topk_deleted": q_bm25_topk_deleted,
     "bm25_topk_purged": q_bm25_topk_purged,
+    "bm25_topk_not": q_bm25_topk_not,
+    "bm25_topk_msm": q_bm25_topk_msm,
+    "bm25_topk_prefix": q_bm25_topk_prefix,
     "substring_search": q_substring_search,
     "ngram_counts": q_ngram_counts,
     "amount_normalize": q_amount_normalize,
@@ -802,6 +862,9 @@ ORACLE_SQL = {
     "bm25_phrase": _duck_bm25(BM25_PHRASE, "PHRASE", 20),
     "bm25_topk_deleted": _duck_bm25(BM25_QUERY_TERMS, "OR", 20, deleted="masked"),
     "bm25_topk_purged": _duck_bm25(BM25_QUERY_TERMS, "OR", 20, deleted="purged"),
+    "bm25_topk_not": _duck_bm25(BM25_QUERY_TERMS, "OR", 20, neg_terms=["join"]),
+    "bm25_topk_msm": _duck_bm25(BM25_MSM_TERMS, "OR", 20, min_match=3),
+    "bm25_topk_prefix": _duck_bm25(["s"], "OR", 20, prefix=True),
     "substring_search": (
         "SELECT doc_id FROM documents WHERE contains(lower(text), 'window')"
     ),

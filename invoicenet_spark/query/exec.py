@@ -101,6 +101,43 @@ def load_index(spark: SparkSession, root: str) -> Index:
 
 RESULT_SCHEMA = "query_id long, doc_id long, score double"
 
+MAX_PREFIX_EXPANSIONS = 1024
+
+
+def expand_prefix_terms(
+    index: Index, prefixes: list[str], max_expansions: int = MAX_PREFIX_EXPANSIONS
+) -> list[str]:
+    """PREFIX query rewrite: dictionary terms matching any prefix, in
+    deterministic lexicographic order. Raises past max_expansions (the
+    BooleanQuery.TooManyClauses analog) — at web-scale vocabularies an
+    unbounded prefix is a dictionary scan plus an arbitrarily hot OR, so
+    the cap is part of the query contract, not a tuning knob."""
+    out: set[str] = set()
+    local = index.local_dict()
+    if local is not None:
+        idx = local.index
+        for p in prefixes:
+            out |= set(idx[idx.str.startswith(p)])
+    else:
+        from functools import reduce
+
+        cond = reduce(
+            lambda a, b: a | b, [F.col("term").startswith(p) for p in prefixes]
+        )
+        rows = (
+            index.terms.where(cond)
+            .select("term")
+            .limit(max_expansions + 1)
+            .collect()
+        )
+        out = {r["term"] for r in rows}
+    if len(out) > max_expansions:
+        raise ValueError(
+            f"prefix expansion matches more than {max_expansions} dictionary "
+            f"terms ({sorted(prefixes)}); narrow the prefix"
+        )
+    return sorted(out)
+
 
 def _empty_results(spark: SparkSession, with_url: bool) -> DataFrame:
     schema = "query_id long, rank int, doc_id long, score double"
@@ -120,23 +157,44 @@ def _shard_kernel(stats: dict, kernel: str, deleted_bc=None):
         query_id = int(key[0])
         deleted = deleted_bc.value.get(int(key[1])) if deleted_bc is not None else None
         mode = pdf["mode"].iloc[0]
-        sort_col = "qpos" if mode == "PHRASE" else "term_id"
-        pdf = pdf.sort_values(sort_col).reset_index(drop=True)
         k = int(pdf["k"].iloc[0])
         n_query_terms = int(pdf["n_query_terms"].iloc[0])
+        min_match = (
+            int(pdf["min_match"].iloc[0]) if "min_match" in pdf.columns else 0
+        )
         empty = pd.DataFrame({"query_id": [], "doc_id": [], "score": []}).astype(
             {"query_id": np.int64, "doc_id": np.int64, "score": np.float64}
         )
-        if mode in ("AND", "PHRASE") and len(pdf) < n_query_terms:
+        if "is_neg" in pdf.columns and pdf["is_neg"].any():
+            # negated terms: this shard's docs containing any of them join
+            # the exclusion mask — the same sorted-array masking the
+            # tombstone path uses (fuzz-pinned sound under block-max
+            # pruning), so NOT costs one doc-stream decode per neg term.
+            neg_rows = pdf[pdf["is_neg"]].to_dict("records")
+            pdf = pdf[~pdf["is_neg"]]
+            excl = np.unique(
+                np.concatenate(
+                    [kernels.decode_posting_list(r)[0] for r in neg_rows]
+                )
+            ).astype(np.int64)
+            deleted = excl if deleted is None else np.union1d(deleted, excl)
+        if len(pdf) == 0 or (mode in ("AND", "PHRASE") and len(pdf) < n_query_terms):
             return empty
+        sort_col = "qpos" if mode == "PHRASE" else "term_id"
+        pdf = pdf.sort_values(sort_col).reset_index(drop=True)
         plists = [
             kernels.TermPostings(row, idf=row["idf"], avgdl=avgdl, k1=k1, b=b)
             for row in pdf.to_dict("records")
         ]
         if mode == "PHRASE":
             docs, scores = kernels.score_phrase(plists, k, deleted=deleted)
-        elif mode == "AND" or kernel == "exhaustive":
-            docs, scores = kernels.score_exhaustive(plists, k, mode, deleted=deleted)
+        elif mode == "AND" or kernel == "exhaustive" or min_match > 1:
+            # min_match > 1 routes to the exhaustive kernel: the block-max
+            # decomposition's theta bound doesn't survive a match-count
+            # filter (a pruned doc might have been the one meeting msm)
+            docs, scores = kernels.score_exhaustive(
+                plists, k, mode, deleted=deleted, min_match=min_match
+            )
         else:
             # auto (and the "wand" alias) → block-max pruned MaxScore
             # (rank-identical to exhaustive, fuzz-pinned). Control loop is
@@ -166,14 +224,43 @@ def search(
 ) -> DataFrame:
     """Batch top-k search. queries: (query_id, terms array<string>, mode, k).
 
+    Optional query columns (absent = off, per row):
+      neg_terms array<string> — docs containing ANY of these are excluded
+          (Lucene must_not); scoring is over `terms` only.
+      min_match int — OR queries keep only docs matching >= min_match
+          distinct query terms (minimumNumberShouldMatch).
+    mode "PREFIX": each entry of `terms` is a prefix, rewritten driver-side
+    to the matching dictionary terms (expand_prefix_terms) and scored as OR.
+
     Returns (query_id, rank, doc_id, score[, url]) sorted by query_id, rank.
     """
     qpd = None
     if isinstance(queries, pd.DataFrame):
         qpd = queries
-        qdf = spark.createDataFrame(queries)
     else:
         qdf = queries
+        # PREFIX rewrite needs the rows driver-side; query batches are tiny
+        if bool(qdf.where(F.col("mode") == "PREFIX").limit(1).count()):
+            qpd = qdf.toPandas()
+    if qpd is not None:
+        if (qpd["mode"] == "PREFIX").any():
+            qpd = qpd.copy()
+            mask = qpd["mode"] == "PREFIX"
+            qpd.loc[mask, "terms"] = qpd.loc[mask, "terms"].map(
+                lambda ps: expand_prefix_terms(index, list(ps))
+            )
+            qpd.loc[mask, "mode"] = "OR"
+        # an all-empty array column defeats createDataFrame type inference
+        to_df = qpd
+        if "neg_terms" in to_df.columns and all(
+            len(x) == 0 for x in to_df["neg_terms"]
+        ):
+            to_df = to_df.drop(columns=["neg_terms"])
+        qdf = spark.createDataFrame(to_df)
+    if "neg_terms" not in qdf.columns:
+        qdf = qdf.withColumn("neg_terms", F.array().cast("array<string>"))
+    if "min_match" not in qdf.columns:
+        qdf = qdf.withColumn("min_match", F.lit(0))
     if not index.stats.get("with_positions", False):
         # validate on BOTH input shapes — a Spark-frame query batch must not
         # sail past the check and die executor-side on an empty pos_blob
@@ -188,17 +275,39 @@ def search(
                 "(build with EngineConfig(with_positions=True) / --with-positions)"
             )
     # PHRASE keeps the ordered term sequence (slot index qpos); AND/OR
-    # dedupe (duplicate terms must not double-count in the BM25 sum)
+    # dedupe (duplicate terms must not double-count in the BM25 sum).
+    # Negated terms explode with is_neg=true (qpos -1, outside phrase
+    # slots): their postings ride the same pruned probe and each shard
+    # kernel folds its slice into the exclusion mask.
     qarr = F.when(F.col("mode") == "PHRASE", F.col("terms")).otherwise(
         F.array_distinct("terms")
     )
-    qterms = qdf.select(
+    narr = F.array_distinct(
+        F.coalesce(F.col("neg_terms"), F.array().cast("array<string>"))
+    )
+    qterms_pos = qdf.select(
         "query_id",
         "mode",
         "k",
+        "min_match",
         F.size(qarr).alias("n_query_terms"),
         F.posexplode(qarr).alias("qpos", "term"),
+        F.lit(False).alias("is_neg"),
     )
+    qterms_neg = (
+        qdf.where(F.size(narr) > 0)
+        .select(
+            "query_id",
+            "mode",
+            "k",
+            "min_match",
+            F.size(qarr).alias("n_query_terms"),
+            F.posexplode(narr).alias("qpos", "term"),
+            F.lit(True).alias("is_neg"),
+        )
+        .withColumn("qpos", F.lit(-1))
+    )
+    qterms = qterms_pos.unionByName(qterms_neg)
 
     # dictionary lookup: term → (term_id, df, idf). Served from the driver-
     # side dictionary cache when the vocabulary fits (a serving node holds
@@ -208,6 +317,8 @@ def search(
     if local is not None:
         if qpd is not None:  # driver already has the terms — no Spark job
             needed = {t for ts in qpd["terms"] for t in ts}
+            if "neg_terms" in qpd.columns:
+                needed |= {t for ts in qpd["neg_terms"] for t in ts}
         else:
             needed = {r["term"] for r in qterms.select("term").distinct().collect()}
         hit = local.loc[sorted(needed & set(local.index))].reset_index()

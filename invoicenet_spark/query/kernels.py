@@ -97,8 +97,15 @@ def score_exhaustive(
     k: int,
     mode: str = "OR",
     deleted: np.ndarray | None = None,
+    min_match: int = 0,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Vectorized exhaustive scoring of one shard.
+
+    min_match (OR mode): keep only docs matching >= min_match DISTINCT query
+    terms (Lucene minimumNumberShouldMatch). Correct per shard because a doc
+    lives in exactly one shard, so its full term-match count is visible to
+    that shard's kernel. 0/1 = plain OR; AND is min_match == n by other
+    means (intersection first).
 
     Posting rows are self-contained (per-posting doc_len stream), so no
     forward-index side input is needed. Deterministic accumulation:
@@ -136,6 +143,12 @@ def score_exhaustive(
     uniq, inv = np.unique(docs_cat, return_inverse=True)
     agg = np.zeros(uniq.size, dtype=np.float64)
     np.add.at(agg, inv, scores_cat)
+    if min_match > 1:
+        # each decoded list contributes one row per doc, so bincount over
+        # the inverse index IS the distinct-term match count
+        cnt = np.bincount(inv, minlength=uniq.size)
+        hit = cnt >= min_match
+        uniq, agg = uniq[hit], agg[hit]
     live = drop_deleted(uniq, deleted)
     return topk_select(uniq[live], agg[live], k)
 

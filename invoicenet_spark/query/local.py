@@ -272,6 +272,31 @@ class LocalIndex:
             )
         }
 
+    def expand_prefixes(self, prefixes: list[str], max_expansions: int = 1024) -> list[str]:
+        """PREFIX rewrite against the serving dictionary — same contract as
+        exec.expand_prefix_terms (lexicographic order, TooManyClauses-style
+        cap). With a hot dictionary this is a vectorized startswith over the
+        in-memory index; the big-vocab fallback scans the term column once."""
+        self.term_info(set())  # ensure the hot dictionary decision is made
+        if self._dict is not None:
+            idx = self._dict.index
+            out: set[str] = set()
+            for p in prefixes:
+                out |= set(idx[idx.str.startswith(p)])
+        else:
+            terms = (
+                self._terms_dataset().to_table(columns=["term"]).column("term").to_pandas()
+            )
+            out = set()
+            for p in prefixes:
+                out |= set(terms[terms.str.startswith(p)])
+        if len(out) > max_expansions:
+            raise ValueError(
+                f"prefix expansion matches more than {max_expansions} dictionary "
+                f"terms ({sorted(prefixes)}); narrow the prefix"
+            )
+        return sorted(out)
+
     def urls_for(self, doc_ids: list[int]) -> dict[int, str]:
         tbl = self.docs_dataset().to_table(
             columns=["doc_id", "url"], filter=ds.field("doc_id").isin(doc_ids)
@@ -332,6 +357,15 @@ def _run_one_query(
     ops); semantics identical to exec._shard_kernel + the global merge."""
     k1, b, avgdl, N = stats["k1"], stats["b"], stats["avgdl"], stats["N"]
     qid, mode, k = int(q["query_id"]), q["mode"], int(q["k"])
+    neg_raw = q.get("neg_terms")
+    neg_terms = (
+        list(dict.fromkeys(neg_raw))
+        if isinstance(neg_raw, (list, tuple, np.ndarray))
+        else []
+    )
+    neg_tids = [term_info[t][0] for t in neg_terms if t in term_info]
+    mm_raw = q.get("min_match")
+    min_match = int(mm_raw) if mm_raw is not None and not pd.isna(mm_raw) else 0
     terms = list(q["terms"]) if mode == "PHRASE" else list(dict.fromkeys(q["terms"]))
     infos = [term_info.get(t) for t in terms]
     if any(i is None for i in infos) and mode in ("AND", "PHRASE"):
@@ -366,6 +400,17 @@ def _run_one_query(
         if not ok or not plists:
             continue
         deleted = deleted_by_shard.get(shard) if deleted_by_shard else None
+        if neg_tids:
+            # negated terms: same exclusion-mask path as tombstones (and
+            # merged with them), one doc-stream decode per neg term present
+            neg_docs = [
+                kernels.decode_posting_list(by_tid_shard[(tid, shard)])[0]
+                for tid in neg_tids
+                if (tid, shard) in by_tid_shard
+            ]
+            if neg_docs:
+                excl = np.unique(np.concatenate(neg_docs)).astype(np.int64)
+                deleted = excl if deleted is None else np.union1d(deleted, excl)
         if mode == "PHRASE":
             d, s = kernels.score_phrase(plists, k, deleted=deleted)
         elif mode == "AND":
@@ -373,8 +418,10 @@ def _run_one_query(
             d, s = kernels.score_exhaustive(plists, k, "AND", deleted=deleted)
         else:
             plists.sort(key=lambda tp: int(tp.row["term_id"]))
-            if kernel == "exhaustive":
-                d, s = kernels.score_exhaustive(plists, k, "OR", deleted=deleted)
+            if kernel == "exhaustive" or min_match > 1:
+                d, s = kernels.score_exhaustive(
+                    plists, k, "OR", deleted=deleted, min_match=min_match
+                )
             else:
                 d, s = kernels.score_blockmax(plists, k, deleted=deleted)
         docs_all.append(d)
@@ -427,8 +474,22 @@ def search_local(
             "PHRASE queries require a positional index "
             "(build with EngineConfig(with_positions=True) / --with-positions)"
         )
+    if (queries["mode"] == "PREFIX").any():
+        queries = queries.copy()
+        mask = queries["mode"] == "PREFIX"
+        queries.loc[mask, "terms"] = queries.loc[mask, "terms"].map(
+            lambda ps: li.expand_prefixes(list(ps))
+        )
+        queries.loc[mask, "mode"] = "OR"
 
     needed_terms = {t for ts in queries["terms"] for t in ts}
+    if "neg_terms" in queries.columns:
+        needed_terms |= {
+            t
+            for ts in queries["neg_terms"]
+            if isinstance(ts, (list, tuple, np.ndarray))
+            for t in ts
+        }
     term_info = li.term_info(needed_terms)
 
     all_tids = sorted({tid for tid, _ in term_info.values()})

@@ -1,0 +1,163 @@
+"""Query-language surface beyond AND/OR/PHRASE: negated terms (must_not),
+minimum_should_match, and PREFIX expansion — on BOTH query paths (Spark
+batch, pyarrow serving), pinned against ground truth derived from plain
+big-k queries:
+
+- neg_terms: results == (plain OR results) minus (docs containing any neg
+  term), re-ranked; survivors' scores bit-unchanged (a must_not never
+  redefines scoring).
+- min_match: results == plain-OR docs matching >= m distinct terms; scores
+  stay the full OR sums; m=1 == plain OR, m=n == the AND doc set.
+- PREFIX: results == plain OR over the dictionary expansion; oversized
+  expansions raise (the BooleanQuery.TooManyClauses analog).
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from invoicenet_spark.config import EngineConfig
+from invoicenet_spark.fixtures import gen_pages_spark
+from invoicenet_spark.query.exec import expand_prefix_terms, load_index, search
+from invoicenet_spark.query.local import search_local
+
+CFG = EngineConfig(shard_size=64, block_size=16, build_partitions=8, with_positions=True)
+BIG = 100_000
+
+
+@pytest.fixture(scope="module")
+def ql(spark, tmp_path_factory):
+    from invoicenet_spark.index.build import build_index
+
+    root = str(tmp_path_factory.mktemp("ql_idx") / "index")
+    pages = gen_pages_spark(spark, 300, seed=42, partitions=4)
+    build_index(spark, pages, root, CFG)
+    idx = load_index(spark, root)
+    top = [
+        r["term"]
+        for r in idx.terms.orderBy(F.col("df").desc(), "term").limit(6).collect()
+    ]
+    return root, idx, top
+
+
+def _q(terms, mode="OR", k=BIG, **extra):
+    return pd.DataFrame([{"query_id": 1, "terms": terms, "mode": mode, "k": k, **extra}])
+
+
+def _run(spark, idx, qdf):
+    return search(spark, idx, qdf).toPandas().reset_index(drop=True)
+
+
+def test_neg_terms_exclude_and_preserve_scores(spark, ql):
+    root, idx, top = ql
+    pos, neg = top[:2], top[2]
+    base = _run(spark, idx, _q(pos))
+    neg_docs = set(_run(spark, idx, _q([neg]))["doc_id"])
+    assert neg_docs and len(base) > len(neg_docs) / 2
+
+    got = _run(spark, idx, _q(pos, neg_terms=[neg]))
+    expect = base[~base["doc_id"].isin(neg_docs)].reset_index(drop=True)
+    expect["rank"] = np.arange(1, len(expect) + 1)
+    assert got["doc_id"].tolist() == expect["doc_id"].tolist()
+    np.testing.assert_allclose(got["score"], expect["score"], rtol=0, atol=0)
+    assert len(got) < len(base)  # the neg term actually bit
+
+    # serving path: rank-identical
+    loc = search_local(root, _q(pos, neg_terms=[neg]))
+    assert loc["doc_id"].astype("int64").tolist() == got["doc_id"].tolist()
+
+    # Spark-frame query input takes the same path
+    got_df = _run(spark, idx, spark.createDataFrame(_q(pos, neg_terms=[neg])))
+    assert got_df["doc_id"].tolist() == got["doc_id"].tolist()
+
+
+def test_neg_term_absent_from_dictionary_is_noop(spark, ql):
+    root, idx, top = ql
+    base = _run(spark, idx, _q(top[:2]))
+    got = _run(spark, idx, _q(top[:2], neg_terms=["zzznotaterm"]))
+    assert got["doc_id"].tolist() == base["doc_id"].tolist()
+    loc = search_local(root, _q(top[:2], neg_terms=["zzznotaterm"]))
+    assert loc["doc_id"].astype("int64").tolist() == base["doc_id"].tolist()
+
+
+def test_neg_with_and_mode(spark, ql):
+    root, idx, top = ql
+    base = _run(spark, idx, _q(top[:2], mode="AND"))
+    neg = top[3]
+    neg_docs = set(_run(spark, idx, _q([neg]))["doc_id"])
+    got = _run(spark, idx, _q(top[:2], mode="AND", neg_terms=[neg]))
+    assert set(got["doc_id"]) == set(base["doc_id"]) - neg_docs
+    loc = search_local(root, _q(top[:2], mode="AND", neg_terms=[neg]))
+    assert loc["doc_id"].astype("int64").tolist() == got["doc_id"].tolist()
+
+
+def test_min_match(spark, ql):
+    root, idx, top = ql
+    # one stopword-like term plus rare terms, so match counts actually vary
+    rare = [
+        r["term"]
+        for r in idx.terms.where(F.col("df").between(5, 40))
+        .orderBy("term")
+        .limit(3)
+        .collect()
+    ]
+    assert len(rare) == 3
+    terms = [top[0]] + rare
+    base = _run(spark, idx, _q(terms))
+    per_term = {t: set(_run(spark, idx, _q([t]))["doc_id"]) for t in terms}
+    counts = {
+        d: sum(d in s for s in per_term.values()) for d in base["doc_id"]
+    }
+
+    for m in (2, 3):
+        got = _run(spark, idx, _q(terms, min_match=m))
+        expect = base[base["doc_id"].map(counts) >= m].reset_index(drop=True)
+        assert got["doc_id"].tolist() == expect["doc_id"].tolist(), f"m={m}"
+        # scores stay the full OR sums — msm filters, never re-scores
+        np.testing.assert_allclose(got["score"], expect["score"], rtol=0, atol=0)
+        loc = search_local(root, _q(terms, min_match=m))
+        assert loc["doc_id"].astype("int64").tolist() == got["doc_id"].tolist()
+        assert 0 < len(got) < len(base)
+
+    # boundary identities: m<=1 is plain OR; m=n matches the AND doc set
+    got1 = _run(spark, idx, _q(terms, min_match=1))
+    assert got1["doc_id"].tolist() == base["doc_id"].tolist()
+    gotn = _run(spark, idx, _q(terms, min_match=len(terms)))
+    and_docs = set(_run(spark, idx, _q(terms, mode="AND"))["doc_id"])
+    assert set(gotn["doc_id"]) == and_docs
+
+
+def test_prefix_expansion(spark, ql):
+    root, idx, top = ql
+    prefix = top[0][:3]
+    expansion = expand_prefix_terms(idx, [prefix])
+    assert top[0] in expansion and len(expansion) >= 1
+    expect = _run(spark, idx, _q(expansion))
+    got = _run(spark, idx, _q([prefix], mode="PREFIX"))
+    assert got["doc_id"].tolist() == expect["doc_id"].tolist()
+    np.testing.assert_allclose(got["score"], expect["score"], rtol=0, atol=0)
+
+    loc = search_local(root, _q([prefix], mode="PREFIX"))
+    assert loc["doc_id"].astype("int64").tolist() == got["doc_id"].tolist()
+
+    # Spark-frame input triggers the driver-side rewrite too
+    got_df = _run(spark, idx, spark.createDataFrame(_q([prefix], mode="PREFIX")))
+    assert got_df["doc_id"].tolist() == got["doc_id"].tolist()
+
+
+def test_prefix_expansion_cap(spark, ql):
+    root, idx, _ = ql
+    with pytest.raises(ValueError, match="prefix expansion"):
+        expand_prefix_terms(idx, [""], max_expansions=10)
+    from invoicenet_spark.query.local import local_index
+
+    with pytest.raises(ValueError, match="prefix expansion"):
+        local_index(root).expand_prefixes([""], max_expansions=10)
+
+
+def test_prefix_no_match_is_empty(spark, ql):
+    root, idx, _ = ql
+    got = _run(spark, idx, _q(["zzznoprefix"], mode="PREFIX"))
+    assert len(got) == 0
+    assert len(search_local(root, _q(["zzznoprefix"], mode="PREFIX"))) == 0
