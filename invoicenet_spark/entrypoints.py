@@ -214,6 +214,7 @@ def _duck_bm25(
     neg_terms=None,
     min_match: int = 0,
     prefix: bool = False,
+    boosts: dict | None = None,
 ) -> str:
     """deleted: 'masked' — exclude _DELETE_PRED_SQL docs from ranking only
     (tombstone semantics: corpus stats still count them); 'purged' — exclude
@@ -221,8 +222,13 @@ def _duck_bm25(
     neg_terms: docs containing any are excluded from ranking (must_not).
     min_match: OR queries keep docs matching >= m distinct terms.
     prefix: `terms` are prefixes; the query-term set is every corpus term
-    matching one (the engine's dictionary == distinct corpus terms)."""
-    tlist = ", ".join(f"('{t}')" for t in dict.fromkeys(terms))
+    matching one (the engine's dictionary == distinct corpus terms).
+    boosts: {term: boost} — scales that term's score contribution (the
+    engine's `term^boost` syntax)."""
+    boosts = boosts or {}
+    tlist = ", ".join(
+        f"('{t}', {float(boosts.get(t, 1.0))!r})" for t in dict.fromkeys(terms)
+    )
     n_terms = len(dict.fromkeys(terms))
     having = f"HAVING count(DISTINCT term) = {n_terms}" if mode == "AND" else ""
     if min_match > 1:
@@ -254,9 +260,9 @@ def _duck_bm25(
     rank_pred = (" WHERE " + " AND ".join(rank_conds)) if rank_conds else ""
     if prefix:
         plike = " OR ".join(f"term LIKE '{p}%'" for p in dict.fromkeys(terms))
-        qt_cte = f"qt AS (SELECT DISTINCT term FROM toks WHERE {plike})"
+        qt_cte = f"qt AS (SELECT DISTINCT term, 1.0 AS boost FROM toks WHERE {plike})"
     else:
-        qt_cte = f"qt(term) AS (VALUES {tlist})"
+        qt_cte = f"qt(term, boost) AS (VALUES {tlist})"
     return f"""
 WITH toks AS (
   SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
@@ -273,9 +279,9 @@ tf AS (
 dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
 scored AS (
   SELECT tf.doc_id,
-         sum( ln((stats.n - dfq.df + 0.5)/(dfq.df + 0.5) + 1.0)
+         sum( qt.boost * ln((stats.n - dfq.df + 0.5)/(dfq.df + 0.5) + 1.0)
               * tf.tf * 2.2 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl)) ) AS score
-  FROM tf JOIN dfq USING(term) JOIN dl USING(doc_id) CROSS JOIN stats
+  FROM tf JOIN dfq USING(term) JOIN qt USING(term) JOIN dl USING(doc_id) CROSS JOIN stats
   GROUP BY tf.doc_id
   {having}
 ){phrase_filter},
@@ -381,6 +387,14 @@ def q_bm25_topk_prefix(spark, sf_dir):
     """PREFIX query: 's' expands against the term dictionary (spark, scan,
     sort, …) and scores as OR over the expansion."""
     return _bm25_engine_results(spark, sf_dir, ["s"], "PREFIX", 20)
+
+
+def q_bm25_topk_boost(spark, sf_dir):
+    """Per-term boosts (`term^2.5` syntax): boost scales the term's idf, so
+    its score contribution is linear in the boost on both query paths."""
+    return _bm25_engine_results(
+        spark, sf_dir, ["spark^2", "query", "window^0.5"], "OR", 20
+    )
 
 
 def q_bm25_topk_deleted(spark, sf_dir):
@@ -796,6 +810,7 @@ QUERIES = {
     "bm25_topk_not": q_bm25_topk_not,
     "bm25_topk_msm": q_bm25_topk_msm,
     "bm25_topk_prefix": q_bm25_topk_prefix,
+    "bm25_topk_boost": q_bm25_topk_boost,
     "substring_search": q_substring_search,
     "ngram_counts": q_ngram_counts,
     "amount_normalize": q_amount_normalize,
@@ -865,6 +880,9 @@ ORACLE_SQL = {
     "bm25_topk_not": _duck_bm25(BM25_QUERY_TERMS, "OR", 20, neg_terms=["join"]),
     "bm25_topk_msm": _duck_bm25(BM25_MSM_TERMS, "OR", 20, min_match=3),
     "bm25_topk_prefix": _duck_bm25(["s"], "OR", 20, prefix=True),
+    "bm25_topk_boost": _duck_bm25(
+        BM25_QUERY_TERMS, "OR", 20, boosts={"spark": 2.0, "window": 0.5}
+    ),
     "substring_search": (
         "SELECT doc_id FROM documents WHERE contains(lower(text), 'window')"
     ),

@@ -139,6 +139,37 @@ def expand_prefix_terms(
     return sorted(out)
 
 
+def parse_term_boosts(qpd: pd.DataFrame) -> pd.DataFrame:
+    """Lucene `term^2.5` boost syntax: strip the suffix from `terms` and
+    attach a per-query {term: boost} map (column `boost_map`). Duplicate
+    boosted clauses SUM (a boost scales the term's linear score
+    contribution, so clause duplication ≡ boost addition — Lucene's
+    additive-clause semantics). '^' can never appear inside an analyzed
+    token, so the syntax is unambiguous. No-op when no term carries a
+    boost."""
+    if not any("^" in t for ts in qpd["terms"] for t in ts):
+        return qpd
+    qpd = qpd.copy()
+    new_terms, keys, vals = [], [], []
+    for ts in qpd["terms"]:
+        bmap: dict[str, float] = {}
+        base_terms = []
+        for t in ts:
+            base, _, suffix = t.partition("^")
+            base_terms.append(base)
+            if suffix:
+                bmap[base] = bmap.get(base, 0.0) + float(suffix)
+        new_terms.append(base_terms)
+        # parallel arrays, not a dict: createDataFrame infers python dicts
+        # as STRUCT; search() rebuilds the MapType via map_from_arrays
+        keys.append(list(bmap))
+        vals.append([bmap[k] for k in bmap])
+    qpd["terms"] = new_terms
+    qpd["boost_keys"] = keys
+    qpd["boost_vals"] = vals
+    return qpd
+
+
 def _empty_results(spark: SparkSession, with_url: bool) -> DataFrame:
     schema = "query_id long, rank int, doc_id long, score double"
     if with_url:
@@ -239,8 +270,17 @@ def search(
         qpd = queries
     else:
         qdf = queries
-        # PREFIX rewrite needs the rows driver-side; query batches are tiny
-        if bool(qdf.where(F.col("mode") == "PREFIX").limit(1).count()):
+        # PREFIX rewrite and boost parsing need the rows driver-side;
+        # query batches are tiny — one existence probe covers both
+        needs_driver = bool(
+            qdf.where(
+                (F.col("mode") == "PREFIX")
+                | F.exists("terms", lambda t: t.contains("^"))
+            )
+            .limit(1)
+            .count()
+        )
+        if needs_driver:
             qpd = qdf.toPandas()
     if qpd is not None:
         if (qpd["mode"] == "PREFIX").any():
@@ -250,6 +290,7 @@ def search(
                 lambda ps: expand_prefix_terms(index, list(ps))
             )
             qpd.loc[mask, "mode"] = "OR"
+        qpd = parse_term_boosts(qpd)
         # an all-empty array column defeats createDataFrame type inference
         to_df = qpd
         if "neg_terms" in to_df.columns and all(
@@ -261,6 +302,10 @@ def search(
         qdf = qdf.withColumn("neg_terms", F.array().cast("array<string>"))
     if "min_match" not in qdf.columns:
         qdf = qdf.withColumn("min_match", F.lit(0))
+    if "boost_keys" in qdf.columns:
+        qdf = qdf.withColumn(
+            "boost_map", F.map_from_arrays("boost_keys", "boost_vals")
+        ).drop("boost_keys", "boost_vals")
     if not index.stats.get("with_positions", False):
         # validate on BOTH input shapes — a Spark-frame query batch must not
         # sail past the check and die executor-side on an empty pos_blob
@@ -285,11 +330,13 @@ def search(
     narr = F.array_distinct(
         F.coalesce(F.col("neg_terms"), F.array().cast("array<string>"))
     )
+    boost_cols = ["boost_map"] if "boost_map" in qdf.columns else []
     qterms_pos = qdf.select(
         "query_id",
         "mode",
         "k",
         "min_match",
+        *boost_cols,
         F.size(qarr).alias("n_query_terms"),
         F.posexplode(qarr).alias("qpos", "term"),
         F.lit(False).alias("is_neg"),
@@ -301,6 +348,7 @@ def search(
             "mode",
             "k",
             "min_match",
+            *boost_cols,
             F.size(qarr).alias("n_query_terms"),
             F.posexplode(narr).alias("qpos", "term"),
             F.lit(True).alias("is_neg"),
@@ -338,6 +386,14 @@ def search(
             return _empty_results(spark, with_url)
 
     q = qterms.join(F.broadcast(t), "term")
+    if boost_cols:
+        # boost scales the term's idf — linear in the BM25 sum, so the
+        # kernels are untouched; absent map entries default to 1.0
+        q = q.withColumn(
+            "idf",
+            F.col("idf")
+            * F.coalesce(F.element_at("boost_map", F.col("term")), F.lit(1.0)),
+        ).drop("boost_map")
     # postings probe on term_id. A broadcast join alone would SCAN the whole
     # postings table and filter in the join — at web scale that reads the
     # entire index. Collecting the (tiny) query term_ids and injecting an

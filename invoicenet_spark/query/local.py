@@ -366,7 +366,15 @@ def _run_one_query(
     neg_tids = [term_info[t][0] for t in neg_terms if t in term_info]
     mm_raw = q.get("min_match")
     min_match = int(mm_raw) if mm_raw is not None and not pd.isna(mm_raw) else 0
-    terms = list(q["terms"]) if mode == "PHRASE" else list(dict.fromkeys(q["terms"]))
+    # `term^2.5` boost syntax — same semantics as exec.parse_term_boosts
+    bmap: dict[str, float] = {}
+    raw_terms = []
+    for t in q["terms"]:
+        base, _, suffix = t.partition("^")
+        raw_terms.append(base)
+        if suffix:
+            bmap[base] = bmap.get(base, 0.0) + float(suffix)
+    terms = raw_terms if mode == "PHRASE" else list(dict.fromkeys(raw_terms))
     infos = [term_info.get(t) for t in terms]
     if any(i is None for i in infos) and mode in ("AND", "PHRASE"):
         return []
@@ -393,7 +401,7 @@ def _run_one_query(
                     ok = False  # every term must be present in the shard
                     break
                 continue  # OR: just skip the absent term
-            idf = bm25.idf(N, df)
+            idf = bm25.idf(N, df) * bmap.get(terms[slot], 1.0)
             plists.append(
                 kernels.TermPostings(rec, idf=idf, avgdl=avgdl, k1=k1, b=b)
             )
@@ -482,7 +490,7 @@ def search_local(
         )
         queries.loc[mask, "mode"] = "OR"
 
-    needed_terms = {t for ts in queries["terms"] for t in ts}
+    needed_terms = {t.partition("^")[0] for ts in queries["terms"] for t in ts}
     if "neg_terms" in queries.columns:
         needed_terms |= {
             t

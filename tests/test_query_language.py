@@ -156,6 +156,42 @@ def test_prefix_expansion_cap(spark, ql):
         local_index(root).expand_prefixes([""], max_expansions=10)
 
 
+def test_term_boosts(spark, ql):
+    """`term^B` scales that term's contribution linearly: a single boosted
+    term's scores are exactly B x the unboosted scores; in a multi-term
+    query the boosted variant equals sum of scaled per-term scores."""
+    root, idx, top = ql
+    t0, t1 = top[0], top[1]
+    s0 = _run(spark, idx, _q([t0]))
+    boosted = _run(spark, idx, _q([f"{t0}^2.5"]))
+    assert boosted["doc_id"].tolist() == s0["doc_id"].tolist()
+    np.testing.assert_allclose(boosted["score"], s0["score"] * 2.5, rtol=1e-12)
+
+    # multi-term: recombine from single-term runs
+    s1 = _run(spark, idx, _q([t1]))
+    got = _run(spark, idx, _q([f"{t0}^2", t1]))
+    exp = (
+        pd.concat(
+            [s0.assign(score=s0["score"] * 2.0), s1]
+        )
+        .groupby("doc_id", as_index=False)["score"]
+        .sum()
+        .sort_values(["score", "doc_id"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+    assert got["doc_id"].tolist() == exp["doc_id"].tolist()
+    np.testing.assert_allclose(got["score"], exp["score"], rtol=1e-12)
+
+    # serving path parity
+    loc = search_local(root, _q([f"{t0}^2", t1]))
+    assert loc["doc_id"].astype("int64").tolist() == got["doc_id"].tolist()
+    np.testing.assert_allclose(loc["score"], got["score"], rtol=0, atol=0)
+
+    # Spark-frame input parses boosts too
+    got_df = _run(spark, idx, spark.createDataFrame(_q([f"{t0}^2", t1])))
+    assert got_df["doc_id"].tolist() == got["doc_id"].tolist()
+
+
 def test_prefix_no_match_is_empty(spark, ql):
     root, idx, _ = ql
     got = _run(spark, idx, _q(["zzznoprefix"], mode="PREFIX"))
