@@ -43,7 +43,9 @@ def main(argv=None):
     s = sub.add_parser("search", help="query an index")
     s.add_argument("--index", required=True)
     s.add_argument("--terms", required=True, help="comma-separated")
-    s.add_argument("--mode", default="OR", choices=["OR", "AND", "PHRASE", "PREFIX"])
+    s.add_argument("--mode", default="OR", choices=["OR", "AND", "PHRASE", "PREFIX", "NEAR"])
+    s.add_argument("--slop", type=int, default=0,
+                   help="NEAR: max extra gaps between ordered terms (0 == PHRASE)")
     s.add_argument("--neg-terms", default=None,
                    help="comma-separated must_not terms: matching docs are excluded")
     s.add_argument("--min-match", type=int, default=0,
@@ -99,7 +101,7 @@ def main(argv=None):
         from invoicenet_spark.query.local import search_local
 
         qrow = {"query_id": 1, "terms": args.terms.split(","), "mode": args.mode,
-                "k": args.k, "min_match": args.min_match}
+                "k": args.k, "min_match": args.min_match, "slop": args.slop}
         if args.neg_terms:
             qrow["neg_terms"] = args.neg_terms.split(",")
         q = pd.DataFrame([qrow])
@@ -149,7 +151,7 @@ def main(argv=None):
 
         index = load_index(spark, args.index)
         qrow = {"query_id": 1, "terms": args.terms.split(","), "mode": args.mode,
-                "k": args.k, "min_match": args.min_match}
+                "k": args.k, "min_match": args.min_match, "slop": args.slop}
         if args.neg_terms:
             qrow["neg_terms"] = args.neg_terms.split(",")
         q = pd.DataFrame([qrow])

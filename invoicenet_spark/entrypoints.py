@@ -215,6 +215,7 @@ def _duck_bm25(
     min_match: int = 0,
     prefix: bool = False,
     boosts: dict | None = None,
+    near_slop: int | None = None,
 ) -> str:
     """deleted: 'masked' — exclude _DELETE_PRED_SQL docs from ranking only
     (tombstone semantics: corpus stats still count them); 'purged' — exclude
@@ -224,7 +225,9 @@ def _duck_bm25(
     prefix: `terms` are prefixes; the query-term set is every corpus term
     matching one (the engine's dictionary == distinct corpus terms).
     boosts: {term: boost} — scales that term's score contribution (the
-    engine's `term^boost` syntax)."""
+    engine's `term^boost` syntax).
+    near_slop (2 terms): ordered proximity — keep docs where term2 follows
+    term1 at distance <= 1+slop (the engine's NEAR/slop; slop=0 == PHRASE)."""
     boosts = boosts or {}
     tlist = ", ".join(
         f"('{t}', {float(boosts.get(t, 1.0))!r})" for t in dict.fromkeys(terms)
@@ -245,8 +248,22 @@ def _duck_bm25(
   WHERE len(list_filter(range(1, greatest(len(ts) - {len(terms) - 2}, 1)),
         i -> {adj})) > 0
 )"""
+    if near_slop is not None:
+        t1, t2 = list(dict.fromkeys(terms))[:2]
+        phrase_filter = f"""
+, phrase_docs AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+           t -> t <> '') AS ts
+    FROM documents WHERE lang = 'en')
+  WHERE len(list_filter(range(1, len(ts) + 1),
+        i -> ts[i] = '{t1}' AND len(list_filter(range(i + 1, i + 2 + {int(near_slop)}),
+              j -> ts[j] = '{t2}')) > 0)) > 0
+)"""
     scored_src = (
-        "scored JOIN phrase_docs USING(doc_id)" if mode == "PHRASE" else "scored"
+        "scored JOIN phrase_docs USING(doc_id)"
+        if (mode == "PHRASE" or near_slop is not None)
+        else "scored"
     )
     corpus_pred = f" AND NOT ({_DELETE_PRED_SQL})" if deleted == "purged" else ""
     rank_conds = []
@@ -387,6 +404,12 @@ def q_bm25_topk_prefix(spark, sf_dir):
     """PREFIX query: 's' expands against the term dictionary (spark, scan,
     sort, …) and scores as OR over the expansion."""
     return _bm25_engine_results(spark, sf_dir, ["s"], "PREFIX", 20)
+
+
+def q_bm25_topk_near(spark, sf_dir):
+    """NEAR/3 ordered proximity: 'join' followed by 'key' within span 4 —
+    the positional query family beyond exact PHRASE (slop=0 == PHRASE)."""
+    return _bm25_engine_results(spark, sf_dir, BM25_PHRASE, "NEAR", 20, slop=3)
 
 
 def q_bm25_topk_boost(spark, sf_dir):
@@ -811,6 +834,7 @@ QUERIES = {
     "bm25_topk_msm": q_bm25_topk_msm,
     "bm25_topk_prefix": q_bm25_topk_prefix,
     "bm25_topk_boost": q_bm25_topk_boost,
+    "bm25_topk_near": q_bm25_topk_near,
     "substring_search": q_substring_search,
     "ngram_counts": q_ngram_counts,
     "amount_normalize": q_amount_normalize,
@@ -883,6 +907,7 @@ ORACLE_SQL = {
     "bm25_topk_boost": _duck_bm25(
         BM25_QUERY_TERMS, "OR", 20, boosts={"spark": 2.0, "window": 0.5}
     ),
+    "bm25_topk_near": _duck_bm25(BM25_PHRASE, "OR", 20, near_slop=3),
     "substring_search": (
         "SELECT doc_id FROM documents WHERE contains(lower(text), 'window')"
     ),

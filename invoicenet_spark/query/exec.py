@@ -209,9 +209,9 @@ def _shard_kernel(stats: dict, kernel: str, deleted_bc=None):
                 )
             ).astype(np.int64)
             deleted = excl if deleted is None else np.union1d(deleted, excl)
-        if len(pdf) == 0 or (mode in ("AND", "PHRASE") and len(pdf) < n_query_terms):
+        if len(pdf) == 0 or (mode in ("AND", "PHRASE", "NEAR") and len(pdf) < n_query_terms):
             return empty
-        sort_col = "qpos" if mode == "PHRASE" else "term_id"
+        sort_col = "qpos" if mode in ("PHRASE", "NEAR") else "term_id"
         pdf = pdf.sort_values(sort_col).reset_index(drop=True)
         plists = [
             kernels.TermPostings(row, idf=row["idf"], avgdl=avgdl, k1=k1, b=b)
@@ -219,6 +219,9 @@ def _shard_kernel(stats: dict, kernel: str, deleted_bc=None):
         ]
         if mode == "PHRASE":
             docs, scores = kernels.score_phrase(plists, k, deleted=deleted)
+        elif mode == "NEAR":
+            slop = int(pdf["slop"].iloc[0]) if "slop" in pdf.columns else 0
+            docs, scores = kernels.score_near(plists, k, slop, deleted=deleted)
         elif mode == "AND" or kernel == "exhaustive" or min_match > 1:
             # min_match > 1 routes to the exhaustive kernel: the block-max
             # decomposition's theta bound doesn't survive a match-count
@@ -302,6 +305,8 @@ def search(
         qdf = qdf.withColumn("neg_terms", F.array().cast("array<string>"))
     if "min_match" not in qdf.columns:
         qdf = qdf.withColumn("min_match", F.lit(0))
+    if "slop" not in qdf.columns:
+        qdf = qdf.withColumn("slop", F.lit(0))
     if "boost_keys" in qdf.columns:
         qdf = qdf.withColumn(
             "boost_map", F.map_from_arrays("boost_keys", "boost_vals")
@@ -310,13 +315,15 @@ def search(
         # validate on BOTH input shapes — a Spark-frame query batch must not
         # sail past the check and die executor-side on an empty pos_blob
         has_phrase = (
-            (qpd["mode"] == "PHRASE").any()
+            qpd["mode"].isin(["PHRASE", "NEAR"]).any()
             if qpd is not None
-            else bool(qdf.where(F.col("mode") == "PHRASE").limit(1).count())
+            else bool(
+                qdf.where(F.col("mode").isin("PHRASE", "NEAR")).limit(1).count()
+            )
         )
         if has_phrase:
             raise ValueError(
-                "PHRASE queries require a positional index "
+                "PHRASE/NEAR queries require a positional index "
                 "(build with EngineConfig(with_positions=True) / --with-positions)"
             )
     # PHRASE keeps the ordered term sequence (slot index qpos); AND/OR
@@ -324,9 +331,9 @@ def search(
     # Negated terms explode with is_neg=true (qpos -1, outside phrase
     # slots): their postings ride the same pruned probe and each shard
     # kernel folds its slice into the exclusion mask.
-    qarr = F.when(F.col("mode") == "PHRASE", F.col("terms")).otherwise(
-        F.array_distinct("terms")
-    )
+    qarr = F.when(
+        F.col("mode").isin("PHRASE", "NEAR"), F.col("terms")
+    ).otherwise(F.array_distinct("terms"))
     narr = F.array_distinct(
         F.coalesce(F.col("neg_terms"), F.array().cast("array<string>"))
     )
@@ -336,6 +343,7 @@ def search(
         "mode",
         "k",
         "min_match",
+        "slop",
         *boost_cols,
         F.size(qarr).alias("n_query_terms"),
         F.posexplode(qarr).alias("qpos", "term"),
@@ -348,6 +356,7 @@ def search(
             "mode",
             "k",
             "min_match",
+            "slop",
             *boost_cols,
             F.size(qarr).alias("n_query_terms"),
             F.posexplode(narr).alias("qpos", "term"),
@@ -404,7 +413,7 @@ def search(
     # column pruning: the position stream is the fattest column and only
     # PHRASE queries decode it — drop it from the scan when the batch has
     # none (known for free on pandas query batches)
-    if qpd is not None and not (qpd["mode"] == "PHRASE").any():
+    if qpd is not None and not qpd["mode"].isin(["PHRASE", "NEAR"]).any():
         probe = probe.drop("pos_blob", "block_pos_off")
     cand = probe.join(F.broadcast(q.drop("term")), "term_id")
     # no forward-index join: posting rows are self-contained (per-posting

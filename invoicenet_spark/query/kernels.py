@@ -204,16 +204,94 @@ def score_phrase(
     if surviving.size == 0:
         return np.zeros(0, dtype=np.int64), np.zeros(0)
     match_arr = cand[np.unique(surviving >> np.int64(32))]
+    return _bm25_over_matches(plists_by_qpos, decoded, match_arr, k)
 
-    # BM25 over distinct terms (a slot's term may repeat), restricted to
-    # phrase matches; accumulated in deterministic term_id order.
+
+def _bm25_over_matches(
+    plists: list[TermPostings], decoded, match_arr: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """BM25 over the query's distinct terms (a slot's term may repeat),
+    restricted to the proximity-matching docs; accumulated in deterministic
+    term_id order. Standard semantics: proximity is a FILTER, scoring stays
+    plain BM25 (shared by PHRASE and NEAR)."""
     scores = np.zeros(match_arr.size, dtype=np.float64)
-    by_tid = {int(tp.row["term_id"]): (tp, dec) for tp, dec in zip(plists_by_qpos, decoded)}
+    by_tid = {int(tp.row["term_id"]): (tp, dec) for tp, dec in zip(plists, decoded)}
     for tid in sorted(by_tid):
         tp, (docs_i, tfs_i, dls_i) = by_tid[tid]
         j = np.searchsorted(docs_i, match_arr)
         scores += tp.idf * bm25.tf_score(tfs_i[j], dls_i[j], tp.avgdl, tp.k1, tp.b)
     return topk_select(match_arr, scores, k)
+
+
+def score_near(
+    plists_by_qpos: list[TermPostings],
+    k: int,
+    slop: int,
+    deleted: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Ordered proximity query (NEAR/slop) over a positional index.
+
+    A doc matches iff its tokens contain the query terms IN ORDER at
+    strictly increasing positions p1 < … < pn with span
+    pn - p1 <= (n-1) + slop. slop=0 degenerates to PHRASE exactly (an
+    n-chain of strictly increasing ints spanning n-1 is consecutive —
+    pinned by test). Matching docs score plain BM25 over the distinct
+    terms, like PHRASE.
+
+    Vectorized greedy chain, no per-candidate Python: level 1 enumerates
+    every occurrence of slot 1 across all candidate docs as sorted
+    (doc_idx << 32 | pos) keys; each later level advances every live chain
+    to the smallest same-doc position of its slot strictly greater than
+    the chain's current position — ONE searchsorted per level. Greedy is
+    exact: for a fixed start, taking the smallest feasible next position
+    at every level minimizes the final span, so a doc matches iff some
+    start's greedy span meets the bound.
+    """
+    n = len(plists_by_qpos)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64), np.zeros(0)
+    if n == 1:
+        return score_exhaustive(plists_by_qpos, k, "OR", deleted=deleted)
+    decoded = [tp.decode_all() for tp in plists_by_qpos]
+    positions = [
+        tp.decode_positions(decoded[i][1]) for i, tp in enumerate(plists_by_qpos)
+    ]
+    cand = gallop_intersect([d[0] for d in decoded])
+    cand = cand[drop_deleted(cand, deleted)]
+    if cand.size == 0:
+        return np.zeros(0, dtype=np.int64), np.zeros(0)
+
+    SHIFT_BITS = np.int64(32)
+    SHIFT = np.int64(1) << SHIFT_BITS
+    keys = []
+    for (docs_i, _, _), (pos_flat, off) in zip(decoded, positions):
+        j = np.searchsorted(docs_i, cand)
+        starts = off[j]
+        lens = (off[j + 1] - starts).astype(np.int64)
+        total = int(lens.sum())
+        cum = np.cumsum(lens)
+        gather = np.arange(total, dtype=np.int64) + np.repeat(
+            starts - np.concatenate(([np.int64(0)], cum[:-1])), lens
+        )
+        ci = np.repeat(np.arange(cand.size, dtype=np.int64), lens)
+        keys.append(ci * SHIFT + pos_flat[gather].astype(np.int64))
+
+    cur = keys[0]
+    start_pos = cur & (SHIFT - 1)
+    for i in range(1, n):
+        idx = np.searchsorted(keys[i], cur, side="right")
+        ok = idx < keys[i].size
+        nxt = keys[i][np.minimum(idx, keys[i].size - 1)]
+        ok &= (nxt >> SHIFT_BITS) == (cur >> SHIFT_BITS)  # same candidate doc
+        cur, start_pos = nxt[ok], start_pos[ok]
+        if cur.size == 0:
+            return np.zeros(0, dtype=np.int64), np.zeros(0)
+    span = (cur & (SHIFT - 1)) - start_pos
+    hit = span <= np.int64(n - 1 + slop)
+    if not hit.any():
+        return np.zeros(0, dtype=np.int64), np.zeros(0)
+    match_arr = cand[np.unique(cur[hit] >> SHIFT_BITS)]
+    return _bm25_over_matches(plists_by_qpos, decoded, match_arr, k)
 
 
 def _probe_scores(

@@ -374,16 +374,16 @@ def _run_one_query(
         raw_terms.append(base)
         if suffix:
             bmap[base] = bmap.get(base, 0.0) + float(suffix)
-    terms = raw_terms if mode == "PHRASE" else list(dict.fromkeys(raw_terms))
+    terms = raw_terms if mode in ("PHRASE", "NEAR") else list(dict.fromkeys(raw_terms))
     infos = [term_info.get(t) for t in terms]
-    if any(i is None for i in infos) and mode in ("AND", "PHRASE"):
+    if any(i is None for i in infos) and mode in ("AND", "PHRASE", "NEAR"):
         return []
     infos_present = [(slot, i) for slot, i in enumerate(infos) if i is not None]
     if not infos_present:
         return []
-    # candidate shards: union (OR) / intersection (AND, PHRASE)
+    # candidate shards: union (OR) / intersection (AND, PHRASE, NEAR)
     shard_sets = [set(shards_by_tid.get(tid, ())) for _, (tid, _) in infos_present]
-    if mode in ("AND", "PHRASE"):
+    if mode in ("AND", "PHRASE", "NEAR"):
         cand_shards = set.intersection(*shard_sets) if shard_sets else set()
     else:
         cand_shards = set.union(*shard_sets) if shard_sets else set()
@@ -392,12 +392,16 @@ def _run_one_query(
     for shard in sorted(cand_shards):
         plists = []
         ok = True
-        pairs = infos_present if mode != "PHRASE" else list(enumerate(infos))
+        pairs = (
+            list(enumerate(infos))
+            if mode in ("PHRASE", "NEAR")
+            else infos_present
+        )
         for slot, info in pairs:
             tid, df = info
             rec = by_tid_shard.get((tid, shard))
             if rec is None:
-                if mode in ("AND", "PHRASE"):
+                if mode in ("AND", "PHRASE", "NEAR"):
                     ok = False  # every term must be present in the shard
                     break
                 continue  # OR: just skip the absent term
@@ -421,6 +425,10 @@ def _run_one_query(
                 deleted = excl if deleted is None else np.union1d(deleted, excl)
         if mode == "PHRASE":
             d, s = kernels.score_phrase(plists, k, deleted=deleted)
+        elif mode == "NEAR":
+            slop_raw = q.get("slop")
+            slop = int(slop_raw) if slop_raw is not None and not pd.isna(slop_raw) else 0
+            d, s = kernels.score_near(plists, k, slop, deleted=deleted)
         elif mode == "AND":
             plists.sort(key=lambda tp: int(tp.row["term_id"]))
             d, s = kernels.score_exhaustive(plists, k, "AND", deleted=deleted)
@@ -477,9 +485,11 @@ def search_local(
     """
     li = local_index(index)
     stats = li.stats
-    if (queries["mode"] == "PHRASE").any() and not stats.get("with_positions", False):
+    if queries["mode"].isin(["PHRASE", "NEAR"]).any() and not stats.get(
+        "with_positions", False
+    ):
         raise ValueError(
-            "PHRASE queries require a positional index "
+            "PHRASE/NEAR queries require a positional index "
             "(build with EngineConfig(with_positions=True) / --with-positions)"
         )
     if (queries["mode"] == "PREFIX").any():
@@ -501,7 +511,7 @@ def search_local(
     term_info = li.term_info(needed_terms)
 
     all_tids = sorted({tid for tid, _ in term_info.values()})
-    needs_positions = bool((queries["mode"] == "PHRASE").any())
+    needs_positions = bool(queries["mode"].isin(["PHRASE", "NEAR"]).any())
     rows = (
         li.catalog().read(all_tids, with_positions=needs_positions)
         if all_tids

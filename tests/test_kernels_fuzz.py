@@ -219,3 +219,70 @@ def test_phrase_fuzz_vs_token_scan():
         assert sorted(got_docs.tolist()) == expect, (
             f"seed={seed} phrase={phrase}: got {sorted(got_docs.tolist())} expect {expect}"
         )
+
+
+def test_near_fuzz_vs_token_scan():
+    """score_near's greedy-chain vs a brute-force python scan: a doc matches
+    iff SOME ordered occurrence chain spans <= (n-1)+slop. The brute force
+    enumerates every start and greedily chains (greedy minimizes the final
+    span for a fixed start, so it is exact on both sides — the point of the
+    fuzz is the vectorized bookkeeping, not the algorithm)."""
+    def brute_near(toks, terms, slop):
+        n = len(terms)
+        for i, t in enumerate(toks):
+            if t != terms[0]:
+                continue
+            cur = i
+            ok = True
+            for term in terms[1:]:
+                nxt = next((j for j in range(cur + 1, len(toks)) if toks[j] == term), None)
+                if nxt is None:
+                    ok = False
+                    break
+                cur = nxt
+            if ok and cur - i <= n - 1 + slop:
+                return True
+        return False
+
+    for seed in range(150):
+        rng = np.random.default_rng(7000 + seed)
+        n_docs = int(rng.integers(4, 25))
+        vocab = [f"t{i}" for i in range(int(rng.integers(3, 8)))]
+        docs_tokens = {
+            d: [vocab[i] for i in rng.integers(0, len(vocab), size=rng.integers(3, 30))]
+            for d in range(n_docs)
+        }
+        q_len = int(rng.integers(2, 4))
+        q_terms = [vocab[i] for i in rng.integers(0, len(vocab), size=q_len)]
+        slop = int(rng.integers(0, 6))
+
+        dls = np.array([len(docs_tokens[d]) for d in range(n_docs)], dtype=np.int64)
+        avgdl = float(dls.mean())
+        plists = []
+        feasible = True
+        for term in q_terms:
+            docs, poss = [], []
+            for d in range(n_docs):
+                p = [i for i, t in enumerate(docs_tokens[d]) if t == term]
+                if p:
+                    docs.append(d)
+                    poss.append(np.array(p, dtype=np.int64))
+            if not docs:
+                feasible = False
+                break
+            darr = np.array(docs, dtype=np.int64)
+            row, _ = _encode_positional(darr, poss, dls[darr])
+            row["term_id"] = vocab.index(term)
+            df = darr.size
+            idf = float(np.log((n_docs - df + 0.5) / (df + 0.5) + 1.0))
+            plists.append(kernels.TermPostings(row, idf, avgdl, 1.2, 0.75))
+        if not feasible:
+            continue
+        got_docs, _ = kernels.score_near(plists, k=50, slop=slop)
+        expect = sorted(
+            d for d, toks in docs_tokens.items() if brute_near(toks, q_terms, slop)
+        )
+        assert sorted(got_docs.tolist()) == expect, (
+            f"seed={seed} terms={q_terms} slop={slop}: "
+            f"got {sorted(got_docs.tolist())} expect {expect}"
+        )

@@ -192,6 +192,92 @@ def test_term_boosts(spark, ql):
     assert got_df["doc_id"].tolist() == got["doc_id"].tolist()
 
 
+def test_near_ground_truth(spark, tmp_path):
+    """NEAR/slop on a hand-crafted corpus: doc matches iff the terms appear
+    IN ORDER with span <= (n-1)+slop. Exact expected sets per slop."""
+    from invoicenet_spark.index.build import build_index
+
+    rows = [
+        ("u_adj", "aa bb filler filler"),          # span 1: any slop
+        ("u_gap1", "aa xx bb filler"),             # span 2: slop >= 1
+        ("u_gap2", "aa xx yy bb"),                 # span 3: slop >= 2
+        ("u_rev", "bb aa filler filler"),          # wrong order: never
+        ("u_only_a", "aa filler filler filler"),   # missing bb: never
+        ("u_late", "xx aa yy zz ww bb qq rr"),     # span 4: slop >= 3
+        ("u_both", "bb aa bb filler"),             # aa then bb: span 1
+    ]
+    pages = spark.createDataFrame(
+        [(u, None, None, t, "en") for u, t in rows],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    root = str(tmp_path / "near_idx")
+    build_index(spark, pages, root, CFG, use_stored_text=True)
+    idx = load_index(spark, root)
+
+    expect_by_slop = {
+        0: {"u_adj", "u_both"},
+        1: {"u_adj", "u_both", "u_gap1"},
+        2: {"u_adj", "u_both", "u_gap1", "u_gap2"},
+        3: {"u_adj", "u_both", "u_gap1", "u_gap2", "u_late"},
+        9: {"u_adj", "u_both", "u_gap1", "u_gap2", "u_late"},
+    }
+    for slop, exp in expect_by_slop.items():
+        got = _run(spark, idx, _q(["aa", "bb"], mode="NEAR", slop=slop))
+        assert set(got["url"]) == exp, f"slop={slop}"
+        loc = search_local(root, _q(["aa", "bb"], mode="NEAR", slop=slop))
+        assert set(loc["url"]) == exp, f"serving slop={slop}"
+
+    # 3-term chain: aa … bb … cc in order
+    pages3 = spark.createDataFrame(
+        [
+            ("v_tight", None, None, "aa bb cc filler", "en"),
+            ("v_spread", None, None, "aa xx bb yy cc", "en"),
+            ("v_scrambled", None, None, "cc bb aa filler", "en"),
+        ],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    root3 = str(tmp_path / "near3_idx")
+    build_index(spark, pages3, root3, CFG, use_stored_text=True)
+    idx3 = load_index(spark, root3)
+    got0 = _run(spark, idx3, _q(["aa", "bb", "cc"], mode="NEAR", slop=0))
+    assert set(got0["url"]) == {"v_tight"}
+    got2 = _run(spark, idx3, _q(["aa", "bb", "cc"], mode="NEAR", slop=2))
+    assert set(got2["url"]) == {"v_tight", "v_spread"}
+
+
+def test_near_zero_slop_equals_phrase(spark, ql):
+    """NEAR/0 degenerates to PHRASE exactly (pigeonhole on the span bound),
+    scores included — on both paths."""
+    root, idx, top = ql
+    t = [top[0], top[1]]
+    ph = _run(spark, idx, _q(t, mode="PHRASE"))
+    nr = _run(spark, idx, _q(t, mode="NEAR", slop=0))
+    assert nr["doc_id"].tolist() == ph["doc_id"].tolist()
+    np.testing.assert_allclose(nr["score"], ph["score"], rtol=0, atol=0)
+    loc = search_local(root, _q(t, mode="NEAR", slop=0))
+    assert loc["doc_id"].astype("int64").tolist() == ph["doc_id"].tolist()
+    # monotone in slop: result sets only grow
+    prev: set = set()
+    for slop in (0, 2, 8, 32):
+        cur = set(_run(spark, idx, _q(t, mode="NEAR", slop=slop))["doc_id"])
+        assert prev <= cur, f"slop={slop} lost docs"
+        prev = cur
+
+
+def test_near_requires_positions(spark, tmp_path):
+    from invoicenet_spark.index.build import build_index
+    from dataclasses import replace as dc_replace
+
+    pages = gen_pages_spark(spark, 50, seed=42, partitions=2)
+    root = str(tmp_path / "nopos_idx")
+    build_index(spark, pages, root, dc_replace(CFG, with_positions=False))
+    idx = load_index(spark, root)
+    with pytest.raises(ValueError, match="positional"):
+        search(spark, idx, _q(["aa", "bb"], mode="NEAR", slop=1))
+    with pytest.raises(ValueError, match="positional"):
+        search_local(root, _q(["aa", "bb"], mode="NEAR", slop=1))
+
+
 def test_prefix_no_match_is_empty(spark, ql):
     root, idx, _ = ql
     got = _run(spark, idx, _q(["zzznoprefix"], mode="PREFIX"))
