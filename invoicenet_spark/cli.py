@@ -33,6 +33,8 @@ def main(argv=None):
     b.add_argument("--cores", type=int, default=None)
     b.add_argument("--shard-size", type=int, default=None)
     b.add_argument("--with-positions", action="store_true", help="positional index (phrase queries)")
+    b.add_argument("--store-text", action="store_true",
+                   help="store extracted text in the docs table (snippets/highlighting)")
 
     u = sub.add_parser("update", help="incremental update from a snapshot table")
     u.add_argument("--table", required=True)
@@ -55,6 +57,8 @@ def main(argv=None):
                    help="'auto' = vectorized MaxScore block-max pruning; "
                         "'wand' is a back-compat alias for it (the cursor "
                         "WAND kernel was retired in round 3)")
+    s.add_argument("--snippets", action="store_true",
+                   help="attach highlighted snippets (index must be built with --store-text)")
     s.add_argument("--local", action="store_true",
                    help="serve driver-locally via pyarrow (no Spark job; "
                         "single-query latency path)")
@@ -105,9 +109,17 @@ def main(argv=None):
         if args.neg_terms:
             qrow["neg_terms"] = args.neg_terms.split(",")
         q = pd.DataFrame([qrow])
-        for r in search_local(args.index, q, kernel=args.kernel).to_dict("records"):
-            print(json.dumps({"rank": int(r["rank"]), "doc_id": int(r["doc_id"]),
-                              "url": r["url"], "score": round(float(r["score"]), 6)}))
+        res = search_local(args.index, q, kernel=args.kernel)
+        if args.snippets:
+            from invoicenet_spark.query.snippets import attach_snippets_local
+
+            res = attach_snippets_local(args.index, res, q)
+        for r in res.to_dict("records"):
+            out = {"rank": int(r["rank"]), "doc_id": int(r["doc_id"]),
+                   "url": r["url"], "score": round(float(r["score"]), 6)}
+            if "snippet" in r:
+                out["snippet"] = r["snippet"]
+            print(json.dumps(out, ensure_ascii=False))
         return 0
 
     from invoicenet_spark.config import EngineConfig
@@ -121,6 +133,8 @@ def main(argv=None):
         cfg_kwargs["build_partitions"] = args.cores
     if getattr(args, "with_positions", False):
         cfg_kwargs["with_positions"] = True
+    if getattr(args, "store_text", False):
+        cfg_kwargs["store_text"] = True
     cfg = EngineConfig(**cfg_kwargs)
 
     if args.cmd == "build":
@@ -155,10 +169,18 @@ def main(argv=None):
         if args.neg_terms:
             qrow["neg_terms"] = args.neg_terms.split(",")
         q = pd.DataFrame([qrow])
-        rows = [r.asDict() for r in search(spark, index, q, kernel=args.kernel).collect()]
+        res = search(spark, index, q, kernel=args.kernel)
+        if args.snippets:
+            from invoicenet_spark.query.snippets import attach_snippets
+
+            res = attach_snippets(spark, index, res, q)
+        rows = [r.asDict() for r in res.collect()]
         for r in rows:
-            print(json.dumps({"rank": int(r["rank"]), "doc_id": int(r["doc_id"]),
-                              "url": r["url"], "score": round(float(r["score"]), 6)}))
+            out = {"rank": int(r["rank"]), "doc_id": int(r["doc_id"]),
+                   "url": r["url"], "score": round(float(r["score"]), 6)}
+            if "snippet" in r:
+                out["snippet"] = r["snippet"]
+            print(json.dumps(out, ensure_ascii=False))
 
     elif args.cmd == "compact":
         from invoicenet_spark.index.maintain import compact_index

@@ -56,6 +56,11 @@ class EngineConfig:
     # (the reference's token geometry analog, SURVEY.md §1.1 item 2).
     with_positions: bool = False
 
+    # Store the extracted text in the docs table (the Lucene stored-fields
+    # analog). Opt-in: roughly doubles the docs table, and is what snippet
+    # generation / highlighting (query/snippets.py) reads at serving time.
+    store_text: bool = False
+
     # Top-k default (reference does top-1 argmax, acp/acp.py:117; engine
     # generalizes to top-k with deterministic doc_id tie-break).
     default_k: int = 10

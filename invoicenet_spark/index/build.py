@@ -428,8 +428,9 @@ def build_doc_table(pages_text: DataFrame, cfg: EngineConfig, id_offset: int = 0
     shard-aligned boundary so new docs land in fresh shards and committed
     posting shards are never rewritten (append-only segments).
     """
+    stored = ["text"] if cfg.store_text else []
     with_len = pages_text.select(
-        "url", F.size(tokens_col("text", cfg.token_pattern)).alias("doc_len")
+        "url", F.size(tokens_col("text", cfg.token_pattern)).alias("doc_len"), *stored
     )
     docs = assign_dense_ids(with_len, key="url", id_col="doc_id", num_partitions=cfg.build_partitions)
     if id_offset:
@@ -534,7 +535,12 @@ def _encode_and_commit(
     # object churn GC-thrashed at 10^6 docs). shard is an expression
     # (doc_id // shard_size), never a shuffled column, and bounds every
     # (term, shard) group at shard_size docs — no hot-term straggler.
-    src = pages_text.join(docs_pending.drop("shard"), "url").observe(
+    # join only what the encode needs — docs may carry more columns (e.g.
+    # stored text when cfg.store_text), which must not shuffle here or
+    # shadow pages_text's own `text`
+    src = pages_text.join(
+        docs_pending.select("url", "doc_id", "doc_len"), "url"
+    ).observe(
         obs_docs, F.count(F.lit(1)).alias("n_docs")
     )
     shard_expr = (F.col("doc_id") / F.lit(cfg.shard_size)).cast("long")
@@ -844,6 +850,7 @@ def _cfg_dict(cfg: EngineConfig) -> dict:
         "index_langs": list(cfg.index_langs),
         "with_positions": cfg.with_positions,
         "extract_strategy": cfg.extract_strategy,
+        "store_text": cfg.store_text,
     }
 
 
@@ -1002,6 +1009,7 @@ def cfg_from_manifest(manifest: dict, fallback: EngineConfig) -> EngineConfig:
         index_langs=tuple(c.get("index_langs", fallback.index_langs)),
         with_positions=c.get("with_positions", fallback.with_positions),
         extract_strategy=c.get("extract_strategy", fallback.extract_strategy),
+        store_text=c.get("store_text", fallback.store_text),
         build_partitions=fallback.build_partitions,  # runtime knob, not layout
     )
 
