@@ -48,6 +48,10 @@ def main(argv=None):
     s.add_argument("--mode", default="OR", choices=["OR", "AND", "PHRASE", "PREFIX", "NEAR"])
     s.add_argument("--slop", type=int, default=0,
                    help="NEAR: max extra gaps between ordered terms (0 == PHRASE)")
+    s.add_argument("--after-score", type=float, default=None,
+                   help="pagination cursor: score of the previous page's last row")
+    s.add_argument("--after-doc", type=int, default=None,
+                   help="pagination cursor: doc_id of the previous page's last row")
     s.add_argument("--neg-terms", default=None,
                    help="comma-separated must_not terms: matching docs are excluded")
     s.add_argument("--min-match", type=int, default=0,
@@ -106,6 +110,9 @@ def main(argv=None):
 
         qrow = {"query_id": 1, "terms": args.terms.split(","), "mode": args.mode,
                 "k": args.k, "min_match": args.min_match, "slop": args.slop}
+        if args.after_score is not None:
+            qrow["after_score"] = args.after_score
+            qrow["after_doc"] = args.after_doc or 0
         if args.neg_terms:
             qrow["neg_terms"] = args.neg_terms.split(",")
         q = pd.DataFrame([qrow])
@@ -166,6 +173,9 @@ def main(argv=None):
         index = load_index(spark, args.index)
         qrow = {"query_id": 1, "terms": args.terms.split(","), "mode": args.mode,
                 "k": args.k, "min_match": args.min_match, "slop": args.slop}
+        if args.after_score is not None:
+            qrow["after_score"] = args.after_score
+            qrow["after_doc"] = args.after_doc or 0
         if args.neg_terms:
             qrow["neg_terms"] = args.neg_terms.split(",")
         q = pd.DataFrame([qrow])

@@ -216,6 +216,7 @@ def _duck_bm25(
     prefix: bool = False,
     boosts: dict | None = None,
     near_slop: int | None = None,
+    page_offset: int = 0,
 ) -> str:
     """deleted: 'masked' — exclude _DELETE_PRED_SQL docs from ranking only
     (tombstone semantics: corpus stats still count them); 'purged' — exclude
@@ -303,9 +304,12 @@ scored AS (
   {having}
 ){phrase_filter},
 r AS (SELECT doc_id, round(score, 6) AS score_r6 FROM {scored_src}{rank_pred})
-SELECT CAST(row_number() OVER (ORDER BY score_r6 DESC, doc_id) AS BIGINT) AS rank,
+SELECT CAST(row_number() OVER (ORDER BY score_r6 DESC, doc_id) - {page_offset} AS BIGINT) AS rank,
        doc_id, round(score_r6, 4) AS score_r4
-FROM r QUALIFY rank <= {k} ORDER BY rank
+FROM r
+QUALIFY row_number() OVER (ORDER BY score_r6 DESC, doc_id)
+        BETWEEN {page_offset + 1} AND {page_offset + k}
+ORDER BY rank
 """
 
 
@@ -410,6 +414,32 @@ def q_bm25_topk_near(spark, sf_dir):
     """NEAR/3 ordered proximity: 'join' followed by 'key' within span 4 —
     the positional query family beyond exact PHRASE (slop=0 == PHRASE)."""
     return _bm25_engine_results(spark, sf_dir, BM25_PHRASE, "NEAR", 20, slop=3)
+
+
+def q_bm25_topk_page2(spark, sf_dir):
+    """search_after pagination: page 2 (results 21-40) fetched with the
+    cursor (score, doc_id) of page 1's last row — the oracle re-derives
+    the same window as ranks 21-40 of the full ordering."""
+    import pandas as pd
+
+    from invoicenet_spark.query.exec import load_index, search
+
+    _bm25_engine_results(spark, sf_dir, BM25_QUERY_TERMS, "OR", 1)  # ensure cache
+    index = load_index(spark, _INDEX_CACHE[(sf_dir,)])
+    q1 = pd.DataFrame(
+        [{"query_id": 1, "terms": list(BM25_QUERY_TERMS), "mode": "OR", "k": 20}]
+    )
+    p1 = search(spark, index, q1).toPandas()
+    cur = p1.iloc[-1]
+    return _ranked_from_index(
+        spark,
+        _INDEX_CACHE[(sf_dir,)],
+        BM25_QUERY_TERMS,
+        "OR",
+        20,
+        after_score=float(cur["score"]),
+        after_doc=int(cur["doc_id"]),
+    )
 
 
 def q_bm25_topk_boost(spark, sf_dir):
@@ -835,6 +865,7 @@ QUERIES = {
     "bm25_topk_prefix": q_bm25_topk_prefix,
     "bm25_topk_boost": q_bm25_topk_boost,
     "bm25_topk_near": q_bm25_topk_near,
+    "bm25_topk_page2": q_bm25_topk_page2,
     "substring_search": q_substring_search,
     "ngram_counts": q_ngram_counts,
     "amount_normalize": q_amount_normalize,
@@ -908,6 +939,7 @@ ORACLE_SQL = {
         BM25_QUERY_TERMS, "OR", 20, boosts={"spark": 2.0, "window": 0.5}
     ),
     "bm25_topk_near": _duck_bm25(BM25_PHRASE, "OR", 20, near_slop=3),
+    "bm25_topk_page2": _duck_bm25(BM25_QUERY_TERMS, "OR", 20, page_offset=20),
     "substring_search": (
         "SELECT doc_id FROM documents WHERE contains(lower(text), 'window')"
     ),

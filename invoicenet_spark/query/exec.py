@@ -193,6 +193,12 @@ def _shard_kernel(stats: dict, kernel: str, deleted_bc=None):
         min_match = (
             int(pdf["min_match"].iloc[0]) if "min_match" in pdf.columns else 0
         )
+        after = None
+        if "after_score" in pdf.columns and pd.notna(pdf["after_score"].iloc[0]):
+            after = (
+                float(pdf["after_score"].iloc[0]),
+                int(pdf["after_doc"].iloc[0]),
+            )
         empty = pd.DataFrame({"query_id": [], "doc_id": [], "score": []}).astype(
             {"query_id": np.int64, "doc_id": np.int64, "score": np.float64}
         )
@@ -218,16 +224,25 @@ def _shard_kernel(stats: dict, kernel: str, deleted_bc=None):
             for row in pdf.to_dict("records")
         ]
         if mode == "PHRASE":
-            docs, scores = kernels.score_phrase(plists, k, deleted=deleted)
+            docs, scores = kernels.score_phrase(plists, k, deleted=deleted, after=after)
         elif mode == "NEAR":
             slop = int(pdf["slop"].iloc[0]) if "slop" in pdf.columns else 0
-            docs, scores = kernels.score_near(plists, k, slop, deleted=deleted)
-        elif mode == "AND" or kernel == "exhaustive" or min_match > 1:
-            # min_match > 1 routes to the exhaustive kernel: the block-max
-            # decomposition's theta bound doesn't survive a match-count
-            # filter (a pruned doc might have been the one meeting msm)
+            docs, scores = kernels.score_near(
+                plists, k, slop, deleted=deleted, after=after
+            )
+        elif (
+            mode == "AND"
+            or kernel == "exhaustive"
+            or min_match > 1
+            or after is not None
+        ):
+            # min_match > 1 and pagination route to the exhaustive kernel:
+            # the block-max decomposition's theta bound doesn't survive a
+            # match-count filter, and a cursor makes the top of the score
+            # range irrelevant (pruning would have to re-derive bounds
+            # below the cursor)
             docs, scores = kernels.score_exhaustive(
-                plists, k, mode, deleted=deleted, min_match=min_match
+                plists, k, mode, deleted=deleted, min_match=min_match, after=after
             )
         else:
             # auto (and the "wand" alias) → block-max pruned MaxScore
@@ -294,12 +309,16 @@ def search(
             )
             qpd.loc[mask, "mode"] = "OR"
         qpd = parse_term_boosts(qpd)
-        # an all-empty array column defeats createDataFrame type inference
+        # an all-empty array column (or an all-null cursor column) defeats
+        # createDataFrame type inference — drop and re-add defaults below
         to_df = qpd
         if "neg_terms" in to_df.columns and all(
             len(x) == 0 for x in to_df["neg_terms"]
         ):
             to_df = to_df.drop(columns=["neg_terms"])
+        for c in ("after_score", "after_doc"):
+            if c in to_df.columns and to_df[c].isna().all():
+                to_df = to_df.drop(columns=[c])
         qdf = spark.createDataFrame(to_df)
     if "neg_terms" not in qdf.columns:
         qdf = qdf.withColumn("neg_terms", F.array().cast("array<string>"))
@@ -307,6 +326,10 @@ def search(
         qdf = qdf.withColumn("min_match", F.lit(0))
     if "slop" not in qdf.columns:
         qdf = qdf.withColumn("slop", F.lit(0))
+    if "after_score" not in qdf.columns:
+        qdf = qdf.withColumn("after_score", F.lit(None).cast("double"))
+    if "after_doc" not in qdf.columns:
+        qdf = qdf.withColumn("after_doc", F.lit(None).cast("long"))
     if "boost_keys" in qdf.columns:
         qdf = qdf.withColumn(
             "boost_map", F.map_from_arrays("boost_keys", "boost_vals")
@@ -344,6 +367,8 @@ def search(
         "k",
         "min_match",
         "slop",
+        "after_score",
+        "after_doc",
         *boost_cols,
         F.size(qarr).alias("n_query_terms"),
         F.posexplode(qarr).alias("qpos", "term"),
@@ -357,6 +382,8 @@ def search(
             "k",
             "min_match",
             "slop",
+            "after_score",
+            "after_doc",
             *boost_cols,
             F.size(qarr).alias("n_query_terms"),
             F.posexplode(narr).alias("qpos", "term"),

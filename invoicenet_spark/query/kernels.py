@@ -31,6 +31,22 @@ def drop_deleted(docs: np.ndarray, deleted: np.ndarray | None) -> np.ndarray:
     return deleted[idx] != docs
 
 
+def apply_after(
+    docs: np.ndarray, scores: np.ndarray, after: tuple[float, int] | None
+) -> tuple[np.ndarray, np.ndarray]:
+    """search_after pagination cursor: keep only docs STRICTLY after
+    (after_score, after_doc) in the result order (score desc, doc_id asc).
+    Applied before each shard's top-k selection, so page N+1's k slots are
+    filled from genuinely-after docs — a post-hoc filter on a top-k result
+    would under-fill. Scores are float64 bit-stable across identical
+    queries, so the previous page's last row is an exact cursor."""
+    if after is None:
+        return docs, scores
+    s_a, d_a = after
+    keep = (scores < s_a) | ((scores == s_a) & (docs > d_a))
+    return docs[keep], scores[keep]
+
+
 def gallop_intersect(lists: list[np.ndarray]) -> np.ndarray:
     """Intersect sorted int64 arrays, smallest-first, via vectorized binary
     search (np.searchsorted == batched galloping)."""
@@ -98,8 +114,11 @@ def score_exhaustive(
     mode: str = "OR",
     deleted: np.ndarray | None = None,
     min_match: int = 0,
+    after: tuple[float, int] | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Vectorized exhaustive scoring of one shard.
+
+    after: search_after pagination cursor (see apply_after).
 
     min_match (OR mode): keep only docs matching >= min_match DISTINCT query
     terms (Lucene minimumNumberShouldMatch). Correct per shard because a doc
@@ -131,6 +150,7 @@ def score_exhaustive(
         for tp, (docs, tfs, dls) in zip(plists, decoded):
             j = np.searchsorted(docs, keep)
             agg += tp.idf * bm25.tf_score(tfs[j], dls[j], tp.avgdl, tp.k1, tp.b)
+        keep, agg = apply_after(keep, agg, after)
         return topk_select(keep, agg, k)
 
     all_docs, all_scores = [], []
@@ -150,13 +170,15 @@ def score_exhaustive(
         hit = cnt >= min_match
         uniq, agg = uniq[hit], agg[hit]
     live = drop_deleted(uniq, deleted)
-    return topk_select(uniq[live], agg[live], k)
+    uniq, agg = apply_after(uniq[live], agg[live], after)
+    return topk_select(uniq, agg, k)
 
 
 def score_phrase(
     plists_by_qpos: list[TermPostings],
     k: int,
     deleted: np.ndarray | None = None,
+    after: tuple[float, int] | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Exact phrase query over a positional index.
 
@@ -204,11 +226,15 @@ def score_phrase(
     if surviving.size == 0:
         return np.zeros(0, dtype=np.int64), np.zeros(0)
     match_arr = cand[np.unique(surviving >> np.int64(32))]
-    return _bm25_over_matches(plists_by_qpos, decoded, match_arr, k)
+    return _bm25_over_matches(plists_by_qpos, decoded, match_arr, k, after=after)
 
 
 def _bm25_over_matches(
-    plists: list[TermPostings], decoded, match_arr: np.ndarray, k: int
+    plists: list[TermPostings],
+    decoded,
+    match_arr: np.ndarray,
+    k: int,
+    after: tuple[float, int] | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """BM25 over the query's distinct terms (a slot's term may repeat),
     restricted to the proximity-matching docs; accumulated in deterministic
@@ -220,6 +246,7 @@ def _bm25_over_matches(
         tp, (docs_i, tfs_i, dls_i) = by_tid[tid]
         j = np.searchsorted(docs_i, match_arr)
         scores += tp.idf * bm25.tf_score(tfs_i[j], dls_i[j], tp.avgdl, tp.k1, tp.b)
+    match_arr, scores = apply_after(match_arr, scores, after)
     return topk_select(match_arr, scores, k)
 
 
@@ -228,6 +255,7 @@ def score_near(
     k: int,
     slop: int,
     deleted: np.ndarray | None = None,
+    after: tuple[float, int] | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Ordered proximity query (NEAR/slop) over a positional index.
 
@@ -251,7 +279,7 @@ def score_near(
     if n == 0:
         return np.zeros(0, dtype=np.int64), np.zeros(0)
     if n == 1:
-        return score_exhaustive(plists_by_qpos, k, "OR", deleted=deleted)
+        return score_exhaustive(plists_by_qpos, k, "OR", deleted=deleted, after=after)
     decoded = [tp.decode_all() for tp in plists_by_qpos]
     positions = [
         tp.decode_positions(decoded[i][1]) for i, tp in enumerate(plists_by_qpos)
@@ -291,7 +319,7 @@ def score_near(
     if not hit.any():
         return np.zeros(0, dtype=np.int64), np.zeros(0)
     match_arr = cand[np.unique(cur[hit] >> SHIFT_BITS)]
-    return _bm25_over_matches(plists_by_qpos, decoded, match_arr, k)
+    return _bm25_over_matches(plists_by_qpos, decoded, match_arr, k, after=after)
 
 
 def _probe_scores(

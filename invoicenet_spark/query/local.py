@@ -366,6 +366,12 @@ def _run_one_query(
     neg_tids = [term_info[t][0] for t in neg_terms if t in term_info]
     mm_raw = q.get("min_match")
     min_match = int(mm_raw) if mm_raw is not None and not pd.isna(mm_raw) else 0
+    a_s, a_d = q.get("after_score"), q.get("after_doc")
+    after = (
+        (float(a_s), int(a_d))
+        if a_s is not None and not pd.isna(a_s)
+        else None
+    )
     # `term^2.5` boost syntax — same semantics as exec.parse_term_boosts
     bmap: dict[str, float] = {}
     raw_terms = []
@@ -424,19 +430,19 @@ def _run_one_query(
                 excl = np.unique(np.concatenate(neg_docs)).astype(np.int64)
                 deleted = excl if deleted is None else np.union1d(deleted, excl)
         if mode == "PHRASE":
-            d, s = kernels.score_phrase(plists, k, deleted=deleted)
+            d, s = kernels.score_phrase(plists, k, deleted=deleted, after=after)
         elif mode == "NEAR":
             slop_raw = q.get("slop")
             slop = int(slop_raw) if slop_raw is not None and not pd.isna(slop_raw) else 0
-            d, s = kernels.score_near(plists, k, slop, deleted=deleted)
+            d, s = kernels.score_near(plists, k, slop, deleted=deleted, after=after)
         elif mode == "AND":
             plists.sort(key=lambda tp: int(tp.row["term_id"]))
-            d, s = kernels.score_exhaustive(plists, k, "AND", deleted=deleted)
+            d, s = kernels.score_exhaustive(plists, k, "AND", deleted=deleted, after=after)
         else:
             plists.sort(key=lambda tp: int(tp.row["term_id"]))
-            if kernel == "exhaustive" or min_match > 1:
+            if kernel == "exhaustive" or min_match > 1 or after is not None:
                 d, s = kernels.score_exhaustive(
-                    plists, k, "OR", deleted=deleted, min_match=min_match
+                    plists, k, "OR", deleted=deleted, min_match=min_match, after=after
                 )
             else:
                 d, s = kernels.score_blockmax(plists, k, deleted=deleted)

@@ -278,6 +278,56 @@ def test_near_requires_positions(spark, tmp_path):
         search_local(root, _q(["aa", "bb"], mode="NEAR", slop=1))
 
 
+def test_search_after_pagination(spark, ql):
+    """Paging with the (score, doc_id) cursor: pages of 5 concatenate
+    EXACTLY to the one-shot top-N — same docs, same scores, no gaps, no
+    duplicates — across OR (block-max page 1), AND, and NEAR, on both
+    query paths."""
+    root, idx, top = ql
+    cases = [
+        (_q(top[:3], mode="OR", k=5), 5),
+        (_q(top[:2], mode="AND", k=5), 5),
+        (_q(top[:2], mode="NEAR", k=5, slop=8), 5),
+    ]
+    for base_q, page in cases:
+        full = _run(spark, idx, base_q.assign(k=BIG))
+        n_pages = min(4, (len(full) + page - 1) // page)
+        assert n_pages >= 2, "fixture too small for a paging test"
+        got_pages = []
+        cursor = None
+        for _ in range(n_pages):
+            q = base_q.copy()
+            if cursor is not None:
+                q["after_score"] = [cursor[0]]
+                q["after_doc"] = [cursor[1]]
+            g = _run(spark, idx, q)
+            got_pages.append(g)
+            if len(g) < page:
+                break
+            cursor = (float(g.iloc[-1]["score"]), int(g.iloc[-1]["doc_id"]))
+        got = pd.concat(got_pages).reset_index(drop=True)
+        expect = full.head(len(got)).reset_index(drop=True)
+        assert got["doc_id"].tolist() == expect["doc_id"].tolist(), base_q["mode"][0]
+        np.testing.assert_allclose(got["score"], expect["score"], rtol=0, atol=0)
+
+    # serving path pages identically (OR case)
+    base_q = _q(top[:3], mode="OR", k=5)
+    p1 = search_local(root, base_q)
+    cur = (float(p1.iloc[-1]["score"]), int(p1.iloc[-1]["doc_id"]))
+    q2 = base_q.assign(after_score=cur[0], after_doc=cur[1])
+    p2 = search_local(root, q2)
+    full = _run(spark, idx, base_q.assign(k=BIG))
+    assert (
+        p1["doc_id"].astype("int64").tolist() + p2["doc_id"].astype("int64").tolist()
+        == full.head(10)["doc_id"].tolist()
+    )
+
+    # cursor past the end: empty page, not an error
+    last = (float(full.iloc[-1]["score"]), int(full.iloc[-1]["doc_id"]))
+    tail = _run(spark, idx, base_q.assign(after_score=last[0], after_doc=last[1]))
+    assert len(tail) == 0
+
+
 def test_prefix_no_match_is_empty(spark, ql):
     root, idx, _ = ql
     got = _run(spark, idx, _q(["zzznoprefix"], mode="PREFIX"))
