@@ -416,6 +416,25 @@ def q_bm25_topk_near(spark, sf_dir):
     return _bm25_engine_results(spark, sf_dir, BM25_PHRASE, "NEAR", 20, slop=3)
 
 
+def q_bm25_facet_source(spark, sf_dir):
+    """Facet counts over the FULL match set of the OR query, by the
+    documents table's `source` field (exec.facet_counts)."""
+    import pandas as pd
+
+    from invoicenet_spark.query.exec import facet_counts, load_index, search
+
+    _bm25_engine_results(spark, sf_dir, BM25_QUERY_TERMS, "OR", 1)  # ensure cache
+    index = load_index(spark, _INDEX_CACHE[(sf_dir,)])
+    q = pd.DataFrame(
+        [{"query_id": 1, "terms": list(BM25_QUERY_TERMS), "mode": "OR", "k": 100000}]
+    )
+    res = search(spark, index, q).select(
+        "query_id", F.col("url").cast("long").alias("doc_id")
+    )
+    meta = _docs(spark, sf_dir).select("doc_id", "source")
+    return facet_counts(res, meta, "source").select("source", "n_docs")
+
+
 def q_bm25_topk_page2(spark, sf_dir):
     """search_after pagination: page 2 (results 21-40) fetched with the
     cursor (score, doc_id) of page 1's last row — the oracle re-derives
@@ -866,6 +885,7 @@ QUERIES = {
     "bm25_topk_boost": q_bm25_topk_boost,
     "bm25_topk_near": q_bm25_topk_near,
     "bm25_topk_page2": q_bm25_topk_page2,
+    "bm25_facet_source": q_bm25_facet_source,
     "substring_search": q_substring_search,
     "ngram_counts": q_ngram_counts,
     "amount_normalize": q_amount_normalize,
@@ -940,6 +960,18 @@ ORACLE_SQL = {
     ),
     "bm25_topk_near": _duck_bm25(BM25_PHRASE, "OR", 20, near_slop=3),
     "bm25_topk_page2": _duck_bm25(BM25_QUERY_TERMS, "OR", 20, page_offset=20),
+    # facet over the FULL OR match set == docs containing any query term
+    "bm25_facet_source": f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+         t -> t <> '')) AS term
+  FROM documents WHERE lang = 'en'
+),
+m AS (SELECT DISTINCT doc_id FROM toks
+      WHERE term IN ({", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)}))
+SELECT d.source AS source, count(*) AS n_docs
+FROM m JOIN documents d USING(doc_id) GROUP BY d.source
+""",
     "substring_search": (
         "SELECT doc_id FROM documents WHERE contains(lower(text), 'window')"
     ),

@@ -139,6 +139,23 @@ def expand_prefix_terms(
     return sorted(out)
 
 
+def facet_counts(results: DataFrame, meta: DataFrame, field: str) -> DataFrame:
+    """Facet the matched result set by a doc-metadata field: results ⋈ meta
+    on doc_id, then count per (query_id, field value).
+
+    Scale shape: post-top-k results are <= k·n_queries rows (broadcast side
+    of the join); faceting over ALL matches (big-k results) is a doc_id
+    equi-join feeding ONE partial-agg shuffle keyed by (query_id, value) —
+    facet cardinality bounds the shuffle, not corpus size. `meta` is any
+    frame carrying (doc_id, field) — the engine docs table (e.g. url, or
+    parse_url(url,'HOST') for host facets) or an external metadata table."""
+    return (
+        results.join(meta.select("doc_id", field), "doc_id")
+        .groupBy("query_id", field)
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
 def parse_term_boosts(qpd: pd.DataFrame) -> pd.DataFrame:
     """Lucene `term^2.5` boost syntax: strip the suffix from `terms` and
     attach a per-query {term: boost} map (column `boost_map`). Duplicate

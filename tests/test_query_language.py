@@ -328,6 +328,27 @@ def test_search_after_pagination(spark, ql):
     assert len(tail) == 0
 
 
+def test_facet_counts_by_host(spark, ql):
+    """facet_counts over the full match set, faceted by url host — ground
+    truth recomputed from the result urls themselves."""
+    from urllib.parse import urlparse
+
+    from invoicenet_spark.query.exec import facet_counts
+
+    root, idx, top = ql
+    full = _run(spark, idx, _q(top[:2]))
+    exp = (
+        full["url"].map(lambda u: urlparse(u).netloc).value_counts().to_dict()
+    )
+    res = search(spark, idx, _q(top[:2]))
+    meta = idx.docs.select(
+        "doc_id", F.parse_url(F.col("url"), F.lit("HOST")).alias("host")
+    )
+    got = facet_counts(res, meta, "host").toPandas()
+    assert dict(zip(got["host"], got["n_docs"])) == exp
+    assert (got["query_id"] == 1).all()
+
+
 def test_prefix_no_match_is_empty(spark, ql):
     root, idx, _ = ql
     got = _run(spark, idx, _q(["zzznoprefix"], mode="PREFIX"))
