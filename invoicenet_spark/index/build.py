@@ -791,6 +791,9 @@ def _finalize(
         "shard_size": cfg.shard_size,
         "block_size": cfg.block_size,
         "with_positions": cfg.with_positions,
+        # serving-side consumers (snippets tokenization) read the analyzer
+        # pattern from stats.json — keep it in sync with the manifest config
+        "token_pattern": cfg.token_pattern,
     }
     # atomic replace: the serving path's freshness protocol keys on
     # stats.json (mtime_ns, size) as the index generation — a truncating

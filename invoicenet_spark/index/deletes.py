@@ -61,12 +61,15 @@ def bump_generation(paths: IndexPaths) -> None:
     os.replace(tmp, paths.stats)
 
 
-def write_tombstones(doc_ids_df, paths: IndexPaths) -> int:
+def write_tombstones(doc_ids_df, paths: IndexPaths, bump: bool = True) -> int:
     """Append one tombstone segment for a DataFrame of (doc_id long).
 
     Returns the number of ids written. Spark writes the parquet (the id set
     may be produced by a distributed join, e.g. upserts); a zero-row frame
-    writes nothing."""
+    writes nothing. bump=False defers serving-cache visibility to a later
+    commit point (the upsert flow: tombstones and the replacement docs
+    become visible together at finalize's generation bump, so a url is
+    never served by neither version)."""
     from pyspark.sql import functions as F
 
     ids = doc_ids_df.select(F.col("doc_id").cast("long")).distinct()
@@ -76,7 +79,7 @@ def write_tombstones(doc_ids_df, paths: IndexPaths) -> int:
     ids.coalesce(max(1, n // 4_000_000 + 1)).write.mode("append").parquet(
         _deletes_dir(paths)
     )
-    if os.path.exists(paths.stats):
+    if bump and os.path.exists(paths.stats):
         bump_generation(paths)
     return n
 
@@ -107,9 +110,16 @@ def delete_docs(
     return write_tombstones(df, paths)
 
 
-def read_tombstones_spark(spark, paths: IndexPaths):
+def read_tombstones_spark(spark, paths: IndexPaths, files: list[str] | None = None):
     """Tombstones as a Spark DataFrame (doc_id long), or None when there are
-    none — callers skip the anti-join entirely then."""
+    none — callers skip the anti-join entirely then. files: restrict to a
+    snapshot from list_tombstone_files (the purge protocol: consume exactly
+    what you will clear)."""
+    if files is not None:
+        parquet = [f for f in files if f.endswith(".parquet")]
+        if not parquet:
+            return None
+        return spark.read.parquet(*parquet).select("doc_id").distinct()
     d = _deletes_dir(paths)
     if not _has_parquet(d):
         return None
@@ -140,19 +150,37 @@ def split_by_shard(deleted: np.ndarray, shard_size: int) -> dict[int, np.ndarray
     return {int(p[0] // shard_size): p for p in parts}
 
 
-def clear_tombstones(paths: IndexPaths) -> int:
-    """Remove every tombstone file — called by a purge AFTER the purged
-    postings+docs are committed (a crash in between leaves stale tombstones
-    that mask already-absent ids: harmless no-ops). Returns files removed."""
+def list_tombstone_files(paths: IndexPaths) -> list[str]:
+    """Current tombstone data files — a purge snapshots this list BEFORE
+    reading the tombstones it will consume, and later clears exactly these
+    files, so deletes appended concurrently during the (long) purge job are
+    never destroyed unconsumed."""
     d = _deletes_dir(paths)
     if not os.path.isdir(d):
-        return 0
+        return []
+    return sorted(
+        os.path.join(d, f)
+        for f in os.listdir(d)
+        if os.path.isfile(os.path.join(d, f)) and not f.startswith((".", "_"))
+    )
+
+
+def clear_tombstones(paths: IndexPaths, files: list[str] | None = None) -> int:
+    """Remove tombstone files — called by a purge AFTER the purged
+    postings+docs are committed (a crash in between leaves stale tombstones
+    that mask already-absent ids: harmless no-ops). `files`: the snapshot
+    taken at purge start (list_tombstone_files) — ONLY those are removed,
+    so a delete_docs racing the purge keeps its tombstones and stays
+    masked. None (no snapshot) clears everything. Returns files removed."""
+    if files is None:
+        files = list_tombstone_files(paths)
     removed = 0
-    for f in os.listdir(d):
-        full = os.path.join(d, f)
-        if os.path.isfile(full):
+    for full in files:
+        try:
             os.remove(full)
             removed += 1
+        except FileNotFoundError:
+            pass  # already gone (idempotent retry)
     return removed
 
 

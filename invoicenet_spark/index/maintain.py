@@ -113,7 +113,7 @@ def compact_index(
     from invoicenet_spark.config import EngineConfig
     from invoicenet_spark.index.deletes import (
         clear_tombstones,
-        load_tombstones,
+        list_tombstone_files,
         read_tombstones_spark,
     )
 
@@ -131,8 +131,19 @@ def compact_index(
     log = ShardLog(root)
     old_shards = sorted(log.committed())
     positional = bool(cfg.with_positions)
-    tomb = read_tombstones_spark(spark, paths) if purge_deletes else None
-    n_purged = int(load_tombstones(paths).size) if tomb is not None else 0
+    # snapshot the tombstone FILES first, consume exactly those, clear
+    # exactly those at the end — deletes appended concurrently during the
+    # purge job keep their files and stay masked until the next purge
+    tomb_files = list_tombstone_files(paths) if purge_deletes else []
+    tomb = read_tombstones_spark(spark, paths, files=tomb_files) if tomb_files else None
+    # actually-purged count: tombstoned ids PRESENT in the index (the
+    # doc_ids delete path never validates existence, so the raw tombstone
+    # count can overstate reclaims)
+    n_purged = (
+        spark.read.parquet(paths.docs).join(tomb, "doc_id", "semi").count()
+        if tomb is not None
+        else 0
+    )
 
     pairs = read_postings(spark, paths).mapInArrow(
         lambda it: _decode_partition(it, positional),
@@ -197,8 +208,9 @@ def compact_index(
     _finalize(spark, docs, cfg, paths, manifest, log, t0, observed)
     if tomb is not None:
         # consumed tombstones: purged postings/docs no longer contain these
-        # ids, so the masks are no-ops — clear AFTER everything committed
-        clear_tombstones(paths)
+        # ids, so the masks are no-ops — clear AFTER everything committed,
+        # and ONLY the snapshot's files (concurrent deletes survive)
+        clear_tombstones(paths, tomb_files)
     return {
         "old_shards": len(old_shards),
         "new_shards": len(new_shards),

@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from invoicenet_spark.index import bm25
 from invoicenet_spark.index.build import IndexPaths, read_postings
-from invoicenet_spark.query import kernels
+from invoicenet_spark.query import kernels, qparse
 
 
 @dataclass
@@ -101,7 +101,7 @@ def load_index(spark: SparkSession, root: str) -> Index:
 
 RESULT_SCHEMA = "query_id long, doc_id long, score double"
 
-MAX_PREFIX_EXPANSIONS = 1024
+MAX_PREFIX_EXPANSIONS = qparse.MAX_PREFIX_EXPANSIONS
 
 
 def expand_prefix_terms(
@@ -131,12 +131,7 @@ def expand_prefix_terms(
             .collect()
         )
         out = {r["term"] for r in rows}
-    if len(out) > max_expansions:
-        raise ValueError(
-            f"prefix expansion matches more than {max_expansions} dictionary "
-            f"terms ({sorted(prefixes)}); narrow the prefix"
-        )
-    return sorted(out)
+    return qparse.cap_prefix_expansion(out, prefixes, max_expansions)
 
 
 def facet_counts(results: DataFrame, meta: DataFrame, field: str) -> DataFrame:
@@ -156,26 +151,42 @@ def facet_counts(results: DataFrame, meta: DataFrame, field: str) -> DataFrame:
     )
 
 
+def _sanitize_optional_columns(qpd: pd.DataFrame) -> pd.DataFrame:
+    """Multi-query pandas batches where only SOME rows carry an optional
+    field arrive with NaN holes (pandas fills missing dict keys) — normalize
+    them so downstream len()/iteration/createDataFrame inference never sees
+    a float where a list or int belongs. after_score/after_doc keep NaN
+    (= no cursor)."""
+    touched = set(qpd.columns) & {"neg_terms", "min_match", "slop"}
+    if not touched:
+        return qpd
+    qpd = qpd.copy()
+    if "neg_terms" in touched:
+        qpd["neg_terms"] = [
+            list(x) if isinstance(x, (list, tuple, np.ndarray)) else []
+            for x in qpd["neg_terms"]
+        ]
+    for c in ("min_match", "slop"):
+        if c in touched:
+            qpd[c] = (
+                pd.to_numeric(qpd[c], errors="coerce").fillna(0).astype("int64")
+            )
+    return qpd
+
+
 def parse_term_boosts(qpd: pd.DataFrame) -> pd.DataFrame:
     """Lucene `term^2.5` boost syntax: strip the suffix from `terms` and
-    attach a per-query {term: boost} map (column `boost_map`). Duplicate
-    boosted clauses SUM (a boost scales the term's linear score
-    contribution, so clause duplication ≡ boost addition — Lucene's
-    additive-clause semantics). '^' can never appear inside an analyzed
-    token, so the syntax is unambiguous. No-op when no term carries a
-    boost."""
+    attach a per-query {term: boost} map (column `boost_map`), grammar in
+    qparse.parse_boost_terms (shared with the serving path): additive
+    clauses, so `spark^2 spark` ≡ 3.0 and `spark^2 spark^3` ≡ 5.0; terms
+    never boosted keep plain OR-dedupe semantics. No-op when no term
+    carries a boost."""
     if not any("^" in t for ts in qpd["terms"] for t in ts):
         return qpd
     qpd = qpd.copy()
     new_terms, keys, vals = [], [], []
     for ts in qpd["terms"]:
-        bmap: dict[str, float] = {}
-        base_terms = []
-        for t in ts:
-            base, _, suffix = t.partition("^")
-            base_terms.append(base)
-            if suffix:
-                bmap[base] = bmap.get(base, 0.0) + float(suffix)
+        base_terms, bmap = qparse.parse_boost_terms(ts)
         new_terms.append(base_terms)
         # parallel arrays, not a dict: createDataFrame infers python dicts
         # as STRUCT; search() rebuilds the MapType via map_from_arrays
@@ -207,9 +218,9 @@ def _shard_kernel(stats: dict, kernel: str, deleted_bc=None):
         mode = pdf["mode"].iloc[0]
         k = int(pdf["k"].iloc[0])
         n_query_terms = int(pdf["n_query_terms"].iloc[0])
-        min_match = (
-            int(pdf["min_match"].iloc[0]) if "min_match" in pdf.columns else 0
-        )
+        min_match = 0
+        if "min_match" in pdf.columns and pd.notna(pdf["min_match"].iloc[0]):
+            min_match = int(pdf["min_match"].iloc[0])
         after = None
         if "after_score" in pdf.columns and pd.notna(pdf["after_score"].iloc[0]):
             after = (
@@ -243,7 +254,11 @@ def _shard_kernel(stats: dict, kernel: str, deleted_bc=None):
         if mode == "PHRASE":
             docs, scores = kernels.score_phrase(plists, k, deleted=deleted, after=after)
         elif mode == "NEAR":
-            slop = int(pdf["slop"].iloc[0]) if "slop" in pdf.columns else 0
+            slop = (
+                int(pdf["slop"].iloc[0])
+                if "slop" in pdf.columns and pd.notna(pdf["slop"].iloc[0])
+                else 0
+            )
             docs, scores = kernels.score_near(
                 plists, k, slop, deleted=deleted, after=after
             )
@@ -305,17 +320,15 @@ def search(
         qpd = queries
     else:
         qdf = queries
-        # PREFIX rewrite and boost parsing need the rows driver-side;
-        # query batches are tiny — one existence probe covers both
-        needs_driver = bool(
-            qdf.where(
-                (F.col("mode") == "PREFIX")
-                | F.exists("terms", lambda t: t.contains("^"))
-            )
-            .limit(1)
-            .count()
-        )
-        if needs_driver:
+        # ONE tiny job answers every data-dependent question about a
+        # Spark-frame batch (PREFIX/boost rewrites need rows driver-side;
+        # the positional check below needs the mode set) — query batches
+        # are tiny by contract
+        flag_rows = qdf.select(
+            "mode", F.exists("terms", lambda t: t.contains("^")).alias("has_boost")
+        ).collect()
+        spark_modes = {r["mode"] for r in flag_rows}
+        if "PREFIX" in spark_modes or any(r["has_boost"] for r in flag_rows):
             qpd = qdf.toPandas()
     if qpd is not None:
         if (qpd["mode"] == "PREFIX").any():
@@ -325,7 +338,7 @@ def search(
                 lambda ps: expand_prefix_terms(index, list(ps))
             )
             qpd.loc[mask, "mode"] = "OR"
-        qpd = parse_term_boosts(qpd)
+        qpd = _sanitize_optional_columns(parse_term_boosts(qpd))
         # an all-empty array column (or an all-null cursor column) defeats
         # createDataFrame type inference — drop and re-add defaults below
         to_df = qpd
@@ -357,9 +370,7 @@ def search(
         has_phrase = (
             qpd["mode"].isin(["PHRASE", "NEAR"]).any()
             if qpd is not None
-            else bool(
-                qdf.where(F.col("mode").isin("PHRASE", "NEAR")).limit(1).count()
-            )
+            else bool(spark_modes & {"PHRASE", "NEAR"})
         )
         if has_phrase:
             raise ValueError(

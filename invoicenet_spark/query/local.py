@@ -45,7 +45,7 @@ import pyarrow.dataset as ds
 
 from invoicenet_spark.index import bm25
 from invoicenet_spark.index.build import IndexPaths, committed_postings_files
-from invoicenet_spark.query import kernels
+from invoicenet_spark.query import kernels, qparse
 
 
 _INT64_MIN, _INT64_MAX = -(1 << 63), (1 << 63) - 1
@@ -272,11 +272,15 @@ class LocalIndex:
             )
         }
 
-    def expand_prefixes(self, prefixes: list[str], max_expansions: int = 1024) -> list[str]:
+    def expand_prefixes(
+        self,
+        prefixes: list[str],
+        max_expansions: int = qparse.MAX_PREFIX_EXPANSIONS,
+    ) -> list[str]:
         """PREFIX rewrite against the serving dictionary — same contract as
-        exec.expand_prefix_terms (lexicographic order, TooManyClauses-style
-        cap). With a hot dictionary this is a vectorized startswith over the
-        in-memory index; the big-vocab fallback scans the term column once."""
+        exec.expand_prefix_terms (shared cap/ordering via qparse). With a
+        hot dictionary this is a vectorized startswith over the in-memory
+        index; the big-vocab fallback scans the term column once."""
         self.term_info(set())  # ensure the hot dictionary decision is made
         if self._dict is not None:
             idx = self._dict.index
@@ -290,12 +294,7 @@ class LocalIndex:
             out = set()
             for p in prefixes:
                 out |= set(terms[terms.str.startswith(p)])
-        if len(out) > max_expansions:
-            raise ValueError(
-                f"prefix expansion matches more than {max_expansions} dictionary "
-                f"terms ({sorted(prefixes)}); narrow the prefix"
-            )
-        return sorted(out)
+        return qparse.cap_prefix_expansion(out, prefixes, max_expansions)
 
     def urls_for(self, doc_ids: list[int]) -> dict[int, str]:
         tbl = self.docs_dataset().to_table(
@@ -372,14 +371,8 @@ def _run_one_query(
         if a_s is not None and not pd.isna(a_s)
         else None
     )
-    # `term^2.5` boost syntax — same semantics as exec.parse_term_boosts
-    bmap: dict[str, float] = {}
-    raw_terms = []
-    for t in q["terms"]:
-        base, _, suffix = t.partition("^")
-        raw_terms.append(base)
-        if suffix:
-            bmap[base] = bmap.get(base, 0.0) + float(suffix)
+    # `term^2.5` boost syntax — ONE grammar for both paths (qparse)
+    raw_terms, bmap = qparse.parse_boost_terms(q["terms"])
     terms = raw_terms if mode in ("PHRASE", "NEAR") else list(dict.fromkeys(raw_terms))
     infos = [term_info.get(t) for t in terms]
     if any(i is None for i in infos) and mode in ("AND", "PHRASE", "NEAR"):

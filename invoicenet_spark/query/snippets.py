@@ -188,4 +188,7 @@ def attach_snippets(
         .join(docs.select("doc_id", "text"), "doc_id", "left")
         .withColumn("snippet", snip(F.col("text"), F.col("terms")))
         .drop("text", "terms")
+        # the joins destroy search()'s ordering — restore it (callers print
+        # results verbatim)
+        .orderBy("query_id", "rank")
     )

@@ -125,17 +125,18 @@ def update_index(
     docs_new = build_doc_table(pages_text, cfg, id_offset=offset)
 
     # re-crawl upsert: tombstone the EXISTING doc of every url the delta
-    # re-delivers, before any stats refresh. Retry-idempotent (duplicate
-    # tombstones are a set union); done against docs_existing (read before
-    # this delta's append) so a doc can never tombstone itself.
-    n_upserted = 0
-    if upsert:
-        from invoicenet_spark.index.deletes import write_tombstones
-
-        old_ids = docs_existing.join(
-            docs_new.select("url"), "url"
-        ).select("doc_id")
-        n_upserted = write_tombstones(old_ids, paths)
+    # re-delivers. Derived from docs_existing (file set snapshotted BEFORE
+    # this delta's append) so a doc can never tombstone itself; WRITTEN
+    # only after the new segment's postings commit (below), so a crash
+    # mid-update leaves the url served by its OLD version, never by
+    # neither; revealed to serving caches atomically by _finalize's
+    # generation bump together with the new version. Retry-idempotent:
+    # a retry recomputes the same ids and duplicates union away.
+    old_ids = (
+        docs_existing.join(docs_new.select("url"), "url").select("doc_id")
+        if upsert
+        else None
+    )
 
     # WAL-style: record the pending segment BEFORE the append so a crash
     # anywhere up to the final manifest commit is undone on retry
@@ -161,6 +162,14 @@ def update_index(
         spark, pages_text, docs_new, new_shards, cfg, paths, log
     )
     n_added = observed["n_docs"]
+    n_upserted = 0
+    if old_ids is not None:
+        from invoicenet_spark.index.deletes import write_tombstones
+
+        # after the replacement postings committed; bump=False — the
+        # finalize below is the single visibility point for new docs AND
+        # their predecessors' tombstones
+        n_upserted = write_tombstones(old_ids, paths, bump=False)
     docs_all = spark.read.parquet(paths.docs)
     _finalize(spark, docs_all, cfg, paths, manifest, log, t0, observed)
     manifest = _load_manifest(paths)

@@ -258,3 +258,41 @@ def test_compact_purges_tombstones_physically(spark, tmp_path):
     removed = vacuum_docs_dirs(paths)
     assert any(d.endswith("docs") for d in removed)
     assert os.path.isdir(paths.docs)
+
+
+def test_purge_clears_only_consumed_tombstones(spark, tmp_path):
+    """A delete appended AFTER the purge's snapshot must survive the purge
+    (clear_tombstones is file-scoped), and purged_docs counts only ids that
+    actually existed in the index."""
+    from invoicenet_spark.index.deletes import (
+        clear_tombstones,
+        list_tombstone_files,
+        read_tombstones_spark,
+    )
+    from invoicenet_spark.index.maintain import compact_index
+
+    root = str(tmp_path / "idx")
+    pages = gen_pages_spark(spark, 150, seed=42, partitions=2)
+    build_index(spark, pages, root, CFG)
+    paths = IndexPaths(root)
+
+    # one real victim + one id that does not exist in the index
+    delete_docs(spark, root, doc_ids=[3, 10**9])
+    snapshot = list_tombstone_files(paths)
+    # a delete landing AFTER the snapshot (simulating a concurrent writer)
+    delete_docs(spark, root, doc_ids=[7])
+    late_files = set(list_tombstone_files(paths)) - set(snapshot)
+    assert late_files
+
+    # the purge consumes/clears only the snapshot; emulate its protocol
+    tomb = read_tombstones_spark(spark, paths, files=snapshot)
+    assert {r["doc_id"] for r in tomb.collect()} == {3, 10**9}
+    clear_tombstones(paths, snapshot)
+    assert set(list_tombstone_files(paths)) == late_files
+    assert load_tombstones(paths).tolist() == [7]  # the late delete survived
+
+    # end-to-end: purged_docs reports EXISTING docs only
+    out = compact_index(spark, root, new_shard_size=128)
+    # at purge time the outstanding tombstone set is {7} (the late delete)
+    assert out["purged_docs"] == 1
+    assert load_tombstones(paths).size == 0

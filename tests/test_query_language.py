@@ -349,6 +349,44 @@ def test_facet_counts_by_host(spark, ql):
     assert (got["query_id"] == 1).all()
 
 
+def test_boost_duplicate_clause_semantics(spark, ql):
+    """Additive clauses: `t^2 t` == 3x the single-term scores, `t^2 t^3` ==
+    5x — identically on both paths (one shared grammar in qparse)."""
+    root, idx, top = ql
+    t0 = top[0]
+    s1 = _run(spark, idx, _q([t0]))
+    for terms, factor in ([[f"{t0}^2", t0], 3.0], [[f"{t0}^2", f"{t0}^3"], 5.0]):
+        got = _run(spark, idx, _q(terms))
+        assert got["doc_id"].tolist() == s1["doc_id"].tolist(), terms
+        np.testing.assert_allclose(got["score"], s1["score"] * factor, rtol=1e-12)
+        loc = search_local(root, _q(terms))
+        np.testing.assert_allclose(loc["score"], got["score"], rtol=0, atol=0)
+
+
+def test_mixed_optional_columns_multi_query_batch(spark, ql):
+    """A pandas batch where only SOME rows carry neg_terms/min_match (the
+    other rows hold NaN) must not crash the Spark path and must apply each
+    row's own options."""
+    root, idx, top = ql
+    q = pd.DataFrame(
+        [
+            {"query_id": 1, "terms": top[:2], "mode": "OR", "k": BIG,
+             "neg_terms": [top[2]]},
+            {"query_id": 2, "terms": top[:2], "mode": "OR", "k": BIG},
+        ]
+    )
+    got = _run(spark, idx, q)
+    plain = set(_run(spark, idx, _q(top[:2]))["doc_id"])
+    neg_docs = set(_run(spark, idx, _q([top[2]]))["doc_id"])
+    g1 = set(got[got["query_id"] == 1]["doc_id"])
+    g2 = set(got[got["query_id"] == 2]["doc_id"])
+    assert g2 == plain
+    assert g1 == plain - neg_docs
+    loc = search_local(root, q)
+    assert set(loc[loc["query_id"] == 1]["doc_id"].astype("int64")) == g1
+    assert set(loc[loc["query_id"] == 2]["doc_id"].astype("int64")) == g2
+
+
 def test_prefix_no_match_is_empty(spark, ql):
     root, idx, _ = ql
     got = _run(spark, idx, _q(["zzznoprefix"], mode="PREFIX"))

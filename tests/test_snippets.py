@@ -115,6 +115,28 @@ def test_snippets_survive_incremental_update(spark, tmp_path):
     assert len(got) == 2 and all("«spark»" in s for s in got["snippet"])
 
 
+def test_snippets_use_index_token_pattern(spark, tmp_path):
+    """A custom analyzer pattern (underscores kept in tokens) flows through
+    stats.json into snippet tokenization — 'foo_bar' highlights as ONE
+    token, exactly as it was indexed."""
+    from dataclasses import replace as dc_replace
+
+    cfg = dc_replace(CFG, token_pattern="[^a-z0-9_]+")
+    pages = spark.createDataFrame(
+        [("u1", None, None, "alpha foo_bar omega trailer", "en")],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    root = str(tmp_path / "pat_idx")
+    build_index(spark, pages, root, cfg, use_stored_text=True)
+    q = pd.DataFrame(
+        [{"query_id": 1, "terms": ["foo_bar"], "mode": "OR", "k": 5}]
+    )
+    res = search_local(root, q)
+    assert len(res) == 1  # the custom pattern indexed foo_bar as one term
+    got = attach_snippets_local(root, res, q)
+    assert got["snippet"].iloc[0] == "alpha «foo_bar» omega trailer"
+
+
 def test_snippets_require_store_text(spark, tmp_path):
     from dataclasses import replace as dc_replace
 
