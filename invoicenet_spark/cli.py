@@ -45,9 +45,11 @@ def main(argv=None):
     s = sub.add_parser("search", help="query an index")
     s.add_argument("--index", required=True)
     s.add_argument("--terms", required=True, help="comma-separated")
-    s.add_argument("--mode", default="OR", choices=["OR", "AND", "PHRASE", "PREFIX", "NEAR"])
+    s.add_argument("--mode", default="OR", choices=["OR", "AND", "PHRASE", "PREFIX", "NEAR", "FUZZY"])
     s.add_argument("--slop", type=int, default=0,
                    help="NEAR: max extra gaps between ordered terms (0 == PHRASE)")
+    s.add_argument("--max-edits", type=int, default=1,
+                   help="FUZZY: Levenshtein edit budget for term expansion")
     s.add_argument("--after-score", type=float, default=None,
                    help="pagination cursor: score of the previous page's last row")
     s.add_argument("--after-doc", type=int, default=None,
@@ -109,7 +111,8 @@ def main(argv=None):
         from invoicenet_spark.query.local import search_local
 
         qrow = {"query_id": 1, "terms": args.terms.split(","), "mode": args.mode,
-                "k": args.k, "min_match": args.min_match, "slop": args.slop}
+                "k": args.k, "min_match": args.min_match, "slop": args.slop,
+                "max_edits": args.max_edits}
         if args.after_score is not None:
             qrow["after_score"] = args.after_score
             qrow["after_doc"] = args.after_doc or 0
@@ -172,7 +175,8 @@ def main(argv=None):
 
         index = load_index(spark, args.index)
         qrow = {"query_id": 1, "terms": args.terms.split(","), "mode": args.mode,
-                "k": args.k, "min_match": args.min_match, "slop": args.slop}
+                "k": args.k, "min_match": args.min_match, "slop": args.slop,
+                "max_edits": args.max_edits}
         if args.after_score is not None:
             qrow["after_score"] = args.after_score
             qrow["after_doc"] = args.after_doc or 0

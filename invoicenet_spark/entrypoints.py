@@ -217,6 +217,7 @@ def _duck_bm25(
     boosts: dict | None = None,
     near_slop: int | None = None,
     page_offset: int = 0,
+    fuzzy_edits: int | None = None,
 ) -> str:
     """deleted: 'masked' — exclude _DELETE_PRED_SQL docs from ranking only
     (tombstone semantics: corpus stats still count them); 'purged' — exclude
@@ -279,6 +280,12 @@ def _duck_bm25(
     if prefix:
         plike = " OR ".join(f"term LIKE '{p}%'" for p in dict.fromkeys(terms))
         qt_cte = f"qt AS (SELECT DISTINCT term, 1.0 AS boost FROM toks WHERE {plike})"
+    elif fuzzy_edits is not None:
+        flev = " OR ".join(
+            f"levenshtein(term, '{t}') <= {int(fuzzy_edits)}"
+            for t in dict.fromkeys(terms)
+        )
+        qt_cte = f"qt AS (SELECT DISTINCT term, 1.0 AS boost FROM toks WHERE {flev})"
     else:
         qt_cte = f"qt(term, boost) AS (VALUES {tlist})"
     return f"""
@@ -433,6 +440,15 @@ def q_bm25_facet_source(spark, sf_dir):
     )
     meta = _docs(spark, sf_dir).select("doc_id", "source")
     return facet_counts(res, meta, "source").select("source", "n_docs")
+
+
+def q_bm25_topk_fuzzy(spark, sf_dir):
+    """FUZZY query: misspelled terms expand to dictionary terms within one
+    Levenshtein edit ('quary' -> query, 'windoq' -> window) and score as
+    OR over the expansion."""
+    return _bm25_engine_results(
+        spark, sf_dir, ["quary", "windoq"], "FUZZY", 20, max_edits=1
+    )
 
 
 def q_bm25_topk_page2(spark, sf_dir):
@@ -886,6 +902,7 @@ QUERIES = {
     "bm25_topk_near": q_bm25_topk_near,
     "bm25_topk_page2": q_bm25_topk_page2,
     "bm25_facet_source": q_bm25_facet_source,
+    "bm25_topk_fuzzy": q_bm25_topk_fuzzy,
     "substring_search": q_substring_search,
     "ngram_counts": q_ngram_counts,
     "amount_normalize": q_amount_normalize,
@@ -960,6 +977,7 @@ ORACLE_SQL = {
     ),
     "bm25_topk_near": _duck_bm25(BM25_PHRASE, "OR", 20, near_slop=3),
     "bm25_topk_page2": _duck_bm25(BM25_QUERY_TERMS, "OR", 20, page_offset=20),
+    "bm25_topk_fuzzy": _duck_bm25(["quary", "windoq"], "OR", 20, fuzzy_edits=1),
     # facet over the FULL OR match set == docs containing any query term
     "bm25_facet_source": f"""
 WITH toks AS (

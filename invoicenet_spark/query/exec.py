@@ -134,6 +134,44 @@ def expand_prefix_terms(
     return qparse.cap_prefix_expansion(out, prefixes, max_expansions)
 
 
+def expand_fuzzy_terms(
+    index: Index,
+    terms: list[str],
+    max_edits: int = 1,
+    max_expansions: int = MAX_PREFIX_EXPANSIONS,
+) -> list[str]:
+    """FUZZY query rewrite: dictionary terms within max_edits Levenshtein
+    edits of ANY query term (FuzzyQuery analog), capped like PREFIX. Hot
+    dictionary → vectorized numpy DP (query/fuzzy.py); big-vocab fallback →
+    F.levenshtein pushed into a JVM dictionary scan."""
+    from invoicenet_spark.query.fuzzy import levenshtein_within
+
+    out: set[str] = set()
+    local = index.local_dict()
+    if local is not None:
+        vocab = np.asarray(local.index, dtype=str)
+        for t in terms:
+            out |= set(levenshtein_within(vocab, t, max_edits))
+    else:
+        from functools import reduce
+
+        cond = reduce(
+            lambda a, b: a | b,
+            [
+                F.levenshtein(F.col("term"), F.lit(t)) <= F.lit(int(max_edits))
+                for t in terms
+            ],
+        )
+        rows = (
+            index.terms.where(cond)
+            .select("term")
+            .limit(max_expansions + 1)
+            .collect()
+        )
+        out = {r["term"] for r in rows}
+    return qparse.cap_prefix_expansion(out, terms, max_expansions, kind="fuzzy")
+
+
 def facet_counts(results: DataFrame, meta: DataFrame, field: str) -> DataFrame:
     """Facet the matched result set by a doc-metadata field: results ⋈ meta
     on doc_id, then count per (query_id, field value).
@@ -328,7 +366,9 @@ def search(
             "mode", F.exists("terms", lambda t: t.contains("^")).alias("has_boost")
         ).collect()
         spark_modes = {r["mode"] for r in flag_rows}
-        if "PREFIX" in spark_modes or any(r["has_boost"] for r in flag_rows):
+        if spark_modes & {"PREFIX", "FUZZY"} or any(
+            r["has_boost"] for r in flag_rows
+        ):
             qpd = qdf.toPandas()
     if qpd is not None:
         if (qpd["mode"] == "PREFIX").any():
@@ -338,6 +378,25 @@ def search(
                 lambda ps: expand_prefix_terms(index, list(ps))
             )
             qpd.loc[mask, "mode"] = "OR"
+        if (qpd["mode"] == "FUZZY").any():
+            qpd = qpd.copy()
+            mask = qpd["mode"] == "FUZZY"
+            edits = (
+                qpd["max_edits"]
+                if "max_edits" in qpd.columns
+                else pd.Series(1, index=qpd.index)
+            )
+            qpd.loc[mask, "terms"] = pd.Series(
+                [
+                    expand_fuzzy_terms(
+                        index, list(ts), int(e) if pd.notna(e) else 1
+                    )
+                    for ts, e in zip(qpd.loc[mask, "terms"], edits[mask])
+                ],
+                index=qpd.index[mask],
+            )
+            qpd.loc[mask, "mode"] = "OR"
+            qpd = qpd.drop(columns=[c for c in ("max_edits",) if c in qpd.columns])
         qpd = _sanitize_optional_columns(parse_term_boosts(qpd))
         # an all-empty array column (or an all-null cursor column) defeats
         # createDataFrame type inference — drop and re-add defaults below

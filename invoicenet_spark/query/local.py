@@ -296,6 +296,31 @@ class LocalIndex:
                 out |= set(terms[terms.str.startswith(p)])
         return qparse.cap_prefix_expansion(out, prefixes, max_expansions)
 
+    def expand_fuzzy(
+        self,
+        terms: list[str],
+        max_edits: int = 1,
+        max_expansions: int = qparse.MAX_PREFIX_EXPANSIONS,
+    ) -> list[str]:
+        """FUZZY rewrite against the serving dictionary — vectorized numpy
+        Levenshtein (query/fuzzy.py) over the hot dictionary, full term-
+        column scan fallback for big vocabularies; same cap contract as
+        exec.expand_fuzzy_terms."""
+        from invoicenet_spark.query.fuzzy import levenshtein_within
+
+        self.term_info(set())
+        if self._dict is not None:
+            vocab = np.asarray(self._dict.index, dtype=str)
+        else:
+            vocab = np.asarray(
+                self._terms_dataset().to_table(columns=["term"]).column("term"),
+                dtype=str,
+            )
+        out: set[str] = set()
+        for t in terms:
+            out |= set(levenshtein_within(vocab, t, max_edits))
+        return qparse.cap_prefix_expansion(out, terms, max_expansions, kind="fuzzy")
+
     def urls_for(self, doc_ids: list[int]) -> dict[int, str]:
         tbl = self.docs_dataset().to_table(
             columns=["doc_id", "url"], filter=ds.field("doc_id").isin(doc_ids)
@@ -496,6 +521,22 @@ def search_local(
         mask = queries["mode"] == "PREFIX"
         queries.loc[mask, "terms"] = queries.loc[mask, "terms"].map(
             lambda ps: li.expand_prefixes(list(ps))
+        )
+        queries.loc[mask, "mode"] = "OR"
+    if (queries["mode"] == "FUZZY").any():
+        queries = queries.copy()
+        mask = queries["mode"] == "FUZZY"
+        edits = (
+            queries["max_edits"]
+            if "max_edits" in queries.columns
+            else pd.Series(1, index=queries.index)
+        )
+        queries.loc[mask, "terms"] = pd.Series(
+            [
+                li.expand_fuzzy(list(ts), int(e) if pd.notna(e) else 1)
+                for ts, e in zip(queries.loc[mask, "terms"], edits[mask])
+            ],
+            index=queries.index[mask],
         )
         queries.loc[mask, "mode"] = "OR"
 

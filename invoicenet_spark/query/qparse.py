@@ -35,7 +35,7 @@ def parse_boost_terms(raw_terms) -> tuple[list[str], dict[str, float]]:
 
 
 def cap_prefix_expansion(
-    matched, prefixes, max_expansions: int = MAX_PREFIX_EXPANSIONS
+    matched, prefixes, max_expansions: int = MAX_PREFIX_EXPANSIONS, kind: str = "prefix"
 ) -> list[str]:
     """Shared tail of PREFIX expansion: enforce the clause cap (the
     BooleanQuery.TooManyClauses analog — at web-scale vocabularies an
@@ -45,7 +45,7 @@ def cap_prefix_expansion(
     matched = set(matched)
     if len(matched) > max_expansions:
         raise ValueError(
-            f"prefix expansion matches more than {max_expansions} dictionary "
+            f"{kind} expansion matches more than {max_expansions} dictionary "
             f"terms ({sorted(prefixes)}); narrow the prefix"
         )
     return sorted(matched)

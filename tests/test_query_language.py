@@ -387,6 +387,63 @@ def test_mixed_optional_columns_multi_query_batch(spark, ql):
     assert set(loc[loc["query_id"] == 2]["doc_id"].astype("int64")) == g2
 
 
+def test_fuzzy_queries(spark, ql):
+    """FUZZY == OR over the Levenshtein expansion; a 1-edit misspelling of
+    a real term recovers that term's docs on both paths."""
+    from invoicenet_spark.query.exec import expand_fuzzy_terms
+    from invoicenet_spark.query.local import local_index
+
+    root, idx, top = ql
+    t0 = top[0]
+    typo = t0[:-1] + ("x" if t0[-1] != "x" else "y")  # 1 substitution
+    expansion = expand_fuzzy_terms(idx, [typo], max_edits=1)
+    assert t0 in expansion
+    # serving expansion agrees with the Spark-path expansion
+    assert local_index(root).expand_fuzzy([typo], max_edits=1) == expansion
+
+    expect = _run(spark, idx, _q(expansion))
+    got = _run(spark, idx, _q([typo], mode="FUZZY", max_edits=1))
+    assert got["doc_id"].tolist() == expect["doc_id"].tolist()
+    np.testing.assert_allclose(got["score"], expect["score"], rtol=0, atol=0)
+    loc = search_local(root, _q([typo], mode="FUZZY", max_edits=1))
+    assert loc["doc_id"].astype("int64").tolist() == got["doc_id"].tolist()
+
+    # max_edits=0 == exact lookup; nonsense stays empty
+    got0 = _run(spark, idx, _q([t0], mode="FUZZY", max_edits=0))
+    exact = _run(spark, idx, _q([t0]))
+    assert got0["doc_id"].tolist() == exact["doc_id"].tolist()
+    assert len(_run(spark, idx, _q(["zzqxjv"], mode="FUZZY", max_edits=1))) == 0
+
+
+def test_fuzzy_levenshtein_kernel_fuzz():
+    """query/fuzzy.py's vectorized DP vs a reference python DP, 300 random
+    (vocab, term, budget) draws."""
+    from invoicenet_spark.query.fuzzy import levenshtein_within
+
+    def ref(a, b):
+        d = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            nd = [i]
+            for j, cb in enumerate(b, 1):
+                nd.append(min(d[j] + 1, nd[j - 1] + 1, d[j - 1] + (ca != cb)))
+            d = nd
+        return d[-1]
+
+    rng = np.random.default_rng(0)
+    alpha = list("abcde")
+    vocab = np.array(
+        sorted({"".join(rng.choice(alpha, size=rng.integers(1, 8))) for _ in range(400)}),
+        dtype=str,
+    )
+    for seed in range(300):
+        r = np.random.default_rng(seed)
+        t = "".join(r.choice(alpha, size=r.integers(1, 8)))
+        e = int(r.integers(0, 3))
+        got = levenshtein_within(vocab, t, e)
+        exp = sorted(v for v in vocab if ref(t, v) <= e)
+        assert got == exp, (seed, t, e)
+
+
 def test_prefix_no_match_is_empty(spark, ql):
     root, idx, _ = ql
     got = _run(spark, idx, _q(["zzznoprefix"], mode="PREFIX"))
