@@ -136,14 +136,11 @@ def compact_index(
     # purge job keep their files and stay masked until the next purge
     tomb_files = list_tombstone_files(paths) if purge_deletes else []
     tomb = read_tombstones_spark(spark, paths, files=tomb_files) if tomb_files else None
-    # actually-purged count: tombstoned ids PRESENT in the index (the
-    # doc_ids delete path never validates existence, so the raw tombstone
-    # count can overstate reclaims)
-    n_purged = (
-        spark.read.parquet(paths.docs).join(tomb, "doc_id", "semi").count()
-        if tomb is not None
-        else 0
-    )
+    # actually-purged count = docs before − survivors after (the doc_ids
+    # delete path never validates existence, so the raw tombstone count can
+    # overstate reclaims). parquet count(*) is metadata-only — no scan, no
+    # extra join job.
+    n_docs_before = spark.read.parquet(paths.docs).count() if tomb is not None else 0
 
     pairs = read_postings(spark, paths).mapInArrow(
         lambda it: _decode_partition(it, positional),
@@ -185,7 +182,7 @@ def compact_index(
     # log + new postings files. With a purge, the surviving docs are written
     # to a NEW generation directory and the manifest's docs_dir pointer is
     # the single atomic commit — readers never see a half-rewritten tree.
-    if tomb is not None and n_purged:
+    if tomb is not None:
         gen = int(manifest.get("docs_gen", 1)) + 1
         new_docs_name = f"docs_g{gen}"
         (
@@ -205,6 +202,7 @@ def compact_index(
     cfg = cfg_from_manifest(manifest, cfg)
     docs = spark.read.parquet(paths.docs)
     observed = {"n_docs": docs.count(), "posting_rows": 0, "n_postings": 0}
+    n_purged = n_docs_before - observed["n_docs"] if tomb is not None else 0
     _finalize(spark, docs, cfg, paths, manifest, log, t0, observed)
     if tomb is not None:
         # consumed tombstones: purged postings/docs no longer contain these

@@ -43,6 +43,7 @@ class Index:
     docs: DataFrame
     stats: dict
     _local_dict: "pd.DataFrame | None" = None
+    _fuzzy_vocab: "np.ndarray | None" = None
     _deleted_bc: "object | None" = None  # broadcast {shard: sorted doc_ids}
 
     @property
@@ -68,6 +69,14 @@ class Index:
                 spark.sparkContext.broadcast(by_shard) if by_shard else False
             )
         return self._deleted_bc or None
+
+    def fuzzy_vocab(self) -> "np.ndarray":
+        """Hot dictionary as ONE fixed-width numpy unicode array, converted
+        once per Index handle — the conversion is O(vocab x maxlen) and must
+        not be paid per FUZZY query row."""
+        if self._fuzzy_vocab is None:
+            self._fuzzy_vocab = np.asarray(self.local_dict().index, dtype=str)
+        return self._fuzzy_vocab
 
     def local_dict(self, max_terms: int = 5_000_000) -> "pd.DataFrame | None":
         """Driver-side term → (term_id, df) cache for low-latency lookups —
@@ -112,6 +121,8 @@ def expand_prefix_terms(
     BooleanQuery.TooManyClauses analog) — at web-scale vocabularies an
     unbounded prefix is a dictionary scan plus an arbitrarily hot OR, so
     the cap is part of the query contract, not a tuning knob."""
+    if not prefixes:
+        return []
     out: set[str] = set()
     local = index.local_dict()
     if local is not None:
@@ -146,10 +157,12 @@ def expand_fuzzy_terms(
     F.levenshtein pushed into a JVM dictionary scan."""
     from invoicenet_spark.query.fuzzy import levenshtein_within
 
+    if not terms:
+        return []
     out: set[str] = set()
     local = index.local_dict()
     if local is not None:
-        vocab = np.asarray(local.index, dtype=str)
+        vocab = index.fuzzy_vocab()
         for t in terms:
             out |= set(levenshtein_within(vocab, t, max_edits))
     else:
@@ -371,32 +384,13 @@ def search(
         ):
             qpd = qdf.toPandas()
     if qpd is not None:
-        if (qpd["mode"] == "PREFIX").any():
-            qpd = qpd.copy()
-            mask = qpd["mode"] == "PREFIX"
-            qpd.loc[mask, "terms"] = qpd.loc[mask, "terms"].map(
-                lambda ps: expand_prefix_terms(index, list(ps))
-            )
-            qpd.loc[mask, "mode"] = "OR"
-        if (qpd["mode"] == "FUZZY").any():
-            qpd = qpd.copy()
-            mask = qpd["mode"] == "FUZZY"
-            edits = (
-                qpd["max_edits"]
-                if "max_edits" in qpd.columns
-                else pd.Series(1, index=qpd.index)
-            )
-            qpd.loc[mask, "terms"] = pd.Series(
-                [
-                    expand_fuzzy_terms(
-                        index, list(ts), int(e) if pd.notna(e) else 1
-                    )
-                    for ts, e in zip(qpd.loc[mask, "terms"], edits[mask])
-                ],
-                index=qpd.index[mask],
-            )
-            qpd.loc[mask, "mode"] = "OR"
-            qpd = qpd.drop(columns=[c for c in ("max_edits",) if c in qpd.columns])
+        qpd = qparse.rewrite_expansion_rows(
+            qpd, "PREFIX", lambda ts, _e: expand_prefix_terms(index, ts)
+        )
+        qpd = qparse.rewrite_expansion_rows(
+            qpd, "FUZZY", lambda ts, e: expand_fuzzy_terms(index, ts, e)
+        )
+        qpd = qpd.drop(columns=[c for c in ("max_edits",) if c in qpd.columns])
         qpd = _sanitize_optional_columns(parse_term_boosts(qpd))
         # an all-empty array column (or an all-null cursor column) defeats
         # createDataFrame type inference — drop and re-add defaults below

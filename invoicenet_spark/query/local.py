@@ -211,6 +211,7 @@ class LocalIndex:
         self._terms_ds = None
         self._dict: pd.DataFrame | None = None
         self._dict_too_big = False
+        self._fuzzy_vocab: "np.ndarray | None" = None
         self._deleted_by_shard: dict | None = None
 
     def deleted_by_shard(self) -> dict:
@@ -259,6 +260,10 @@ class LocalIndex:
         if self._dict is not None:
             hit = self._dict.loc[sorted(needed & set(self._dict.index))]
             return {t: (int(r["term_id"]), int(r["df"])) for t, r in hit.iterrows()}
+        if not needed:
+            # isin([]) builds a null-typed Arrow value set and raises — an
+            # empty lookup is just empty
+            return {}
         tbl = self._terms_dataset().to_table(
             columns=["term", "term_id", "df"],
             filter=ds.field("term").isin(sorted(needed)),
@@ -308,17 +313,26 @@ class LocalIndex:
         exec.expand_fuzzy_terms."""
         from invoicenet_spark.query.fuzzy import levenshtein_within
 
+        if not terms:
+            return []
         self.term_info(set())
-        if self._dict is not None:
-            vocab = np.asarray(self._dict.index, dtype=str)
-        else:
-            vocab = np.asarray(
-                self._terms_dataset().to_table(columns=["term"]).column("term"),
-                dtype=str,
-            )
         out: set[str] = set()
-        for t in terms:
-            out |= set(levenshtein_within(vocab, t, max_edits))
+        if self._dict is not None:
+            if self._fuzzy_vocab is None:
+                # one conversion per handle/generation — O(vocab x maxlen)
+                self._fuzzy_vocab = np.asarray(self._dict.index, dtype=str)
+            for t in terms:
+                out |= set(levenshtein_within(self._fuzzy_vocab, t, max_edits))
+        else:
+            # big-vocab fallback: STREAM the term column in record batches —
+            # never materialize a >MAX_HOT_TERMS dictionary as one padded
+            # numpy array (that is exactly what the hot-dict cap avoids)
+            for batch in self._terms_dataset().to_batches(columns=["term"]):
+                if batch.num_rows == 0:
+                    continue
+                vocab = np.asarray(batch.column("term"), dtype=str)
+                for t in terms:
+                    out |= set(levenshtein_within(vocab, t, max_edits))
         return qparse.cap_prefix_expansion(out, terms, max_expansions, kind="fuzzy")
 
     def urls_for(self, doc_ids: list[int]) -> dict[int, str]:
@@ -516,29 +530,12 @@ def search_local(
             "PHRASE/NEAR queries require a positional index "
             "(build with EngineConfig(with_positions=True) / --with-positions)"
         )
-    if (queries["mode"] == "PREFIX").any():
-        queries = queries.copy()
-        mask = queries["mode"] == "PREFIX"
-        queries.loc[mask, "terms"] = queries.loc[mask, "terms"].map(
-            lambda ps: li.expand_prefixes(list(ps))
-        )
-        queries.loc[mask, "mode"] = "OR"
-    if (queries["mode"] == "FUZZY").any():
-        queries = queries.copy()
-        mask = queries["mode"] == "FUZZY"
-        edits = (
-            queries["max_edits"]
-            if "max_edits" in queries.columns
-            else pd.Series(1, index=queries.index)
-        )
-        queries.loc[mask, "terms"] = pd.Series(
-            [
-                li.expand_fuzzy(list(ts), int(e) if pd.notna(e) else 1)
-                for ts, e in zip(queries.loc[mask, "terms"], edits[mask])
-            ],
-            index=queries.index[mask],
-        )
-        queries.loc[mask, "mode"] = "OR"
+    queries = qparse.rewrite_expansion_rows(
+        queries, "PREFIX", lambda ts, _e: li.expand_prefixes(ts)
+    )
+    queries = qparse.rewrite_expansion_rows(
+        queries, "FUZZY", lambda ts, e: li.expand_fuzzy(ts, e)
+    )
 
     needed_terms = {t.partition("^")[0] for ts in queries["terms"] for t in ts}
     if "neg_terms" in queries.columns:

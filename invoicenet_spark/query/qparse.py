@@ -44,8 +44,46 @@ def cap_prefix_expansion(
     lexicographic expansion."""
     matched = set(matched)
     if len(matched) > max_expansions:
+        remedy = (
+            "lower max_edits or use rarer terms"
+            if kind == "fuzzy"
+            else "narrow the prefix"
+        )
         raise ValueError(
             f"{kind} expansion matches more than {max_expansions} dictionary "
-            f"terms ({sorted(prefixes)}); narrow the prefix"
+            f"terms ({sorted(prefixes)}); {remedy}"
         )
     return sorted(matched)
+
+
+def rewrite_expansion_rows(queries, mode: str, expander):
+    """Shared PREFIX/FUZZY rewrite control flow for both query paths: rows
+    in `mode` get terms := expander(base_terms, max_edits) and become OR.
+    Boost suffixes are STRIPPED before expansion (a `^boost` on an
+    expansion-mode term would otherwise be edit-distance-matched literally);
+    boosts do not combine with expansion modes. max_edits defaults to 1
+    per row (NaN holes included); `queries` is pandas, returned copied-on-
+    write only when the mode is present."""
+    import pandas as pd
+
+    if not (queries["mode"] == mode).any():
+        return queries
+    queries = queries.copy()
+    mask = queries["mode"] == mode
+    edits = queries["max_edits"] if "max_edits" in queries.columns else None
+
+    def _edits_for(idx) -> int:
+        if edits is None:
+            return 1
+        v = edits.loc[idx]
+        return int(v) if v is not None and not pd.isna(v) else 1
+
+    queries.loc[mask, "terms"] = pd.Series(
+        [
+            expander([t.partition("^")[0] for t in ts], _edits_for(i))
+            for i, ts in queries.loc[mask, "terms"].items()
+        ],
+        index=queries.index[mask],
+    )
+    queries.loc[mask, "mode"] = "OR"
+    return queries

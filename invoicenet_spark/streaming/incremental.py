@@ -127,11 +127,13 @@ def update_index(
     # re-crawl upsert: tombstone the EXISTING doc of every url the delta
     # re-delivers. Derived from docs_existing (file set snapshotted BEFORE
     # this delta's append) so a doc can never tombstone itself; WRITTEN
-    # only after the new segment's postings commit (below), so a crash
-    # mid-update leaves the url served by its OLD version, never by
-    # neither; revealed to serving caches atomically by _finalize's
-    # generation bump together with the new version. Retry-idempotent:
-    # a retry recomputes the same ids and duplicates union away.
+    # only after the new segment's postings commit (below). Crash/ordering
+    # contract: mid-update (or crashed-before-tombstones) the url is served
+    # by its OLD version — or transiently by BOTH versions for a fresh
+    # reader in the commit→tombstone window — but never by NEITHER; the
+    # exactly-once view is restored at _finalize's generation bump (or the
+    # retry). Retry-idempotent: a retry recomputes the same ids and
+    # duplicates union away.
     old_ids = (
         docs_existing.join(docs_new.select("url"), "url").select("doc_id")
         if upsert

@@ -415,6 +415,30 @@ def test_fuzzy_queries(spark, ql):
     assert len(_run(spark, idx, _q(["zzqxjv"], mode="FUZZY", max_edits=1))) == 0
 
 
+def test_fuzzy_edge_cases(spark, ql):
+    """Boost suffixes are stripped BEFORE expansion (a '^2' would otherwise
+    be edit-distance-matched literally); the big-vocab streaming fallback
+    returns the same expansion as the hot-dictionary path."""
+    import os as _os
+
+    from invoicenet_spark.query.local import LocalIndex, local_index
+
+    root, idx, top = ql
+    t0 = top[0]
+    typo = t0[:-1] + ("x" if t0[-1] != "x" else "y")
+
+    plain = _run(spark, idx, _q([typo], mode="FUZZY", max_edits=1))
+    boosted = _run(spark, idx, _q([f"{typo}^2"], mode="FUZZY", max_edits=1))
+    assert boosted["doc_id"].tolist() == plain["doc_id"].tolist()
+    assert len(plain) > 0
+
+    hot = local_index(root).expand_fuzzy([typo], 1)
+    cold = LocalIndex(_os.path.realpath(root))
+    cold._dict_too_big = True  # force the record-batch streaming fallback
+    assert cold.expand_fuzzy([typo], 1) == hot
+    assert cold.expand_fuzzy([], 1) == []
+
+
 def test_fuzzy_levenshtein_kernel_fuzz():
     """query/fuzzy.py's vectorized DP vs a reference python DP, 300 random
     (vocab, term, budget) draws."""
