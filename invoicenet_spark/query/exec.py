@@ -373,16 +373,39 @@ def search(
         qdf = queries
         # ONE tiny job answers every data-dependent question about a
         # Spark-frame batch (PREFIX/boost rewrites need rows driver-side;
-        # the positional check below needs the mode set) — query batches
-        # are tiny by contract
+        # the positional check below needs the mode set; the modifier flags
+        # below decide which optional columns the plan carries at all) —
+        # query batches are tiny by contract
+        qcols = set(qdf.columns)
         flag_rows = qdf.select(
-            "mode", F.exists("terms", lambda t: t.contains("^")).alias("has_boost")
+            "mode",
+            F.exists("terms", lambda t: t.contains("^")).alias("has_boost"),
+            (
+                (F.size(F.coalesce(F.col("neg_terms"), F.array().cast("array<string>"))) > 0)
+                if "neg_terms" in qcols
+                else F.lit(False)
+            ).alias("has_neg"),
+            (
+                (F.coalesce(F.col("min_match"), F.lit(0)) > 0)
+                if "min_match" in qcols
+                else F.lit(False)
+            ).alias("has_mm"),
+            (
+                F.col("after_score").isNotNull()
+                if "after_score" in qcols
+                else F.lit(False)
+            ).alias("has_after"),
         ).collect()
         spark_modes = {r["mode"] for r in flag_rows}
         if spark_modes & {"PREFIX", "FUZZY"} or any(
             r["has_boost"] for r in flag_rows
         ):
             qpd = qdf.toPandas()
+        else:
+            has_neg = any(r["has_neg"] for r in flag_rows)
+            need_mm = any(r["has_mm"] for r in flag_rows)
+            need_after = any(r["has_after"] for r in flag_rows)
+            need_slop = "slop" in qcols and bool(spark_modes & {"NEAR"})
     if qpd is not None:
         qpd = qparse.rewrite_expansion_rows(
             qpd, "PREFIX", lambda ts, _e: expand_prefix_terms(index, ts)
@@ -392,26 +415,30 @@ def search(
         )
         qpd = qpd.drop(columns=[c for c in ("max_edits",) if c in qpd.columns])
         qpd = _sanitize_optional_columns(parse_term_boosts(qpd))
-        # an all-empty array column (or an all-null cursor column) defeats
-        # createDataFrame type inference — drop and re-add defaults below
+        # Modifier columns whose every row is "off" are DROPPED before the
+        # frame goes to Spark: an all-empty array (or all-null cursor)
+        # column defeats createDataFrame type inference, and any always-off
+        # column would ride the explode → broadcast join → shuffle →
+        # applyInPandas chain for nothing. The shard kernel treats a missing
+        # column as the modifier's default, so the common plain-AND/OR batch
+        # runs the exact round-2 plan shape.
         to_df = qpd
         if "neg_terms" in to_df.columns and all(
             len(x) == 0 for x in to_df["neg_terms"]
         ):
             to_df = to_df.drop(columns=["neg_terms"])
+        for c in ("min_match", "slop"):
+            if c in to_df.columns and (to_df[c] == 0).all():
+                to_df = to_df.drop(columns=[c])
         for c in ("after_score", "after_doc"):
             if c in to_df.columns and to_df[c].isna().all():
                 to_df = to_df.drop(columns=[c])
         qdf = spark.createDataFrame(to_df)
-    if "neg_terms" not in qdf.columns:
-        qdf = qdf.withColumn("neg_terms", F.array().cast("array<string>"))
-    if "min_match" not in qdf.columns:
-        qdf = qdf.withColumn("min_match", F.lit(0))
-    if "slop" not in qdf.columns:
-        qdf = qdf.withColumn("slop", F.lit(0))
-    if "after_score" not in qdf.columns:
-        qdf = qdf.withColumn("after_score", F.lit(None).cast("double"))
-    if "after_doc" not in qdf.columns:
+        has_neg = "neg_terms" in to_df.columns
+        need_mm = "min_match" in to_df.columns
+        need_slop = "slop" in to_df.columns
+        need_after = "after_score" in to_df.columns
+    if need_after and "after_doc" not in qdf.columns:
         qdf = qdf.withColumn("after_doc", F.lit(None).cast("long"))
     if "boost_keys" in qdf.columns:
         qdf = qdf.withColumn(
@@ -434,45 +461,48 @@ def search(
     # dedupe (duplicate terms must not double-count in the BM25 sum).
     # Negated terms explode with is_neg=true (qpos -1, outside phrase
     # slots): their postings ride the same pruned probe and each shard
-    # kernel folds its slice into the exclusion mask.
+    # kernel folds its slice into the exclusion mask. Modifier columns the
+    # batch doesn't use are not selected at all (and the neg union branch
+    # only exists when some row actually negates a term).
     qarr = F.when(
         F.col("mode").isin("PHRASE", "NEAR"), F.col("terms")
     ).otherwise(F.array_distinct("terms"))
-    narr = F.array_distinct(
-        F.coalesce(F.col("neg_terms"), F.array().cast("array<string>"))
-    )
-    boost_cols = ["boost_map"] if "boost_map" in qdf.columns else []
-    qterms_pos = qdf.select(
+    opt_cols = []
+    if need_mm:
+        opt_cols.append("min_match")
+    if need_slop:
+        opt_cols.append("slop")
+    if need_after:
+        opt_cols += ["after_score", "after_doc"]
+    if "boost_map" in qdf.columns:
+        opt_cols.append("boost_map")
+    qterms = qdf.select(
         "query_id",
         "mode",
         "k",
-        "min_match",
-        "slop",
-        "after_score",
-        "after_doc",
-        *boost_cols,
+        *opt_cols,
         F.size(qarr).alias("n_query_terms"),
         F.posexplode(qarr).alias("qpos", "term"),
-        F.lit(False).alias("is_neg"),
+        *([F.lit(False).alias("is_neg")] if has_neg else []),
     )
-    qterms_neg = (
-        qdf.where(F.size(narr) > 0)
-        .select(
-            "query_id",
-            "mode",
-            "k",
-            "min_match",
-            "slop",
-            "after_score",
-            "after_doc",
-            *boost_cols,
-            F.size(qarr).alias("n_query_terms"),
-            F.posexplode(narr).alias("qpos", "term"),
-            F.lit(True).alias("is_neg"),
+    if has_neg:
+        narr = F.array_distinct(
+            F.coalesce(F.col("neg_terms"), F.array().cast("array<string>"))
         )
-        .withColumn("qpos", F.lit(-1))
-    )
-    qterms = qterms_pos.unionByName(qterms_neg)
+        qterms_neg = (
+            qdf.where(F.size(narr) > 0)
+            .select(
+                "query_id",
+                "mode",
+                "k",
+                *opt_cols,
+                F.size(qarr).alias("n_query_terms"),
+                F.posexplode(narr).alias("qpos", "term"),
+                F.lit(True).alias("is_neg"),
+            )
+            .withColumn("qpos", F.lit(-1))
+        )
+        qterms = qterms.unionByName(qterms_neg)
 
     # dictionary lookup: term → (term_id, df, idf). Served from the driver-
     # side dictionary cache when the vocabulary fits (a serving node holds
@@ -503,7 +533,7 @@ def search(
             return _empty_results(spark, with_url)
 
     q = qterms.join(F.broadcast(t), "term")
-    if boost_cols:
+    if "boost_map" in qdf.columns:
         # boost scales the term's idf — linear in the BM25 sum, so the
         # kernels are untouched; absent map entries default to 1.0
         q = q.withColumn(
