@@ -46,6 +46,8 @@ def main(argv=None):
     s.add_argument("--index", required=True)
     s.add_argument("--terms", required=True, help="comma-separated")
     s.add_argument("--mode", default="OR", choices=["OR", "AND", "PHRASE", "PREFIX", "NEAR", "FUZZY"])
+    s.add_argument("--unordered", action="store_true",
+                   help="NEAR only: order-tolerant proximity (SpanNear ordered=false)")
     s.add_argument("--slop", type=int, default=0,
                    help="NEAR: max extra gaps between ordered terms (0 == PHRASE)")
     s.add_argument("--max-edits", type=int, default=1,
@@ -112,7 +114,7 @@ def main(argv=None):
 
         qrow = {"query_id": 1, "terms": args.terms.split(","), "mode": args.mode,
                 "k": args.k, "min_match": args.min_match, "slop": args.slop,
-                "max_edits": args.max_edits}
+                "ordered": not args.unordered, "max_edits": args.max_edits}
         if args.after_score is not None:
             qrow["after_score"] = args.after_score
             qrow["after_doc"] = args.after_doc or 0
@@ -176,7 +178,7 @@ def main(argv=None):
         index = load_index(spark, args.index)
         qrow = {"query_id": 1, "terms": args.terms.split(","), "mode": args.mode,
                 "k": args.k, "min_match": args.min_match, "slop": args.slop,
-                "max_edits": args.max_edits}
+                "ordered": not args.unordered, "max_edits": args.max_edits}
         if args.after_score is not None:
             qrow["after_score"] = args.after_score
             qrow["after_doc"] = args.after_doc or 0

@@ -216,6 +216,7 @@ def _duck_bm25(
     prefix: bool = False,
     boosts: dict | None = None,
     near_slop: int | None = None,
+    near_unordered: bool = False,
     page_offset: int = 0,
     fuzzy_edits: int | None = None,
 ) -> str:
@@ -252,6 +253,19 @@ def _duck_bm25(
 )"""
     if near_slop is not None:
         t1, t2 = list(dict.fromkeys(terms))[:2]
+        if near_unordered:
+            # order-tolerant: any t1 position with a t2 position within
+            # |i-j| <= 1+slop (n=2 → window = n-1+slop)
+            w = 1 + int(near_slop)
+            inner = (
+                f"ts[i] = '{t1}' AND len(list_filter(range(greatest(i - {w}, 1), i + {w} + 1),"
+                f" j -> ts[j] = '{t2}')) > 0"
+            )
+        else:
+            inner = (
+                f"ts[i] = '{t1}' AND len(list_filter(range(i + 1, i + 2 + {int(near_slop)}),"
+                f" j -> ts[j] = '{t2}')) > 0"
+            )
         phrase_filter = f"""
 , phrase_docs AS (
   SELECT doc_id FROM (
@@ -259,8 +273,7 @@ def _duck_bm25(
            t -> t <> '') AS ts
     FROM documents WHERE lang = 'en')
   WHERE len(list_filter(range(1, len(ts) + 1),
-        i -> ts[i] = '{t1}' AND len(list_filter(range(i + 1, i + 2 + {int(near_slop)}),
-              j -> ts[j] = '{t2}')) > 0)) > 0
+        i -> {inner})) > 0
 )"""
     scored_src = (
         "scored JOIN phrase_docs USING(doc_id)"
@@ -421,6 +434,15 @@ def q_bm25_topk_near(spark, sf_dir):
     """NEAR/3 ordered proximity: 'join' followed by 'key' within span 4 —
     the positional query family beyond exact PHRASE (slop=0 == PHRASE)."""
     return _bm25_engine_results(spark, sf_dir, BM25_PHRASE, "NEAR", 20, slop=3)
+
+
+def q_bm25_topk_near_unordered(spark, sf_dir):
+    """NEAR/3 unordered proximity (Lucene SpanNear ordered=false): 'join'
+    and 'key' in EITHER order within a window of 4 — a strict superset of
+    the ordered match set, scored identically."""
+    return _bm25_engine_results(
+        spark, sf_dir, BM25_PHRASE, "NEAR", 20, slop=3, ordered=False
+    )
 
 
 def q_bm25_facet_source(spark, sf_dir):
@@ -900,6 +922,7 @@ QUERIES = {
     "bm25_topk_prefix": q_bm25_topk_prefix,
     "bm25_topk_boost": q_bm25_topk_boost,
     "bm25_topk_near": q_bm25_topk_near,
+    "bm25_topk_near_unordered": q_bm25_topk_near_unordered,
     "bm25_topk_page2": q_bm25_topk_page2,
     "bm25_facet_source": q_bm25_facet_source,
     "bm25_topk_fuzzy": q_bm25_topk_fuzzy,
@@ -976,6 +999,9 @@ ORACLE_SQL = {
         BM25_QUERY_TERMS, "OR", 20, boosts={"spark": 2.0, "window": 0.5}
     ),
     "bm25_topk_near": _duck_bm25(BM25_PHRASE, "OR", 20, near_slop=3),
+    "bm25_topk_near_unordered": _duck_bm25(
+        BM25_PHRASE, "OR", 20, near_slop=3, near_unordered=True
+    ),
     "bm25_topk_page2": _duck_bm25(BM25_QUERY_TERMS, "OR", 20, page_offset=20),
     "bm25_topk_fuzzy": _duck_bm25(["quary", "windoq"], "OR", 20, fuzzy_edits=1),
     # facet over the FULL OR match set == docs containing any query term

@@ -208,7 +208,7 @@ def _sanitize_optional_columns(qpd: pd.DataFrame) -> pd.DataFrame:
     them so downstream len()/iteration/createDataFrame inference never sees
     a float where a list or int belongs. after_score/after_doc keep NaN
     (= no cursor)."""
-    touched = set(qpd.columns) & {"neg_terms", "min_match", "slop"}
+    touched = set(qpd.columns) & {"neg_terms", "min_match", "slop", "ordered"}
     if not touched:
         return qpd
     qpd = qpd.copy()
@@ -222,6 +222,11 @@ def _sanitize_optional_columns(qpd: pd.DataFrame) -> pd.DataFrame:
             qpd[c] = (
                 pd.to_numeric(qpd[c], errors="coerce").fillna(0).astype("int64")
             )
+    if "ordered" in touched:
+        qpd["ordered"] = [
+            bool(x) if x is not None and not pd.isna(x) else True
+            for x in qpd["ordered"]
+        ]
     return qpd
 
 
@@ -310,8 +315,13 @@ def _shard_kernel(stats: dict, kernel: str, deleted_bc=None):
                 if "slop" in pdf.columns and pd.notna(pdf["slop"].iloc[0])
                 else 0
             )
+            ordered = (
+                bool(pdf["ordered"].iloc[0])
+                if "ordered" in pdf.columns and pd.notna(pdf["ordered"].iloc[0])
+                else True
+            )
             docs, scores = kernels.score_near(
-                plists, k, slop, deleted=deleted, after=after
+                plists, k, slop, deleted=deleted, after=after, ordered=ordered
             )
         elif (
             mode == "AND"
@@ -406,6 +416,7 @@ def search(
             need_mm = any(r["has_mm"] for r in flag_rows)
             need_after = any(r["has_after"] for r in flag_rows)
             need_slop = "slop" in qcols and bool(spark_modes & {"NEAR"})
+            need_ordered = "ordered" in qcols and bool(spark_modes & {"NEAR"})
     if qpd is not None:
         qpd = qparse.rewrite_expansion_rows(
             qpd, "PREFIX", lambda ts, _e: expand_prefix_terms(index, ts)
@@ -430,6 +441,8 @@ def search(
         for c in ("min_match", "slop"):
             if c in to_df.columns and (to_df[c] == 0).all():
                 to_df = to_df.drop(columns=[c])
+        if "ordered" in to_df.columns and to_df["ordered"].all():
+            to_df = to_df.drop(columns=["ordered"])  # all-ordered = default
         for c in ("after_score", "after_doc"):
             if c in to_df.columns and to_df[c].isna().all():
                 to_df = to_df.drop(columns=[c])
@@ -437,6 +450,7 @@ def search(
         has_neg = "neg_terms" in to_df.columns
         need_mm = "min_match" in to_df.columns
         need_slop = "slop" in to_df.columns
+        need_ordered = "ordered" in to_df.columns
         need_after = "after_score" in to_df.columns
     if need_after and "after_doc" not in qdf.columns:
         qdf = qdf.withColumn("after_doc", F.lit(None).cast("long"))
@@ -472,6 +486,8 @@ def search(
         opt_cols.append("min_match")
     if need_slop:
         opt_cols.append("slop")
+    if need_ordered:
+        opt_cols.append("ordered")
     if need_after:
         opt_cols += ["after_score", "after_doc"]
     if "boost_map" in qdf.columns:

@@ -191,23 +191,25 @@ def score_phrase(
     if not plists_by_qpos:
         return np.zeros(0, dtype=np.int64), np.zeros(0)
     decoded = [tp.decode_all() for tp in plists_by_qpos]
+    match_arr = phrase_matches(plists_by_qpos, decoded, deleted=deleted)
+    if match_arr.size == 0:
+        return np.zeros(0, dtype=np.int64), np.zeros(0)
+    return _bm25_over_matches(plists_by_qpos, decoded, match_arr, k, after=after)
+
+
+_SHIFT_BITS = np.int64(32)
+_SHIFT = np.int64(1) << _SHIFT_BITS
+
+
+def _slot_key_arrays(decoded, plists_by_qpos, cand, align: bool):
+    """Per slot, the flat sorted key array
+        key = candidate_index * 2^32 + (position [- slot i when align])
+    (positions are doc-local token ordinals ≪ 2^32; cand indices ≪ 2^31).
+    Shared by PHRASE (align=True: slot i maps to its phrase start) and NEAR
+    (align=False: raw positions). No per-candidate Python loop."""
     positions = [
         tp.decode_positions(decoded[i][1]) for i, tp in enumerate(plists_by_qpos)
     ]
-    cand = gallop_intersect([d[0] for d in decoded])
-    # mask tombstones BEFORE the (expensive) position alignment — deleted
-    # docs shouldn't pay for slot checks they can never survive
-    cand = cand[drop_deleted(cand, deleted)]
-    if cand.size == 0:
-        return np.zeros(0, dtype=np.int64), np.zeros(0)
-
-    # Vectorized slot alignment: per slot i build the flat sorted key array
-    #   key = candidate_index * 2^32 + (position - i)
-    # (positions are doc-local token ordinals ≪ 2^32; cand indices ≪ 2^31).
-    # A phrase start survives iff its key appears in EVERY slot's array —
-    # the same sorted-array intersection as the doc-level gallop. No
-    # per-candidate Python loop.
-    SHIFT = np.int64(1) << np.int64(32)
     key_arrays = []
     for i, ((docs_i, _, _), (pos_flat, off)) in enumerate(zip(decoded, positions)):
         j = np.searchsorted(docs_i, cand)
@@ -218,15 +220,55 @@ def score_phrase(
         gather = np.arange(total, dtype=np.int64) + np.repeat(
             starts - np.concatenate(([np.int64(0)], cum[:-1])), lens
         )
-        p = pos_flat[gather] - np.int64(i)  # align slot i to the phrase start
+        p = pos_flat[gather].astype(np.int64)
         ci = np.repeat(np.arange(cand.size, dtype=np.int64), lens)
-        ok = p >= 0
-        key_arrays.append(ci[ok] * SHIFT + p[ok])  # sorted by construction
+        if align:
+            p = p - np.int64(i)
+            ok = p >= 0
+            ci, p = ci[ok], p[ok]
+        key_arrays.append(ci * _SHIFT + p)  # sorted by construction
+    return key_arrays
+
+
+def phrase_matches(
+    plists_by_qpos: list[TermPostings],
+    decoded,
+    deleted: np.ndarray | None = None,
+) -> np.ndarray:
+    """Docs of this shard containing the exact phrase — the FULL match list
+    (no top-k), so boolean-tree phrase leaves can compose it."""
+    cand = gallop_intersect([d[0] for d in decoded])
+    # mask tombstones BEFORE the (expensive) position alignment — deleted
+    # docs shouldn't pay for slot checks they can never survive
+    cand = cand[drop_deleted(cand, deleted)]
+    if cand.size == 0:
+        return cand
+    # A phrase start survives iff its aligned key appears in EVERY slot's
+    # array — the same sorted-array intersection as the doc-level gallop.
+    key_arrays = _slot_key_arrays(decoded, plists_by_qpos, cand, align=True)
     surviving = gallop_intersect(key_arrays)
     if surviving.size == 0:
-        return np.zeros(0, dtype=np.int64), np.zeros(0)
-    match_arr = cand[np.unique(surviving >> np.int64(32))]
-    return _bm25_over_matches(plists_by_qpos, decoded, match_arr, k, after=after)
+        return surviving
+    return cand[np.unique(surviving >> _SHIFT_BITS)]
+
+
+def bm25_scores_at(
+    plists: list[TermPostings],
+    decoded,
+    match_arr: np.ndarray,
+) -> np.ndarray:
+    """BM25 over the query's distinct terms (a slot's term may repeat),
+    restricted to the proximity-matching docs; accumulated in deterministic
+    term_id order. Standard semantics: proximity is a FILTER, scoring stays
+    plain BM25 (shared by PHRASE and NEAR, and by boolean-tree proximity
+    leaves which need the full match list, not a top-k)."""
+    scores = np.zeros(match_arr.size, dtype=np.float64)
+    by_tid = {int(tp.row["term_id"]): (tp, dec) for tp, dec in zip(plists, decoded)}
+    for tid in sorted(by_tid):
+        tp, (docs_i, tfs_i, dls_i) = by_tid[tid]
+        j = np.searchsorted(docs_i, match_arr)
+        scores += tp.idf * bm25.tf_score(tfs_i[j], dls_i[j], tp.avgdl, tp.k1, tp.b)
+    return scores
 
 
 def _bm25_over_matches(
@@ -236,16 +278,7 @@ def _bm25_over_matches(
     k: int,
     after: tuple[float, int] | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """BM25 over the query's distinct terms (a slot's term may repeat),
-    restricted to the proximity-matching docs; accumulated in deterministic
-    term_id order. Standard semantics: proximity is a FILTER, scoring stays
-    plain BM25 (shared by PHRASE and NEAR)."""
-    scores = np.zeros(match_arr.size, dtype=np.float64)
-    by_tid = {int(tp.row["term_id"]): (tp, dec) for tp, dec in zip(plists, decoded)}
-    for tid in sorted(by_tid):
-        tp, (docs_i, tfs_i, dls_i) = by_tid[tid]
-        j = np.searchsorted(docs_i, match_arr)
-        scores += tp.idf * bm25.tf_score(tfs_i[j], dls_i[j], tp.avgdl, tp.k1, tp.b)
+    scores = bm25_scores_at(plists, decoded, match_arr)
     match_arr, scores = apply_after(match_arr, scores, after)
     return topk_select(match_arr, scores, k)
 
@@ -256,24 +289,23 @@ def score_near(
     slop: int,
     deleted: np.ndarray | None = None,
     after: tuple[float, int] | None = None,
+    ordered: bool = True,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Ordered proximity query (NEAR/slop) over a positional index.
+    """Proximity query (NEAR/slop) over a positional index.
 
-    A doc matches iff its tokens contain the query terms IN ORDER at
-    strictly increasing positions p1 < … < pn with span
+    ordered=True: a doc matches iff its tokens contain the query terms IN
+    ORDER at strictly increasing positions p1 < … < pn with span
     pn - p1 <= (n-1) + slop. slop=0 degenerates to PHRASE exactly (an
     n-chain of strictly increasing ints spanning n-1 is consecutive —
-    pinned by test). Matching docs score plain BM25 over the distinct
-    terms, like PHRASE.
+    pinned by test).
 
-    Vectorized greedy chain, no per-candidate Python: level 1 enumerates
-    every occurrence of slot 1 across all candidate docs as sorted
-    (doc_idx << 32 | pos) keys; each later level advances every live chain
-    to the smallest same-doc position of its slot strictly greater than
-    the chain's current position — ONE searchsorted per level. Greedy is
-    exact: for a fixed start, taking the smallest feasible next position
-    at every level minimizes the final span, so a doc matches iff some
-    start's greedy span meets the bound.
+    ordered=False (Lucene SpanNear ordered=false / classic slop): terms may
+    appear in ANY order — a doc matches iff some choice p_i from each
+    slot's positions has max(p) - min(p) <= (n-1) + slop. ("new york"~2
+    order-tolerant.) For repeated terms the slots share occurrences
+    (degenerate but documented; use ordered for strict repeats).
+
+    Matching docs score plain BM25 over the distinct terms, like PHRASE.
     """
     n = len(plists_by_qpos)
     if n == 0:
@@ -281,45 +313,79 @@ def score_near(
     if n == 1:
         return score_exhaustive(plists_by_qpos, k, "OR", deleted=deleted, after=after)
     decoded = [tp.decode_all() for tp in plists_by_qpos]
-    positions = [
-        tp.decode_positions(decoded[i][1]) for i, tp in enumerate(plists_by_qpos)
-    ]
+    match_arr = near_matches(
+        plists_by_qpos, decoded, slop, deleted=deleted, ordered=ordered
+    )
+    if match_arr.size == 0:
+        return np.zeros(0, dtype=np.int64), np.zeros(0)
+    return _bm25_over_matches(plists_by_qpos, decoded, match_arr, k, after=after)
+
+
+def near_matches(
+    plists_by_qpos: list[TermPostings],
+    decoded,
+    slop: int,
+    deleted: np.ndarray | None = None,
+    ordered: bool = True,
+) -> np.ndarray:
+    """FULL NEAR match list for one shard (no top-k) — composable by
+    boolean-tree proximity leaves.
+
+    Ordered: vectorized greedy chain, no per-candidate Python: level 1
+    enumerates every occurrence of slot 1 across all candidate docs as
+    sorted (doc_idx << 32 | pos) keys; each later level advances every live
+    chain to the smallest same-doc position of its slot strictly greater
+    than the chain's current position — ONE searchsorted per level. Greedy
+    is exact: for a fixed start, taking the smallest feasible next position
+    at every level minimizes the final span, so a doc matches iff some
+    start's greedy span meets the bound.
+
+    Unordered: minimal-window cover over the same flat key arrays. A doc
+    matches iff some window [p, p+W] (W = n-1+slop) contains a position
+    from every slot; it suffices to test windows STARTING at actual
+    occurrences (the window anchored at the selection's min position
+    witnesses any valid selection). For each of the m occurrence keys, one
+    searchsorted per slot asks "does slot s have a position in [p, p+W] in
+    the same doc?" — n searchsorteds over m keys total, no per-doc loop.
+    """
+    n = len(plists_by_qpos)
     cand = gallop_intersect([d[0] for d in decoded])
     cand = cand[drop_deleted(cand, deleted)]
     if cand.size == 0:
-        return np.zeros(0, dtype=np.int64), np.zeros(0)
+        return cand
+    keys = _slot_key_arrays(decoded, plists_by_qpos, cand, align=False)
+    W = np.int64(n - 1 + slop)
 
-    SHIFT_BITS = np.int64(32)
-    SHIFT = np.int64(1) << SHIFT_BITS
-    keys = []
-    for (docs_i, _, _), (pos_flat, off) in zip(decoded, positions):
-        j = np.searchsorted(docs_i, cand)
-        starts = off[j]
-        lens = (off[j + 1] - starts).astype(np.int64)
-        total = int(lens.sum())
-        cum = np.cumsum(lens)
-        gather = np.arange(total, dtype=np.int64) + np.repeat(
-            starts - np.concatenate(([np.int64(0)], cum[:-1])), lens
-        )
-        ci = np.repeat(np.arange(cand.size, dtype=np.int64), lens)
-        keys.append(ci * SHIFT + pos_flat[gather].astype(np.int64))
+    if not ordered:
+        anchors = np.unique(np.concatenate(keys))
+        ok = np.ones(anchors.size, dtype=bool)
+        for s in range(n):
+            idx = np.searchsorted(keys[s], anchors, side="left")
+            has = idx < keys[s].size
+            nxt = keys[s][np.minimum(idx, keys[s].size - 1)]
+            # same candidate doc and within the window
+            has &= (nxt >> _SHIFT_BITS) == (anchors >> _SHIFT_BITS)
+            has &= (nxt - anchors) <= W
+            ok &= has
+            if not ok.any():
+                return np.zeros(0, dtype=np.int64)
+        return cand[np.unique(anchors[ok] >> _SHIFT_BITS)]
 
     cur = keys[0]
-    start_pos = cur & (SHIFT - 1)
+    start_pos = cur & (_SHIFT - 1)
     for i in range(1, n):
         idx = np.searchsorted(keys[i], cur, side="right")
         ok = idx < keys[i].size
         nxt = keys[i][np.minimum(idx, keys[i].size - 1)]
-        ok &= (nxt >> SHIFT_BITS) == (cur >> SHIFT_BITS)  # same candidate doc
+        ok &= (nxt >> _SHIFT_BITS) == (cur >> _SHIFT_BITS)  # same candidate doc
         cur, start_pos = nxt[ok], start_pos[ok]
         if cur.size == 0:
-            return np.zeros(0, dtype=np.int64), np.zeros(0)
-    span = (cur & (SHIFT - 1)) - start_pos
-    hit = span <= np.int64(n - 1 + slop)
+            return np.zeros(0, dtype=np.int64)
+    span = (cur & (_SHIFT - 1)) - start_pos
+    hit = span <= W
     if not hit.any():
-        return np.zeros(0, dtype=np.int64), np.zeros(0)
-    match_arr = cand[np.unique(cur[hit] >> SHIFT_BITS)]
-    return _bm25_over_matches(plists_by_qpos, decoded, match_arr, k, after=after)
+        return np.zeros(0, dtype=np.int64)
+    return cand[np.unique(cur[hit] >> _SHIFT_BITS)]
 
 
 def _probe_scores(

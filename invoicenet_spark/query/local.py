@@ -466,7 +466,11 @@ def _run_one_query(
         elif mode == "NEAR":
             slop_raw = q.get("slop")
             slop = int(slop_raw) if slop_raw is not None and not pd.isna(slop_raw) else 0
-            d, s = kernels.score_near(plists, k, slop, deleted=deleted, after=after)
+            o_raw = q.get("ordered")
+            ordered = bool(o_raw) if o_raw is not None and not pd.isna(o_raw) else True
+            d, s = kernels.score_near(
+                plists, k, slop, deleted=deleted, after=after, ordered=ordered
+            )
         elif mode == "AND":
             plists.sort(key=lambda tp: int(tp.row["term_id"]))
             d, s = kernels.score_exhaustive(plists, k, "AND", deleted=deleted, after=after)

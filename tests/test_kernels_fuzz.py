@@ -286,3 +286,77 @@ def test_near_fuzz_vs_token_scan():
             f"seed={seed} terms={q_terms} slop={slop}: "
             f"got {sorted(got_docs.tolist())} expect {expect}"
         )
+
+
+def test_near_unordered_fuzz_vs_selection_scan():
+    """Unordered NEAR (ordered=False) vs a brute force that enumerates every
+    per-slot position selection and checks max-min <= (n-1)+slop — the
+    definition, with no windowing cleverness on the reference side."""
+    from itertools import product
+
+    def brute_unordered(toks, terms, slop):
+        n = len(terms)
+        pos_lists = []
+        for t in terms:
+            p = [i for i, tok in enumerate(toks) if tok == t]
+            if not p:
+                return False
+            pos_lists.append(p)
+        return any(
+            max(sel) - min(sel) <= n - 1 + slop for sel in product(*pos_lists)
+        )
+
+    checked = 0
+    for seed in range(150):
+        rng = np.random.default_rng(8100 + seed)
+        n_docs = int(rng.integers(4, 25))
+        vocab = [f"t{i}" for i in range(int(rng.integers(3, 8)))]
+        docs_tokens = {
+            d: [vocab[i] for i in rng.integers(0, len(vocab), size=rng.integers(3, 30))]
+            for d in range(n_docs)
+        }
+        q_len = int(rng.integers(2, 4))
+        # distinct terms: repeated slots in unordered NEAR share occurrences
+        # (documented degenerate case) — the contract is over distinct terms
+        q_terms = list(
+            dict.fromkeys(vocab[i] for i in rng.integers(0, len(vocab), size=q_len))
+        )
+        slop = int(rng.integers(0, 6))
+
+        dls = np.array([len(docs_tokens[d]) for d in range(n_docs)], dtype=np.int64)
+        avgdl = float(dls.mean())
+        plists = []
+        feasible = True
+        for term in q_terms:
+            docs, poss = [], []
+            for d in range(n_docs):
+                p = [i for i, t in enumerate(docs_tokens[d]) if t == term]
+                if p:
+                    docs.append(d)
+                    poss.append(np.array(p, dtype=np.int64))
+            if not docs:
+                feasible = False
+                break
+            darr = np.array(docs, dtype=np.int64)
+            row, _ = _encode_positional(darr, poss, dls[darr])
+            row["term_id"] = vocab.index(term)
+            df = darr.size
+            idf = float(np.log((n_docs - df + 0.5) / (df + 0.5) + 1.0))
+            plists.append(kernels.TermPostings(row, idf, avgdl, 1.2, 0.75))
+        if not feasible or len(plists) < 2:
+            continue
+        checked += 1
+        got_docs, _ = kernels.score_near(plists, k=50, slop=slop, ordered=False)
+        expect = sorted(
+            d
+            for d, toks in docs_tokens.items()
+            if brute_unordered(toks, q_terms, slop)
+        )
+        assert sorted(got_docs.tolist()) == expect, (
+            f"seed={seed} terms={q_terms} slop={slop}: "
+            f"got {sorted(got_docs.tolist())} expect {expect}"
+        )
+        # order-tolerance is a superset of ordered matching
+        got_ordered, _ = kernels.score_near(plists, k=50, slop=slop, ordered=True)
+        assert set(got_ordered.tolist()) <= set(got_docs.tolist())
+    assert checked >= 60

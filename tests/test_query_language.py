@@ -245,6 +245,45 @@ def test_near_ground_truth(spark, tmp_path):
     assert set(got2["url"]) == {"v_tight", "v_spread"}
 
 
+def test_near_unordered_ground_truth(spark, tmp_path):
+    """Unordered NEAR (ordered=False): terms match in either order within
+    the window; ordered results stay bit-unchanged; both query paths."""
+    from invoicenet_spark.index.build import build_index
+
+    rows = [
+        ("w_adj", "aa bb filler filler"),        # fwd span 1
+        ("w_rev", "bb aa filler filler"),        # rev span 1: unordered only
+        ("w_rev_gap2", "bb xx yy aa filler"),    # rev span 3: slop >= 2
+        ("w_far", "aa x1 x2 x3 x4 x5 x6 bb"),    # fwd span 7: slop >= 6
+        ("w_only_a", "aa filler filler"),        # never
+    ]
+    pages = spark.createDataFrame(
+        [(u, None, None, t, "en") for u, t in rows],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    root = str(tmp_path / "nearu_idx")
+    build_index(spark, pages, root, CFG, use_stored_text=True)
+    idx = load_index(spark, root)
+
+    expect_unordered = {
+        0: {"w_adj", "w_rev"},
+        2: {"w_adj", "w_rev", "w_rev_gap2"},
+        6: {"w_adj", "w_rev", "w_rev_gap2", "w_far"},
+    }
+    for slop, exp in expect_unordered.items():
+        q = _q(["aa", "bb"], mode="NEAR", slop=slop, ordered=False)
+        got = _run(spark, idx, q)
+        assert set(got["url"]) == exp, f"unordered slop={slop}"
+        loc = search_local(root, q)
+        assert set(loc["url"]) == exp, f"serving unordered slop={slop}"
+        # unordered ⊇ ordered, and ordered results are unchanged by the flag
+        qo = _q(["aa", "bb"], mode="NEAR", slop=slop)
+        ordered_set = set(_run(spark, idx, qo)["url"])
+        assert ordered_set <= exp
+        qo_explicit = _q(["aa", "bb"], mode="NEAR", slop=slop, ordered=True)
+        assert set(_run(spark, idx, qo_explicit)["url"]) == ordered_set
+
+
 def test_near_zero_slop_equals_phrase(spark, ql):
     """NEAR/0 degenerates to PHRASE exactly (pigeonhole on the span bound),
     scores included — on both paths."""
