@@ -44,8 +44,12 @@ def main(argv=None):
 
     s = sub.add_parser("search", help="query an index")
     s.add_argument("--index", required=True)
-    s.add_argument("--terms", required=True, help="comma-separated")
-    s.add_argument("--mode", default="OR", choices=["OR", "AND", "PHRASE", "PREFIX", "NEAR", "FUZZY"])
+    s.add_argument("--terms", default=None, help="comma-separated")
+    s.add_argument("--query", default=None,
+                   help="boolean query string, e.g. '(a AND b) OR (c NOT d)', "
+                        "'\"x y\"~2 AND pre*' — implies --mode BOOL")
+    s.add_argument("--mode", default="OR",
+                   choices=["OR", "AND", "PHRASE", "PREFIX", "NEAR", "FUZZY", "BOOL"])
     s.add_argument("--unordered", action="store_true",
                    help="NEAR only: order-tolerant proximity (SpanNear ordered=false)")
     s.add_argument("--slop", type=int, default=0,
@@ -112,7 +116,14 @@ def main(argv=None):
 
         from invoicenet_spark.query.local import search_local
 
-        qrow = {"query_id": 1, "terms": args.terms.split(","), "mode": args.mode,
+        if args.query is not None:
+            args.mode = "BOOL"
+            terms = [args.query]
+        elif args.terms is None:
+            raise SystemExit("search needs --terms or --query")
+        else:
+            terms = args.terms.split(",")
+        qrow = {"query_id": 1, "terms": terms, "mode": args.mode,
                 "k": args.k, "min_match": args.min_match, "slop": args.slop,
                 "ordered": not args.unordered, "max_edits": args.max_edits}
         if args.after_score is not None:
@@ -176,7 +187,14 @@ def main(argv=None):
         from invoicenet_spark.query.exec import load_index, search
 
         index = load_index(spark, args.index)
-        qrow = {"query_id": 1, "terms": args.terms.split(","), "mode": args.mode,
+        if args.query is not None:
+            args.mode = "BOOL"
+            terms = [args.query]
+        elif args.terms is None:
+            raise SystemExit("search needs --terms or --query")
+        else:
+            terms = args.terms.split(",")
+        qrow = {"query_id": 1, "terms": terms, "mode": args.mode,
                 "k": args.k, "min_match": args.min_match, "slop": args.slop,
                 "ordered": not args.unordered, "max_edits": args.max_edits}
         if args.after_score is not None:

@@ -436,6 +436,64 @@ def q_bm25_topk_near(spark, sf_dir):
     return _bm25_engine_results(spark, sf_dir, BM25_PHRASE, "NEAR", 20, slop=3)
 
 
+BOOL_QUERY = "(spark AND query) OR (window NOT join)"
+
+
+def q_bm25_topk_bool(spark, sf_dir):
+    """Boolean query tree (mode='BOOL', query/booltree.py): nested
+    AND/OR/NOT composition parsed from the Lucene-ish string grammar and
+    scored per BooleanQuery semantics — score = sum of matching clause
+    scores; must_not prunes without scoring."""
+    return _bm25_engine_results(spark, sf_dir, [BOOL_QUERY], "BOOL", 20)
+
+
+def _duck_bm25_bool(k: int) -> str:
+    """DuckDB twin of BOOL_QUERY: per-term BM25 partials CTE, one CTE per
+    boolean clause (join = AND, NOT IN = must_not), FULL OUTER JOIN = OR
+    summing matched clause scores."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+         t -> t <> '')) AS term
+  FROM documents WHERE lang = 'en'
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+qt(term) AS (VALUES ('spark'), ('query'), ('window'), ('join')),
+tf AS (
+  SELECT term, doc_id, count(*) AS tf FROM toks
+  WHERE term IN (SELECT term FROM qt) GROUP BY term, doc_id
+),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+ts AS (
+  SELECT tf.doc_id, tf.term,
+         ln((stats.n - dfq.df + 0.5)/(dfq.df + 0.5) + 1.0)
+         * tf.tf * 2.2 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS s
+  FROM tf JOIN dfq USING(term) JOIN dl USING(doc_id) CROSS JOIN stats
+),
+c1 AS (
+  SELECT a.doc_id, a.s + b.s AS s
+  FROM (SELECT doc_id, s FROM ts WHERE term = 'spark') a
+  JOIN (SELECT doc_id, s FROM ts WHERE term = 'query') b USING(doc_id)
+),
+c2 AS (
+  SELECT doc_id, s FROM ts WHERE term = 'window'
+  AND doc_id NOT IN (SELECT doc_id FROM ts WHERE term = 'join')
+),
+matched AS (
+  SELECT COALESCE(c1.doc_id, c2.doc_id) AS doc_id,
+         COALESCE(c1.s, 0) + COALESCE(c2.s, 0) AS score
+  FROM c1 FULL OUTER JOIN c2 ON c1.doc_id = c2.doc_id
+),
+r AS (SELECT doc_id, round(score, 6) AS score_r6 FROM matched)
+SELECT CAST(row_number() OVER (ORDER BY score_r6 DESC, doc_id) AS BIGINT) AS rank,
+       doc_id, round(score_r6, 4) AS score_r4
+FROM r
+QUALIFY row_number() OVER (ORDER BY score_r6 DESC, doc_id) <= {k}
+ORDER BY rank
+"""
+
+
 def q_bm25_topk_near_unordered(spark, sf_dir):
     """NEAR/3 unordered proximity (Lucene SpanNear ordered=false): 'join'
     and 'key' in EITHER order within a window of 4 — a strict superset of
@@ -923,6 +981,7 @@ QUERIES = {
     "bm25_topk_boost": q_bm25_topk_boost,
     "bm25_topk_near": q_bm25_topk_near,
     "bm25_topk_near_unordered": q_bm25_topk_near_unordered,
+    "bm25_topk_bool": q_bm25_topk_bool,
     "bm25_topk_page2": q_bm25_topk_page2,
     "bm25_facet_source": q_bm25_facet_source,
     "bm25_topk_fuzzy": q_bm25_topk_fuzzy,
@@ -1002,6 +1061,7 @@ ORACLE_SQL = {
     "bm25_topk_near_unordered": _duck_bm25(
         BM25_PHRASE, "OR", 20, near_slop=3, near_unordered=True
     ),
+    "bm25_topk_bool": _duck_bm25_bool(20),
     "bm25_topk_page2": _duck_bm25(BM25_QUERY_TERMS, "OR", 20, page_offset=20),
     "bm25_topk_fuzzy": _duck_bm25(["quary", "windoq"], "OR", 20, fuzzy_edits=1),
     # facet over the FULL OR match set == docs containing any query term

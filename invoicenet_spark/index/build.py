@@ -136,7 +136,9 @@ def read_postings(spark: SparkSession, paths: IndexPaths) -> DataFrame:
     if files is None:
         return spark.read.parquet(paths.postings)
     if not files:
-        return spark.createDataFrame([], POSTINGS_SCHEMA + ", shard long")
+        # POSTINGS_SCHEMA already carries `shard` (the encode output schema);
+        # appending it again gave an ambiguous duplicate column downstream
+        return spark.createDataFrame([], POSTINGS_SCHEMA)
     return spark.read.option("basePath", paths.postings).parquet(*files)
 
 

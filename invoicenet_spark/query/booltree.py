@@ -1,0 +1,400 @@
+"""Boolean query trees: nested AND / OR / NOT composition with term,
+phrase/NEAR, prefix and fuzzy leaves — the Lucene BooleanQuery analog
+(the reference's per-field dispatch, invoicenet/acp/acp.py:41-49, is the
+composition analog on the extraction side).
+
+Pure module: no Spark imports. Shared by the Spark batch path (exec.py,
+mode="BOOL") and the pyarrow serving path (local.py), exactly like
+qparse — one grammar and ONE evaluator, so both paths are float-identical
+by construction.
+
+Node shapes (plain dicts — JSON-serializable so the Spark path can ship a
+resolved tree to executors as one string column):
+
+  {"kind": "term",   "term": str, "boost": float=1.0, "tid": int}
+  {"kind": "phrase", "terms": [str], "slop": int=0, "ordered": bool=True,
+                     "boost": float=1.0, "tids": [int]}
+  {"kind": "prefix", "prefix": str}            (expanded driver-side)
+  {"kind": "fuzzy",  "term": str, "max_edits": int=1}   (expanded)
+  {"kind": "and",    "clauses": [node, ...]}
+  {"kind": "or",     "clauses": [node, ...], "min_match": int=1}
+  {"kind": "not",    "positive": node, "negative": node}
+
+Matching / scoring semantics (Lucene BooleanQuery):
+  - and: doc matches iff every clause matches; score = sum of clause scores.
+  - or: doc matches iff >= min_match clauses match (clause count, the
+    minimumNumberShouldMatch analog); score = sum of MATCHING clause scores.
+  - not: doc matches iff positive matches and negative does not; score =
+    positive's score (must_not never contributes scoring).
+  - term leaf: BM25 partial × boost.
+  - phrase leaf: proximity is a filter; matching docs score plain BM25 over
+    the phrase's distinct terms × boost (kernels.bm25_scores_at).
+A leaf term absent from the dictionary (tid == -1) matches nothing — AND
+branches containing it go empty, OR branches skip it.
+
+String grammar (parse()):
+  expr    := and_group ( OR and_group )*
+  group   := item ( AND item )*          -- NOT item negates within the group
+  item    := [NOT] primary
+  primary := '(' expr ')' | '"w1 w2"' [~slop] | word[*] | word[~edits]
+             | word[^boost]
+  `a NOT b` == `a AND NOT b`. A group that is ONLY negative clauses is
+  rejected (nothing to score — same contract as Lucene's pure-negative
+  BooleanQuery). Keywords are upper-case AND/OR/NOT; everything else is a
+  lower-cased term. `"a b"~3` is ordered NEAR; `"a b"~~3` is unordered.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+
+import numpy as np
+
+_TOKEN_RE = re.compile(
+    r"""\s*(?:
+        (?P<lpar>\() |
+        (?P<rpar>\)) |
+        (?P<phrase>"[^"]*"(?:~~?\d+)?(?:\^\d+(?:\.\d+)?)?) |
+        (?P<word>[^\s()"]+)
+    )""",
+    re.VERBOSE,
+)
+
+
+class BoolParseError(ValueError):
+    pass
+
+
+def _tokenize(s: str) -> list[str]:
+    out, pos = [], 0
+    while pos < len(s):
+        m = _TOKEN_RE.match(s, pos)
+        if m is None:
+            rest = s[pos:].strip()
+            if not rest:
+                break
+            raise BoolParseError(f"cannot tokenize query at: {rest[:40]!r}")
+        pos = m.end()
+        out.append(m.group(m.lastgroup))
+    return out
+
+
+def _leaf_from_word(w: str) -> dict:
+    boost = 1.0
+    base, caret, suffix = w.partition("^")
+    if caret:
+        try:
+            boost = float(suffix)
+        except ValueError as e:
+            raise BoolParseError(f"bad boost in {w!r}") from e
+    if base.endswith("*") and len(base) > 1:
+        if boost != 1.0:
+            raise BoolParseError(f"boost not supported on prefix leaf {w!r}")
+        return {"kind": "prefix", "prefix": base[:-1].lower()}
+    t, tilde, edits = base.partition("~")
+    if tilde:
+        if boost != 1.0:
+            raise BoolParseError(f"boost not supported on fuzzy leaf {w!r}")
+        return {"kind": "fuzzy", "term": t.lower(), "max_edits": int(edits or 1)}
+    return {"kind": "term", "term": base.lower(), "boost": boost}
+
+
+def _leaf_from_phrase(tok: str) -> dict:
+    m = re.fullmatch(r'"([^"]*)"(~(~)?(\d+))?(\^(\d+(?:\.\d+)?))?', tok)
+    if m is None:
+        raise BoolParseError(f"bad phrase token {tok!r}")
+    terms = [w.lower() for w in m.group(1).split()]
+    if not terms:
+        raise BoolParseError("empty phrase")
+    slop = int(m.group(4)) if m.group(4) else 0
+    ordered = m.group(3) is None  # "a b"~~3 = unordered NEAR
+    boost = float(m.group(6)) if m.group(6) else 1.0
+    return {
+        "kind": "phrase", "terms": terms, "slop": slop,
+        "ordered": ordered, "boost": boost,
+    }
+
+
+class _Parser:
+    def __init__(self, tokens: list[str]):
+        self.toks = tokens
+        self.i = 0
+
+    def peek(self):
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def next(self):
+        t = self.peek()
+        self.i += 1
+        return t
+
+    def expr(self) -> dict:
+        clauses = [self.group()]
+        while self.peek() == "OR":
+            self.next()
+            clauses.append(self.group())
+        return clauses[0] if len(clauses) == 1 else {"kind": "or", "clauses": clauses}
+
+    def group(self) -> dict:
+        pos, neg = [], []
+        first = True
+        while True:
+            negate = False
+            if self.peek() == "NOT":
+                self.next()
+                negate = True
+            elif not first:
+                if self.peek() == "AND":
+                    self.next()
+                    if self.peek() == "NOT":
+                        self.next()
+                        negate = True
+                else:
+                    break
+            node = self.primary()
+            (neg if negate else pos).append(node)
+            first = False
+            if self.peek() not in ("AND", "NOT"):
+                break
+        if not pos:
+            raise BoolParseError(
+                "pure-negative group: NOT needs a positive clause to score"
+            )
+        base = pos[0] if len(pos) == 1 else {"kind": "and", "clauses": pos}
+        if neg:
+            negative = neg[0] if len(neg) == 1 else {"kind": "or", "clauses": neg}
+            return {"kind": "not", "positive": base, "negative": negative}
+        return base
+
+    def primary(self) -> dict:
+        t = self.next()
+        if t is None:
+            raise BoolParseError("unexpected end of query")
+        if t == "(":
+            node = self.expr()
+            if self.next() != ")":
+                raise BoolParseError("missing closing parenthesis")
+            return node
+        if t in (")", "AND", "OR", "NOT"):
+            raise BoolParseError(f"unexpected token {t!r}")
+        if t.startswith('"'):
+            return _leaf_from_phrase(t)
+        return _leaf_from_word(t)
+
+
+def parse(s: str) -> dict:
+    """Parse the string grammar into a tree. Raises BoolParseError."""
+    p = _Parser(_tokenize(s))
+    node = p.expr()
+    if p.peek() is not None:
+        raise BoolParseError(f"trailing tokens at {p.peek()!r}")
+    return node
+
+
+# ------------------------------------------------------------- tree helpers --
+def _children(node: dict):
+    k = node["kind"]
+    if k in ("and", "or"):
+        return node["clauses"]
+    if k == "not":
+        return [node["positive"], node["negative"]]
+    return []
+
+
+def leaf_terms(node: dict) -> set[str]:
+    """All term strings the tree needs postings for (incl. negative sides
+    and phrase slots). prefix/fuzzy leaves must be expanded first."""
+    k = node["kind"]
+    if k == "term":
+        return {node["term"]}
+    if k == "phrase":
+        return set(node["terms"])
+    if k in ("prefix", "fuzzy"):
+        raise ValueError(f"unexpanded {k} leaf — call expand_leaves first")
+    out: set[str] = set()
+    for c in _children(node):
+        out |= leaf_terms(c)
+    return out
+
+
+def has_positional(node: dict) -> bool:
+    if node["kind"] == "phrase":
+        return True
+    return any(has_positional(c) for c in _children(node))
+
+
+def expand_leaves(node: dict, expand_prefix, expand_fuzzy) -> dict:
+    """Rewrite prefix/fuzzy leaves into OR-of-term-leaves using the caller's
+    dictionary expanders (exec.expand_prefix_terms / LocalIndex.expand_*;
+    the TooManyClauses cap lives in those). An expansion with no dictionary
+    match becomes a term leaf that matches nothing (tid -1 downstream)."""
+    k = node["kind"]
+    if k == "prefix":
+        terms = expand_prefix([node["prefix"]])
+        if not terms:
+            return {"kind": "term", "term": node["prefix"], "boost": 1.0}
+        leaves = [{"kind": "term", "term": t, "boost": 1.0} for t in terms]
+        return leaves[0] if len(leaves) == 1 else {"kind": "or", "clauses": leaves}
+    if k == "fuzzy":
+        terms = expand_fuzzy([node["term"]], int(node.get("max_edits", 1)))
+        if not terms:
+            return {"kind": "term", "term": node["term"], "boost": 1.0}
+        leaves = [{"kind": "term", "term": t, "boost": 1.0} for t in terms]
+        return leaves[0] if len(leaves) == 1 else {"kind": "or", "clauses": leaves}
+    if k in ("and", "or"):
+        return {**node, "clauses": [
+            expand_leaves(c, expand_prefix, expand_fuzzy) for c in node["clauses"]
+        ]}
+    if k == "not":
+        return {
+            **node,
+            "positive": expand_leaves(node["positive"], expand_prefix, expand_fuzzy),
+            "negative": expand_leaves(node["negative"], expand_prefix, expand_fuzzy),
+        }
+    return node
+
+
+def resolve_tids(node: dict, term_to_tid: dict[str, int]) -> dict:
+    """Annotate term/phrase leaves with dictionary term_ids (-1 = absent =
+    matches nothing). Returns a new tree; input is not mutated."""
+    k = node["kind"]
+    if k == "term":
+        return {**node, "tid": int(term_to_tid.get(node["term"], -1))}
+    if k == "phrase":
+        return {**node, "tids": [int(term_to_tid.get(t, -1)) for t in node["terms"]]}
+    if k in ("and", "or"):
+        return {**node, "clauses": [resolve_tids(c, term_to_tid) for c in node["clauses"]]}
+    if k == "not":
+        return {
+            **node,
+            "positive": resolve_tids(node["positive"], term_to_tid),
+            "negative": resolve_tids(node["negative"], term_to_tid),
+        }
+    raise ValueError(f"unexpanded {k} leaf — call expand_leaves first")
+
+
+def normalize_query(tree_or_string, expand_prefix, expand_fuzzy) -> dict:
+    """One driver-side entry for both paths: accept a tree dict, a JSON
+    string of one, or the string grammar; expand prefix/fuzzy leaves."""
+    t = tree_or_string
+    if isinstance(t, str):
+        ts = t.strip()
+        if ts.startswith("{"):
+            t = json.loads(ts)
+        else:
+            t = parse(ts)
+    return expand_leaves(t, expand_prefix, expand_fuzzy)
+
+
+# ---------------------------------------------------------------- evaluation --
+_EMPTY = (np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64))
+
+
+def evaluate_shard(tree: dict, by_tid: dict) -> tuple[np.ndarray, np.ndarray]:
+    """Evaluate a resolved tree against ONE shard's postings.
+
+    by_tid: {term_id: TermPostings} for every leaf tid present in the shard
+    (absent = term has no postings here). Returns the FULL (docs, scores)
+    match list sorted by doc — top-k, pagination cursors and tombstone
+    masking are applied by the caller at the root, exactly like the flat
+    kernels. Correct per shard because a doc lives in exactly one shard, so
+    every set operation is shard-local.
+
+    Scale shape: pure sorted-array algebra (searchsorted / unique / add.at),
+    no per-doc Python; work is O(sum of leaf posting lengths) per shard —
+    the boolean tree is evaluated exhaustively (block-max pruning does not
+    survive arbitrary composition; flat top-level OR queries keep the
+    pruned kernel via mode='OR').
+    """
+    from invoicenet_spark.query import kernels
+
+    decode_cache: dict[int, tuple] = {}
+    partial_cache: dict[int, tuple] = {}
+
+    def decoded(tid: int):
+        if tid not in decode_cache:
+            tp = by_tid.get(tid)
+            decode_cache[tid] = None if tp is None else tp.decode_all()
+        return decode_cache[tid]
+
+    def term_partial(tid: int):
+        """Base (docs, bm25_partial) for one term — computed once per tid,
+        leaf boosts scale a copy."""
+        if tid not in partial_cache:
+            dec = decoded(tid)
+            if dec is None:
+                partial_cache[tid] = _EMPTY
+            else:
+                from invoicenet_spark.index import bm25
+
+                tp = by_tid[tid]
+                docs, tfs, dls = dec
+                s = tp.idf * bm25.tf_score(tfs, dls, tp.avgdl, tp.k1, tp.b)
+                partial_cache[tid] = (docs, s)
+        return partial_cache[tid]
+
+    def ev(node: dict) -> tuple[np.ndarray, np.ndarray]:
+        k = node["kind"]
+        if k == "term":
+            tid = int(node.get("tid", -1))
+            if tid < 0 or tid not in by_tid:
+                return _EMPTY
+            docs, s = term_partial(tid)
+            boost = float(node.get("boost", 1.0))
+            return (docs, s * boost if boost != 1.0 else s.copy())
+        if k == "phrase":
+            tids = node.get("tids", [])
+            if any(t < 0 or t not in by_tid for t in tids) or not tids:
+                return _EMPTY
+            plists = [by_tid[t] for t in tids]
+            dec = [decoded(t) for t in tids]
+            if len(tids) == 1:
+                match = dec[0][0]
+            elif node.get("ordered", True) and int(node.get("slop", 0)) == 0:
+                match = kernels.phrase_matches(plists, dec)
+            else:
+                match = kernels.near_matches(
+                    plists, dec, int(node.get("slop", 0)),
+                    ordered=bool(node.get("ordered", True)),
+                )
+            if match.size == 0:
+                return _EMPTY
+            s = kernels.bm25_scores_at(plists, dec, match)
+            boost = float(node.get("boost", 1.0))
+            return (match, s * boost if boost != 1.0 else s)
+        if k == "and":
+            parts = [ev(c) for c in node["clauses"]]
+            docs = kernels.gallop_intersect([d for d, _ in parts])
+            if docs.size == 0:
+                return _EMPTY
+            agg = np.zeros(docs.size, dtype=np.float64)
+            for d, s in parts:  # clause order = deterministic float order
+                agg += s[np.searchsorted(d, docs)]
+            return docs, agg
+        if k == "or":
+            parts = [ev(c) for c in node["clauses"]]
+            parts = [p for p in parts if p[0].size]
+            if not parts:
+                return _EMPTY
+            docs_cat = np.concatenate([d for d, _ in parts])
+            scores_cat = np.concatenate([s for _, s in parts])
+            uniq, inv = np.unique(docs_cat, return_inverse=True)
+            agg = np.zeros(uniq.size, dtype=np.float64)
+            np.add.at(agg, inv, scores_cat)
+            mm = int(node.get("min_match", 1))
+            if mm > 1:
+                cnt = np.bincount(inv, minlength=uniq.size)
+                hit = cnt >= mm
+                uniq, agg = uniq[hit], agg[hit]
+            return uniq, agg
+        if k == "not":
+            pd_, ps = ev(node["positive"])
+            if pd_.size == 0:
+                return _EMPTY
+            nd, _ = ev(node["negative"])
+            keep = kernels.drop_deleted(pd_, nd if nd.size else None)
+            return pd_[keep], ps[keep]
+        raise ValueError(f"unknown node kind {k!r}")
+
+    return ev(tree)

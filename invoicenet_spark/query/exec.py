@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from invoicenet_spark.index import bm25
 from invoicenet_spark.index.build import IndexPaths, read_postings
-from invoicenet_spark.query import kernels, qparse
+from invoicenet_spark.query import booltree, kernels, qparse
 
 
 @dataclass
@@ -254,6 +254,60 @@ def parse_term_boosts(qpd: pd.DataFrame) -> pd.DataFrame:
     return qpd
 
 
+def _normalize_bool_rows(index: Index, qpd: pd.DataFrame) -> tuple[pd.DataFrame, bool]:
+    """Driver-side rewrite of mode='BOOL' rows: parse the query (string
+    grammar, tree dict, or JSON string — `tree` column wins over a single-
+    string `terms` entry), expand prefix/fuzzy leaves against the
+    dictionary, resolve leaf term_ids, and serialize the resolved tree into
+    a JSON `tree` column the shard kernel evaluates. `terms` becomes the
+    sorted leaf-term list so the tree's postings ride the standard
+    explode → dictionary → pruned-probe plan unchanged.
+
+    Returns (rewritten frame, any-tree-has-positional-leaves)."""
+    mask = qpd["mode"] == "BOOL"
+    if not mask.any():
+        return qpd, False
+    qpd = qpd.copy()
+    if "tree" not in qpd.columns:
+        qpd["tree"] = None
+    expanded: dict[int, dict] = {}
+    for i in qpd.index[mask]:
+        raw = qpd.at[i, "tree"]
+        if raw is None or (isinstance(raw, float) and pd.isna(raw)):
+            ts = qpd.at[i, "terms"]
+            if len(ts) != 1:
+                raise ValueError(
+                    "mode='BOOL' needs a `tree` (dict/JSON) or a single "
+                    "query string in `terms`"
+                )
+            raw = ts[0]
+        expanded[i] = booltree.normalize_query(
+            raw,
+            lambda ps: expand_prefix_terms(index, ps),
+            lambda ts_, e: expand_fuzzy_terms(index, ts_, e),
+        )
+    needed = set().union(*(booltree.leaf_terms(t) for t in expanded.values()))
+    local = index.local_dict()
+    if local is not None:
+        present = needed & set(local.index)
+        mapping = {
+            t: int(local.at[t, "term_id"]) for t in present
+        }
+    else:
+        rows = (
+            index.terms.where(F.col("term").isin(sorted(needed)))
+            .select("term", "term_id")
+            .collect()
+        )
+        mapping = {r["term"]: int(r["term_id"]) for r in rows}
+    positional = False
+    for i, tree in expanded.items():
+        positional |= booltree.has_positional(tree)
+        qpd.at[i, "tree"] = json.dumps(booltree.resolve_tids(tree, mapping))
+        qpd.at[i, "terms"] = sorted(booltree.leaf_terms(tree))
+    return qpd, positional
+
+
 def _empty_results(spark: SparkSession, with_url: bool) -> DataFrame:
     schema = "query_id long, rank int, doc_id long, score double"
     if with_url:
@@ -301,6 +355,30 @@ def _shard_kernel(stats: dict, kernel: str, deleted_bc=None):
             deleted = excl if deleted is None else np.union1d(deleted, excl)
         if len(pdf) == 0 or (mode in ("AND", "PHRASE", "NEAR") and len(pdf) < n_query_terms):
             return empty
+        if mode == "BOOL":
+            # boolean tree: ONE evaluator shared with the serving path
+            # (query/booltree.py) over this shard's posting rows; tombstone
+            # masking / cursor / top-k applied at the root like every kernel
+            import json as _json
+
+            tree = _json.loads(pdf["tree"].iloc[0])
+            by_tid = {
+                int(row["term_id"]): kernels.TermPostings(
+                    row, idf=row["idf"], avgdl=avgdl, k1=k1, b=b
+                )
+                for row in pdf.to_dict("records")
+            }
+            from invoicenet_spark.query import booltree as _bt
+
+            docs, scores = _bt.evaluate_shard(tree, by_tid)
+            live = kernels.drop_deleted(docs, deleted)
+            docs, scores = kernels.apply_after(docs[live], scores[live], after)
+            docs, scores = kernels.topk_select(docs, scores, k)
+            return pd.DataFrame(
+                {"query_id": np.full(docs.size, query_id, dtype=np.int64),
+                 "doc_id": docs.astype(np.int64),
+                 "score": scores.astype(np.float64)}
+            )
         sort_col = "qpos" if mode in ("PHRASE", "NEAR") else "term_id"
         pdf = pdf.sort_values(sort_col).reset_index(drop=True)
         plists = [
@@ -407,7 +485,7 @@ def search(
             ).alias("has_after"),
         ).collect()
         spark_modes = {r["mode"] for r in flag_rows}
-        if spark_modes & {"PREFIX", "FUZZY"} or any(
+        if spark_modes & {"PREFIX", "FUZZY", "BOOL"} or any(
             r["has_boost"] for r in flag_rows
         ):
             qpd = qdf.toPandas()
@@ -417,6 +495,8 @@ def search(
             need_after = any(r["has_after"] for r in flag_rows)
             need_slop = "slop" in qcols and bool(spark_modes & {"NEAR"})
             need_ordered = "ordered" in qcols and bool(spark_modes & {"NEAR"})
+            need_tree = False
+            bool_positional = False
     if qpd is not None:
         qpd = qparse.rewrite_expansion_rows(
             qpd, "PREFIX", lambda ts, _e: expand_prefix_terms(index, ts)
@@ -424,6 +504,7 @@ def search(
         qpd = qparse.rewrite_expansion_rows(
             qpd, "FUZZY", lambda ts, e: expand_fuzzy_terms(index, ts, e)
         )
+        qpd, bool_positional = _normalize_bool_rows(index, qpd)
         qpd = qpd.drop(columns=[c for c in ("max_edits",) if c in qpd.columns])
         qpd = _sanitize_optional_columns(parse_term_boosts(qpd))
         # Modifier columns whose every row is "off" are DROPPED before the
@@ -446,12 +527,15 @@ def search(
         for c in ("after_score", "after_doc"):
             if c in to_df.columns and to_df[c].isna().all():
                 to_df = to_df.drop(columns=[c])
+        if "tree" in to_df.columns and to_df["tree"].isna().all():
+            to_df = to_df.drop(columns=["tree"])
         qdf = spark.createDataFrame(to_df)
         has_neg = "neg_terms" in to_df.columns
         need_mm = "min_match" in to_df.columns
         need_slop = "slop" in to_df.columns
         need_ordered = "ordered" in to_df.columns
         need_after = "after_score" in to_df.columns
+        need_tree = "tree" in to_df.columns
     if need_after and "after_doc" not in qdf.columns:
         qdf = qdf.withColumn("after_doc", F.lit(None).cast("long"))
     if "boost_keys" in qdf.columns:
@@ -462,7 +546,7 @@ def search(
         # validate on BOTH input shapes — a Spark-frame query batch must not
         # sail past the check and die executor-side on an empty pos_blob
         has_phrase = (
-            qpd["mode"].isin(["PHRASE", "NEAR"]).any()
+            qpd["mode"].isin(["PHRASE", "NEAR"]).any() or bool_positional
             if qpd is not None
             else bool(spark_modes & {"PHRASE", "NEAR"})
         )
@@ -488,6 +572,8 @@ def search(
         opt_cols.append("slop")
     if need_ordered:
         opt_cols.append("ordered")
+    if need_tree:
+        opt_cols.append("tree")
     if need_after:
         opt_cols += ["after_score", "after_doc"]
     if "boost_map" in qdf.columns:
@@ -567,7 +653,9 @@ def search(
     # column pruning: the position stream is the fattest column and only
     # PHRASE queries decode it — drop it from the scan when the batch has
     # none (known for free on pandas query batches)
-    if qpd is not None and not qpd["mode"].isin(["PHRASE", "NEAR"]).any():
+    if qpd is not None and not (
+        qpd["mode"].isin(["PHRASE", "NEAR"]).any() or bool_positional
+    ):
         probe = probe.drop("pos_blob", "block_pos_off")
     cand = probe.join(F.broadcast(q.drop("term")), "term_id")
     # no forward-index join: posting rows are self-contained (per-posting

@@ -45,7 +45,7 @@ import pyarrow.dataset as ds
 
 from invoicenet_spark.index import bm25
 from invoicenet_spark.index.build import IndexPaths, committed_postings_files
-from invoicenet_spark.query import kernels, qparse
+from invoicenet_spark.query import booltree, kernels, qparse
 
 
 _INT64_MIN, _INT64_MAX = -(1 << 63), (1 << 63) - 1
@@ -395,6 +395,10 @@ def _run_one_query(
     ops); semantics identical to exec._shard_kernel + the global merge."""
     k1, b, avgdl, N = stats["k1"], stats["b"], stats["avgdl"], stats["N"]
     qid, mode, k = int(q["query_id"]), q["mode"], int(q["k"])
+    if mode == "BOOL":
+        return _run_bool_query(
+            q, term_info, by_tid_shard, shards_by_tid, stats, deleted_by_shard
+        )
     neg_raw = q.get("neg_terms")
     neg_terms = (
         list(dict.fromkeys(neg_raw))
@@ -495,6 +499,73 @@ def _run_one_query(
     ]
 
 
+def _run_bool_query(
+    q,
+    term_info: dict,
+    by_tid_shard: dict,
+    shards_by_tid: dict,
+    stats: dict,
+    deleted_by_shard: dict | None = None,
+) -> list[tuple]:
+    """mode='BOOL' serving twin: resolve the (already-expanded) tree's leaf
+    tids, evaluate booltree.evaluate_shard per candidate shard — the SAME
+    evaluator the Spark kernel runs, so both paths are float-identical —
+    then global-merge exactly like the flat path."""
+    k1, b, avgdl, N = stats["k1"], stats["b"], stats["avgdl"], stats["N"]
+    qid, k = int(q["query_id"]), int(q["k"])
+    tree = booltree.resolve_tids(
+        q["tree"], {t: tid for t, (tid, _df) in term_info.items()}
+    )
+    df_by_tid = {tid: df for _t, (tid, df) in term_info.items()}
+    a_s, a_d = q.get("after_score"), q.get("after_doc")
+    after = (
+        (float(a_s), int(a_d)) if a_s is not None and not pd.isna(a_s) else None
+    )
+
+    def _tids(node):
+        kd = node["kind"]
+        if kd == "term":
+            return {node["tid"]}
+        if kd == "phrase":
+            return set(node["tids"])
+        out: set[int] = set()
+        for c in (
+            node["clauses"] if kd in ("and", "or")
+            else [node["positive"], node["negative"]]
+        ):
+            out |= _tids(c)
+        return out
+
+    tids = {t for t in _tids(tree) if t >= 0}
+    cand_shards = set().union(*(set(shards_by_tid.get(t, ())) for t in tids)) if tids else set()
+    docs_all, scores_all = [], []
+    for shard in sorted(cand_shards):
+        by_tid = {}
+        for tid in tids:
+            rec = by_tid_shard.get((tid, shard))
+            if rec is not None:
+                idf = bm25.idf(N, df_by_tid[tid])
+                by_tid[tid] = kernels.TermPostings(rec, idf=idf, avgdl=avgdl, k1=k1, b=b)
+        if not by_tid:
+            continue
+        d, s = booltree.evaluate_shard(tree, by_tid)
+        deleted = deleted_by_shard.get(shard) if deleted_by_shard else None
+        live = kernels.drop_deleted(d, deleted)
+        d, s = kernels.apply_after(d[live], s[live], after)
+        d, s = kernels.topk_select(d, s, k)
+        docs_all.append(d)
+        scores_all.append(s)
+    if not docs_all:
+        return []
+    top_d, top_s = kernels.topk_select(
+        np.concatenate(docs_all), np.concatenate(scores_all), k
+    )
+    return [
+        (qid, rank, int(d), float(s))
+        for rank, (d, s) in enumerate(zip(top_d, top_s), start=1)
+    ]
+
+
 def search_local(
     index,
     queries: pd.DataFrame,
@@ -540,6 +611,35 @@ def search_local(
     queries = qparse.rewrite_expansion_rows(
         queries, "FUZZY", lambda ts, e: li.expand_fuzzy(ts, e)
     )
+    bool_positional = False
+    if (queries["mode"] == "BOOL").any():
+        # boolean trees: parse/expand driver-side (same normalize as the
+        # Spark path), leaf terms ride the shared batch postings read;
+        # _run_one_query dispatches to the shared tree evaluator
+        queries = queries.copy()
+        if "tree" not in queries.columns:
+            queries["tree"] = None
+        for i in queries.index[queries["mode"] == "BOOL"]:
+            raw = queries.at[i, "tree"]
+            if raw is None or (isinstance(raw, float) and pd.isna(raw)):
+                ts = queries.at[i, "terms"]
+                if len(ts) != 1:
+                    raise ValueError(
+                        "mode='BOOL' needs a `tree` (dict/JSON) or a single "
+                        "query string in `terms`"
+                    )
+                raw = ts[0]
+            tree = booltree.normalize_query(
+                raw, li.expand_prefixes, lambda ts_, e: li.expand_fuzzy(ts_, e)
+            )
+            queries.at[i, "tree"] = tree
+            queries.at[i, "terms"] = sorted(booltree.leaf_terms(tree))
+            bool_positional |= booltree.has_positional(tree)
+        if bool_positional and not stats.get("with_positions", False):
+            raise ValueError(
+                "phrase leaves in a BOOL query require a positional index "
+                "(build with EngineConfig(with_positions=True) / --with-positions)"
+            )
 
     needed_terms = {t.partition("^")[0] for ts in queries["terms"] for t in ts}
     if "neg_terms" in queries.columns:
@@ -552,7 +652,9 @@ def search_local(
     term_info = li.term_info(needed_terms)
 
     all_tids = sorted({tid for tid, _ in term_info.values()})
-    needs_positions = bool(queries["mode"].isin(["PHRASE", "NEAR"]).any())
+    needs_positions = (
+        bool(queries["mode"].isin(["PHRASE", "NEAR"]).any()) or bool_positional
+    )
     rows = (
         li.catalog().read(all_tids, with_positions=needs_positions)
         if all_tids
