@@ -783,7 +783,9 @@ def _finalize(
     # corrected when compaction's purge re-derives it from purged postings)
     tomb = read_tombstones_spark(spark, paths)
     if tomb is not None:
-        docs = docs.join(F.broadcast(tomb), "doc_id", "left_anti")
+        from invoicenet_spark.index.deletes import maybe_broadcast_tombstones
+
+        docs = docs.join(maybe_broadcast_tombstones(tomb, paths), "doc_id", "left_anti")
     stats_row = docs.agg(F.count("*").alias("N"), F.avg("doc_len").alias("avgdl")).collect()[0]
     stats = {
         "N": int(stats_row["N"]),

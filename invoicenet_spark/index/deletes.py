@@ -48,6 +48,61 @@ def _deletes_dir(paths: IndexPaths) -> str:
     return os.path.join(paths.root, "deletes")
 
 
+# Above this many outstanding tombstones (~40 MB of int64 at the bound) the
+# engine stops shipping the whole set to every executor: query-time masks
+# switch from a {shard: ids} broadcast to a per-shard (shard, ids[]) frame
+# joined onto the candidates (executor memory ∝ shards it touches, each
+# array ≤ shard_size), and purge/stats anti-joins drop the broadcast hint
+# (shuffle join). A churn-heavy index with 10^8 un-purged deletes must not
+# OOM the driver or the broadcast. Tests monkeypatch this to exercise the
+# big-set paths.
+TOMBSTONE_BROADCAST_MAX_IDS = 5_000_000
+
+
+def tombstone_count_upper(paths: IndexPaths) -> int:
+    """Row-count UPPER BOUND (pre-distinct) across tombstone segments, from
+    parquet footers only — no scan. Duplicate tombstones can overstate the
+    true set size, which only ever flips the guard toward the scalable
+    path; never the reverse."""
+    d = _deletes_dir(paths)
+    if not _has_parquet(d):
+        return 0
+    import pyarrow.dataset as ds
+
+    return ds.dataset(d, format="parquet").count_rows()
+
+
+def maybe_broadcast_tombstones(tomb, paths: IndexPaths):
+    """Broadcast the tombstone frame only below the size guard; above it the
+    anti-join runs as a plain (shuffle) join."""
+    from pyspark.sql import functions as F
+
+    if tomb is None:
+        return None
+    if tombstone_count_upper(paths) <= TOMBSTONE_BROADCAST_MAX_IDS:
+        return F.broadcast(tomb)
+    return tomb
+
+
+def tombstones_by_shard_df(spark, paths: IndexPaths, shard_size: int):
+    """Tombstones as a (shard long, _deleted array<long> sorted) DataFrame —
+    the big-set mask carrier: joined onto the query candidates on `shard`,
+    so each kernel group receives ONLY its shard's ids (array length ≤
+    shard_size). Built with a distributed distinct+collect_set, never
+    driver-side."""
+    from pyspark.sql import functions as F
+
+    d = _deletes_dir(paths)
+    return (
+        spark.read.parquet(d)
+        .select(F.col("doc_id").cast("long"))
+        .distinct()
+        .withColumn("shard", (F.col("doc_id") / F.lit(int(shard_size))).cast("long"))
+        .groupBy("shard")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("_deleted"))
+    )
+
+
 def bump_generation(paths: IndexPaths) -> None:
     """Atomically rewrite stats.json with identical content: its
     (mtime_ns, size) is the serving path's generation key, so this makes a

@@ -151,8 +151,12 @@ def compact_index(
     )
     if tomb is not None:
         # physical purge: drop tombstoned docs from the decoded pair rows —
-        # the re-encode below then writes postings that never contained them
-        pairs = pairs.join(F.broadcast(tomb), "doc_id", "left_anti")
+        # the re-encode below then writes postings that never contained them.
+        # Broadcast only below the tombstone size guard (deletes.py) — a
+        # churn-heavy index purging 10^8 ids anti-joins via shuffle instead.
+        from invoicenet_spark.index.deletes import maybe_broadcast_tombstones
+
+        pairs = pairs.join(maybe_broadcast_tombstones(tomb, paths), "doc_id", "left_anti")
     shard_expr = (F.col("doc_id") / F.lit(new_shard_size)).cast("long")
     sort_cols = ["term_id", "doc_id", "pos"] if positional else ["term_id", "doc_id"]
     encoded = (
@@ -185,9 +189,11 @@ def compact_index(
     if tomb is not None:
         gen = int(manifest.get("docs_gen", 1)) + 1
         new_docs_name = f"docs_g{gen}"
+        from invoicenet_spark.index.deletes import maybe_broadcast_tombstones as _mbt
+
         (
             spark.read.parquet(paths.docs)
-            .join(F.broadcast(tomb), "doc_id", "left_anti")
+            .join(_mbt(tomb, paths), "doc_id", "left_anti")
             .write.mode("overwrite")
             .partitionBy("segment")
             .parquet(os.path.join(root, new_docs_name))

@@ -54,21 +54,49 @@ class Index:
     def avgdl(self) -> float:
         return self.stats["avgdl"]
 
-    def deleted_broadcast(self, spark: SparkSession):
-        """Tombstones as a per-shard dict broadcast to executors — created
-        once per Index handle (the Lucene liveDocs analog: memory ∝
-        outstanding un-purged tombstones, reset by compaction's purge).
-        None when the index has no tombstones, so the common case adds
-        nothing to the query plan."""
-        if self._deleted_bc is None:
-            from invoicenet_spark.index.deletes import load_tombstones, split_by_shard
+    def deleted_mask_source(self, spark: SparkSession):
+        """How tombstone masks reach the shard kernels — created once per
+        Index handle. Three regimes (size guard in index/deletes.py):
 
-            tomb = load_tombstones(self.paths)
-            by_shard = split_by_shard(tomb, int(self.stats["shard_size"]))
-            self._deleted_bc = (
-                spark.sparkContext.broadcast(by_shard) if by_shard else False
+          ("none", None)  no tombstones — the common case adds nothing.
+          ("bc", bc)      a per-shard {shard: ids} dict broadcast (the
+                          Lucene liveDocs analog: memory ∝ outstanding
+                          un-purged tombstones, reset by purge).
+          ("df", frame)   beyond TOMBSTONE_BROADCAST_MAX_IDS: a per-shard
+                          (shard, _deleted[]) frame the plan left-joins onto
+                          the candidates — executor memory ∝ shards a task
+                          touches (each array ≤ shard_size), never the full
+                          set; the driver never materializes the ids at all.
+        """
+        if self._deleted_bc is None:
+            from invoicenet_spark.index.deletes import (
+                TOMBSTONE_BROADCAST_MAX_IDS,
+                load_tombstones,
+                split_by_shard,
+                tombstone_count_upper,
+                tombstones_by_shard_df,
             )
-        return self._deleted_bc or None
+
+            n_upper = tombstone_count_upper(self.paths)
+            if n_upper == 0:
+                self._deleted_bc = ("none", None)
+            elif n_upper > TOMBSTONE_BROADCAST_MAX_IDS:
+                self._deleted_bc = (
+                    "df",
+                    tombstones_by_shard_df(
+                        spark, self.paths, int(self.stats["shard_size"])
+                    ),
+                )
+            else:
+                by_shard = split_by_shard(
+                    load_tombstones(self.paths), int(self.stats["shard_size"])
+                )
+                self._deleted_bc = (
+                    ("bc", spark.sparkContext.broadcast(by_shard))
+                    if by_shard
+                    else ("none", None)
+                )
+        return self._deleted_bc
 
     def fuzzy_vocab(self) -> "np.ndarray":
         """Hot dictionary as ONE fixed-width numpy unicode array, converted
@@ -324,7 +352,21 @@ def _shard_kernel(stats: dict, kernel: str, deleted_bc=None):
 
     def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
         query_id = int(key[0])
-        deleted = deleted_bc.value.get(int(key[1])) if deleted_bc is not None else None
+        if deleted_bc is not None:
+            deleted = deleted_bc.value.get(int(key[1]))
+        elif "_deleted" in pdf.columns:
+            # big-tombstone-set regime: this shard's ids arrived as a joined
+            # column (same array on every row of the group) — see
+            # Index.deleted_mask_source
+            val = pdf["_deleted"].iloc[0]
+            deleted = (
+                np.asarray(val, dtype=np.int64)
+                if val is not None and not (isinstance(val, float) and pd.isna(val)) and len(val)
+                else None
+            )
+            pdf = pdf.drop(columns=["_deleted"])  # keep row dicts lean
+        else:
+            deleted = None
         mode = pdf["mode"].iloc[0]
         k = int(pdf["k"].iloc[0])
         n_query_terms = int(pdf["n_query_terms"].iloc[0])
@@ -661,8 +703,15 @@ def search(
     # no forward-index join: posting rows are self-contained (per-posting
     # doc_len stream in dl_blob) — the only scan is the pruned postings probe
 
+    mask_kind, mask_payload = index.deleted_mask_source(spark)
+    if mask_kind == "df":
+        # big-tombstone-set regime: each kernel group gets ONLY its shard's
+        # ids via this equi-join — no full-set broadcast anywhere
+        cand = cand.join(mask_payload, "shard", "left")
     out = cand.groupBy("query_id", "shard").applyInPandas(
-        _shard_kernel(index.stats, kernel, index.deleted_broadcast(spark)),
+        _shard_kernel(
+            index.stats, kernel, mask_payload if mask_kind == "bc" else None
+        ),
         schema=RESULT_SCHEMA,
     )
 

@@ -92,6 +92,60 @@ def test_delete_masks_both_paths_exactly(spark, del_index):
     )
 
 
+def test_big_tombstone_set_uses_shard_join_identically(spark, del_index, monkeypatch):
+    """Tombstone sets past TOMBSTONE_BROADCAST_MAX_IDS switch the mask from
+    a full-set broadcast to the per-shard (shard, ids[]) join — results must
+    be BIT-identical to the broadcast regime on the same index (threshold
+    monkeypatched to 0 to force the big-set path)."""
+    from invoicenet_spark.index import deletes as del_mod
+
+    q = gen_queries(10, seed=42)
+    orig_threshold = del_mod.TOMBSTONE_BROADCAST_MAX_IDS
+    idx_bc = load_index(spark, del_index)  # fixture already carries deletes
+    kind, _ = idx_bc.deleted_mask_source(spark)
+    assert kind == "bc"
+    base = search(spark, idx_bc, q).toPandas().reset_index(drop=True)
+
+    monkeypatch.setattr(del_mod, "TOMBSTONE_BROADCAST_MAX_IDS", 0)
+    idx_df = load_index(spark, del_index)  # fresh handle — re-decides regime
+    kind, payload = idx_df.deleted_mask_source(spark)
+    assert kind == "df" and payload is not None
+    got = search(spark, idx_df, q).toPandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["query_id", "rank", "doc_id", "url"]],
+        base[["query_id", "rank", "doc_id", "url"]],
+        check_dtype=False,
+    )
+    np.testing.assert_array_equal(got["score"].to_numpy(), base["score"].to_numpy())
+
+    # purge: anti-joins under the forced threshold run WITHOUT the broadcast
+    # hint — the compacted index must be bit-identical to one purged through
+    # the broadcast path (a purge re-derives stats, so compare purged vs
+    # purged, not vs the pre-purge baseline)
+    import shutil
+
+    from invoicenet_spark.index.maintain import compact_index
+
+    roots = {}
+    for label, thresh in (("shuffle", 0), ("broadcast", orig_threshold)):
+        r = del_index + f"_guard_{label}"
+        if os.path.exists(r):
+            shutil.rmtree(r)
+        shutil.copytree(del_index, r)
+        monkeypatch.setattr(del_mod, "TOMBSTONE_BROADCAST_MAX_IDS", thresh)
+        res = compact_index(spark, r, new_shard_size=CFG.shard_size * 2)
+        assert res["purged_docs"] > 0
+        roots[label] = r
+    a = search(spark, load_index(spark, roots["shuffle"]), q).toPandas().reset_index(drop=True)
+    b = search(spark, load_index(spark, roots["broadcast"]), q).toPandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        a[["query_id", "rank", "doc_id", "url"]],
+        b[["query_id", "rank", "doc_id", "url"]],
+        check_dtype=False,
+    )
+    np.testing.assert_array_equal(a["score"].to_numpy(), b["score"].to_numpy())
+
+
 def test_delete_masks_phrase(spark, del_index):
     """PHRASE results exclude tombstoned docs (module-scope fixture already
     carries the top-2 tombstones; add a phrase-specific one)."""
