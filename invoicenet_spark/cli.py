@@ -35,6 +35,10 @@ def main(argv=None):
     b.add_argument("--with-positions", action="store_true", help="positional index (phrase queries)")
     b.add_argument("--store-text", action="store_true",
                    help="store extracted text in the docs table (snippets/highlighting)")
+    b.add_argument("--fields", default=None,
+                   help="comma-separated field names for a fielded (BM25F) index, "
+                        "e.g. 'title,body'; pages must carry one text column per "
+                        "field (or html with fields=title,body)")
 
     u = sub.add_parser("update", help="incremental update from a snapshot table")
     u.add_argument("--table", required=True)
@@ -64,6 +68,9 @@ def main(argv=None):
                    help="comma-separated must_not terms: matching docs are excluded")
     s.add_argument("--min-match", type=int, default=0,
                    help="OR queries: keep docs matching >= N distinct terms")
+    s.add_argument("--fields", default=None,
+                   help="fielded search weights, e.g. 'title=2,body=1' "
+                        "(index must be built with --fields)")
     s.add_argument("-k", type=int, default=10)
     s.add_argument("--kernel", default="auto", choices=["auto", "wand", "exhaustive"],
                    help="'auto' = vectorized MaxScore block-max pruning; "
@@ -126,6 +133,11 @@ def main(argv=None):
         qrow = {"query_id": 1, "terms": terms, "mode": args.mode,
                 "k": args.k, "min_match": args.min_match, "slop": args.slop,
                 "ordered": not args.unordered, "max_edits": args.max_edits}
+        if args.fields:
+            qrow["fields"] = {
+                kv.split("=")[0]: float(kv.split("=")[1]) if "=" in kv else 1.0
+                for kv in args.fields.split(",")
+            }
         if args.after_score is not None:
             qrow["after_score"] = args.after_score
             qrow["after_doc"] = args.after_doc or 0
@@ -158,6 +170,8 @@ def main(argv=None):
         cfg_kwargs["with_positions"] = True
     if getattr(args, "store_text", False):
         cfg_kwargs["store_text"] = True
+    if getattr(args, "fields", None) and args.cmd in ("build", "update", "bench-build"):
+        cfg_kwargs["fields"] = tuple(args.fields.split(","))
     cfg = EngineConfig(**cfg_kwargs)
 
     if args.cmd == "build":
@@ -197,6 +211,11 @@ def main(argv=None):
         qrow = {"query_id": 1, "terms": terms, "mode": args.mode,
                 "k": args.k, "min_match": args.min_match, "slop": args.slop,
                 "ordered": not args.unordered, "max_edits": args.max_edits}
+        if args.fields:
+            qrow["fields"] = {
+                kv.split("=")[0]: float(kv.split("=")[1]) if "=" in kv else 1.0
+                for kv in args.fields.split(",")
+            }
         if args.after_score is not None:
             qrow["after_score"] = args.after_score
             qrow["after_doc"] = args.after_doc or 0

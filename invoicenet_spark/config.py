@@ -61,6 +61,20 @@ class EngineConfig:
     # generation / highlighting (query/snippets.py) reads at serving time.
     store_text: bool = False
 
+    # Fielded indexing (BM25F-lite; () = single-field, the default).
+    # When set (e.g. ("title", "body")), each field is indexed under a
+    # field-qualified dictionary key `field:term` — exactly Lucene's
+    # per-field term dictionary — and each posting's doc_len stream holds
+    # the FIELD length, so per-field BM25 normalization needs no codec or
+    # layout change. Per-field avgdl lands in stats.json ("fields").
+    # Input contract: with use_stored_text the pages frame carries one text
+    # column per field; with html extraction only ("title", "body") is
+    # supported (title tag + strip_tags). Query-time: a `fields`
+    # {field: weight} map rewrites terms to a weighted OR/AND-of-OR tree of
+    # field leaves (query/booltree.py), and `field:term` leaves in the BOOL
+    # grammar pick up their field's normalization automatically.
+    fields: tuple[str, ...] = ()
+
     # Top-k default (reference does top-1 argmax, acp/acp.py:117; engine
     # generalizes to top-k with deterministic doc_id tie-break).
     default_k: int = 10

@@ -437,6 +437,100 @@ def q_bm25_topk_near(spark, sf_dir):
 
 
 BOOL_QUERY = "(spark AND query) OR (window NOT join)"
+FIELD_WEIGHTS = {"title": 2.0, "body": 1.0}
+
+
+def _bm25_fielded_results(spark: SparkSession, sf_dir: str, terms, mode: str, k: int):
+    """Engine results from a FIELDED index (BM25F-lite): title = the doc's
+    first 8 analyzer tokens, body = the rest — both sides derive the fields
+    from `text` with the same token slicing, so the oracle is exact."""
+    from invoicenet_spark.index.build import build_index
+
+    key = (sf_dir, "fielded")
+    if key not in _INDEX_CACHE:
+        out = os.path.join(tempfile.mkdtemp(prefix="ivs_idx_f_"), "index")
+        cfg = EngineConfig(
+            shard_size=256, block_size=64, build_partitions=8,
+            fields=("title", "body"),
+        )
+        toks = tokens_col("text")
+        pages = _docs(spark, sf_dir).select(
+            F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("url"),
+            F.array_join(F.slice(toks, 1, 8), " ").alias("title"),
+            F.array_join(F.slice(toks, 9, 1 << 30), " ").alias("body"),
+            "lang",
+        )
+        build_index(spark, pages, out, cfg, use_stored_text=True)
+        _INDEX_CACHE[key] = out
+    return _ranked_from_index(
+        spark, _INDEX_CACHE[key], terms, mode, k, fields=dict(FIELD_WEIGHTS)
+    )
+
+
+def q_bm25_topk_fielded(spark, sf_dir):
+    """Fielded BM25F-lite: per-field postings (field-qualified dictionary),
+    per-field length normalization, query weights title^2 body^1."""
+    return _bm25_fielded_results(spark, sf_dir, BM25_QUERY_TERMS, "OR", 20)
+
+
+def _duck_bm25_fielded(terms, k: int) -> str:
+    """DuckDB twin: weighted sum of per-field BM25 partials — field token
+    lists are slices of the analyzed text (title = ts[1:8], body = ts[9:]),
+    df/avgdl per field, idf over the global corpus N."""
+    tlist = ", ".join(f"('{t}')" for t in dict.fromkeys(terms))
+    w_title, w_body = FIELD_WEIGHTS["title"], FIELD_WEIGHTS["body"]
+    return f"""
+WITH base AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+         t -> t <> '') AS ts
+  FROM documents WHERE lang = 'en'
+),
+n AS (SELECT count(*) AS n FROM base),
+qt(term) AS (VALUES {tlist}),
+ttoks AS (SELECT doc_id, unnest(ts[1:8]) AS term FROM base),
+btoks AS (SELECT doc_id, unnest(ts[9:]) AS term FROM base),
+tdl AS (SELECT doc_id, len(ts[1:8]) AS dl FROM base WHERE len(ts[1:8]) > 0),
+bdl AS (SELECT doc_id, len(ts[9:]) AS dl FROM base WHERE len(ts[9:]) > 0),
+tstats AS (SELECT avg(dl) AS avgdl FROM tdl),
+bstats AS (SELECT avg(dl) AS avgdl FROM bdl),
+ttf AS (
+  SELECT term, doc_id, count(*) AS tf FROM ttoks
+  WHERE term IN (SELECT term FROM qt) GROUP BY term, doc_id
+),
+btf AS (
+  SELECT term, doc_id, count(*) AS tf FROM btoks
+  WHERE term IN (SELECT term FROM qt) GROUP BY term, doc_id
+),
+tdf AS (SELECT term, count(*) AS df FROM ttf GROUP BY term),
+bdf AS (SELECT term, count(*) AS df FROM btf GROUP BY term),
+tscore AS (
+  SELECT ttf.doc_id,
+         sum({w_title} * ln((n.n - tdf.df + 0.5)/(tdf.df + 0.5) + 1.0)
+             * ttf.tf * 2.2 / (ttf.tf + 1.2 * (1 - 0.75 + 0.75 * tdl.dl / tstats.avgdl))) AS s
+  FROM ttf JOIN tdf USING(term) JOIN tdl USING(doc_id)
+  CROSS JOIN tstats CROSS JOIN n
+  GROUP BY ttf.doc_id
+),
+bscore AS (
+  SELECT btf.doc_id,
+         sum({w_body} * ln((n.n - bdf.df + 0.5)/(bdf.df + 0.5) + 1.0)
+             * btf.tf * 2.2 / (btf.tf + 1.2 * (1 - 0.75 + 0.75 * bdl.dl / bstats.avgdl))) AS s
+  FROM btf JOIN bdf USING(term) JOIN bdl USING(doc_id)
+  CROSS JOIN bstats CROSS JOIN n
+  GROUP BY btf.doc_id
+),
+matched AS (
+  SELECT COALESCE(tscore.doc_id, bscore.doc_id) AS doc_id,
+         COALESCE(tscore.s, 0) + COALESCE(bscore.s, 0) AS score
+  FROM tscore FULL OUTER JOIN bscore ON tscore.doc_id = bscore.doc_id
+),
+r AS (SELECT doc_id, round(score, 6) AS score_r6 FROM matched)
+SELECT CAST(row_number() OVER (ORDER BY score_r6 DESC, doc_id) AS BIGINT) AS rank,
+       doc_id, round(score_r6, 4) AS score_r4
+FROM r
+QUALIFY row_number() OVER (ORDER BY score_r6 DESC, doc_id) <= {k}
+ORDER BY rank
+"""
 
 
 def q_bm25_topk_bool(spark, sf_dir):
@@ -982,6 +1076,7 @@ QUERIES = {
     "bm25_topk_near": q_bm25_topk_near,
     "bm25_topk_near_unordered": q_bm25_topk_near_unordered,
     "bm25_topk_bool": q_bm25_topk_bool,
+    "bm25_topk_fielded": q_bm25_topk_fielded,
     "bm25_topk_page2": q_bm25_topk_page2,
     "bm25_facet_source": q_bm25_facet_source,
     "bm25_topk_fuzzy": q_bm25_topk_fuzzy,
@@ -1062,6 +1157,7 @@ ORACLE_SQL = {
         BM25_PHRASE, "OR", 20, near_slop=3, near_unordered=True
     ),
     "bm25_topk_bool": _duck_bm25_bool(20),
+    "bm25_topk_fielded": _duck_bm25_fielded(BM25_QUERY_TERMS, 20),
     "bm25_topk_page2": _duck_bm25(BM25_QUERY_TERMS, "OR", 20, page_offset=20),
     "bm25_topk_fuzzy": _duck_bm25(["quary", "windoq"], "OR", 20, fuzzy_edits=1),
     # facet over the FULL OR match set == docs containing any query term

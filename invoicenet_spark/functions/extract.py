@@ -174,6 +174,49 @@ def strip_tags_arrow(html: pa.Array) -> pa.Array:
     return pc.cast(pc.fill_null(s, ""), pa.string())
 
 
+_ARROW_TITLE_RE = r"(?is)<title[^>]*>(?P<t>.*?)</title>"
+
+
+def extract_title_body_arrow(df, html_col: str = "html", keep: tuple[str, ...] = ("url",)):
+    """pages → (keep..., title, body) for fielded indexes, wholly Arrow-side.
+
+    title = first <title> element's inner text (entities/whitespace
+    normalized by the same strip_tags passes, so `analyze(title)` equals
+    what a browser tab shows tokenized); body = strip_tags of the WHOLE
+    document — the title text therefore also appears in the body field,
+    which is the standard web-search indexing choice (a title match scores
+    in both fields)."""
+
+    def run(batches):
+        for batch in batches:
+            s = _decode_utf8_arrow(batch.column(html_col))
+            t = pc.struct_field(pc.extract_regex(s, _ARROW_TITLE_RE), "t")
+            t = pc.fill_null(t, "")
+            for pat in (_ENTITY_RE,):
+                mask = pc.match_substring_regex(t, pat)
+                if pc.any(mask).as_py():
+                    py = t.to_pandas()
+                    sel = mask.to_pandas().fillna(False).to_numpy(dtype=bool)
+                    py[sel] = py[sel].str.replace(
+                        pat, lambda m: _html.unescape(m.group(0)), regex=True
+                    )
+                    t = pa.Array.from_pandas(py, type=pa.large_string())
+            t = pc.replace_substring_regex(t, pattern=_WS_RUN_RE, replacement=" ")
+            t = pc.replace_substring_regex(t, pattern=_EDGE_SPACE_RE, replacement="")
+            title = pc.cast(t, pa.string())
+            body = strip_tags_arrow(batch.column(html_col))
+            arrays = [batch.column(c) for c in keep] + [title, body]
+            yield pa.RecordBatch.from_arrays(
+                arrays, names=list(keep) + ["title", "body"]
+            )
+
+    schema = ", ".join(
+        [f"`{c}` {df.schema[c].dataType.simpleString()}" for c in keep]
+        + ["`title` string", "`body` string"]
+    )
+    return df.mapInArrow(run, schema=schema)
+
+
 def extract_pages_arrow(
     df,
     html_col: str = "html",

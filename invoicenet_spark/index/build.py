@@ -411,11 +411,23 @@ def _encode_rows(tbl: "pa.Table", block_size: int, shard_size: int) -> "pa.Recor
 
 # ------------------------------------------------------------------- build --
 def tokens_from_pages(pages: DataFrame, cfg: EngineConfig, use_stored_text: bool = False):
-    """pages → (url, text) after the language gate + extraction.
+    """pages → (url, text) — or (url, <field>...) for fielded indexes —
+    after the language gate + extraction.
 
     Extraction runs arrow-native (pc.extract_regex in C++ via mapInArrow) —
     the html bytes and extracted text never materialize as Python objects."""
     gated = pages.where(F.col("lang").isin(*cfg.index_langs))
+    if cfg.fields:
+        if use_stored_text:
+            return gated.select("url", *cfg.fields)
+        if tuple(cfg.fields) != ("title", "body"):
+            raise ValueError(
+                "html extraction supports fields=('title','body'); other "
+                "field sets need use_stored_text with one column per field"
+            )
+        from invoicenet_spark.functions.extract import extract_title_body_arrow
+
+        return extract_title_body_arrow(gated.select("url", "html"), keep=("url",))
     if use_stored_text:
         return gated.select("url", "text")
     return extract_pages_arrow(
@@ -429,11 +441,25 @@ def build_doc_table(pages_text: DataFrame, cfg: EngineConfig, id_offset: int = 0
     id_offset: first docID to assign — incremental builds pass the next
     shard-aligned boundary so new docs land in fresh shards and committed
     posting shards are never rewritten (append-only segments).
+
+    Fielded indexes additionally persist per-field token lengths
+    (dl_<field>) — the BM25F normalization inputs; doc_len stays the total.
     """
-    stored = ["text"] if cfg.store_text else []
-    with_len = pages_text.select(
-        "url", F.size(tokens_col("text", cfg.token_pattern)).alias("doc_len"), *stored
-    )
+    if cfg.fields:
+        stored = list(cfg.fields) if cfg.store_text else []
+        dl_cols = [
+            F.size(tokens_col(f, cfg.token_pattern)).alias(f"dl_{f}")
+            for f in cfg.fields
+        ]
+        with_len = pages_text.select("url", *dl_cols, *stored).withColumn(
+            "doc_len",
+            sum(F.col(f"dl_{f}") for f in cfg.fields),
+        )
+    else:
+        stored = ["text"] if cfg.store_text else []
+        with_len = pages_text.select(
+            "url", F.size(tokens_col("text", cfg.token_pattern)).alias("doc_len"), *stored
+        )
     docs = assign_dense_ids(with_len, key="url", id_col="doc_id", num_partitions=cfg.build_partitions)
     if id_offset:
         docs = docs.withColumn("doc_id", F.col("doc_id") + F.lit(id_offset))
@@ -540,20 +566,55 @@ def _encode_and_commit(
     # join only what the encode needs — docs may carry more columns (e.g.
     # stored text when cfg.store_text), which must not shuffle here or
     # shadow pages_text's own `text`
+    dl_cols = [f"dl_{f}" for f in cfg.fields] if cfg.fields else []
     src = pages_text.join(
-        docs_pending.select("url", "doc_id", "doc_len"), "url"
+        docs_pending.select("url", "doc_id", "doc_len", *dl_cols), "url"
     ).observe(
         obs_docs, F.count(F.lit(1)).alias("n_docs")
     )
+
+    def _field_tokens(positional: bool) -> DataFrame:
+        """Token rows for a FIELDED index: one explode per field, unioned.
+        The dictionary key is `field:term` (Lucene's per-field term
+        dictionary) and doc_len is the FIELD length — so every posting row
+        is self-contained for per-field BM25 normalization with zero codec
+        change. Positions are per-field ordinals (proximity never crosses a
+        field boundary by construction)."""
+        parts = []
+        for f in cfg.fields:
+            if positional:
+                t = src.select(
+                    F.posexplode(tokens_col(f, cfg.token_pattern)).alias("pos", "term"),
+                    "doc_id",
+                    F.col(f"dl_{f}").cast("int").alias("doc_len"),
+                )
+            else:
+                t = src.select(
+                    F.explode(tokens_col(f, cfg.token_pattern)).alias("term"),
+                    "doc_id",
+                    F.col(f"dl_{f}").cast("int").alias("doc_len"),
+                )
+            parts.append(
+                t.withColumn("term", F.concat(F.lit(f + ":"), F.col("term")))
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     shard_expr = (F.col("doc_id") / F.lit(cfg.shard_size)).cast("long")
     if cfg.with_positions:
         # positional index: token-level rows (term, doc, pos) stream through
         # the encoder; tf computed by run-length in-kernel. More Arrow
         # traffic than the pairs path — the documented cost of phrases.
-        tokens = src.select(
-            F.posexplode(tokens_col("text", cfg.token_pattern)).alias("pos", "term"),
-            "doc_id",
-            F.col("doc_len").cast("int").alias("doc_len"),
+        tokens = (
+            _field_tokens(True)
+            if cfg.fields
+            else src.select(
+                F.posexplode(tokens_col("text", cfg.token_pattern)).alias("pos", "term"),
+                "doc_id",
+                F.col("doc_len").cast("int").alias("doc_len"),
+            )
         ).persist(StorageLevel.MEMORY_AND_DISK)
         pairs = tokens  # dictionary source + unpersist handle
         term_dict = _term_dictionary(spark, tokens, cfg, paths)
@@ -562,10 +623,14 @@ def _encode_and_commit(
         )
         sort_cols = ["term_id", "doc_id", "pos"]
     else:
-        tokens = src.select(
-            F.explode(tokens_col("text", cfg.token_pattern)).alias("term"),
-            "doc_id",
-            F.col("doc_len").cast("int").alias("doc_len"),
+        tokens = (
+            _field_tokens(False)
+            if cfg.fields
+            else src.select(
+                F.explode(tokens_col("text", cfg.token_pattern)).alias("term"),
+                "doc_id",
+                F.col("doc_len").cast("int").alias("doc_len"),
+            )
         )
         pairs = tokens.groupBy("term", "doc_id", "doc_len").agg(F.count("*").alias("tf"))
         pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
@@ -786,7 +851,18 @@ def _finalize(
         from invoicenet_spark.index.deletes import maybe_broadcast_tombstones
 
         docs = docs.join(maybe_broadcast_tombstones(tomb, paths), "doc_id", "left_anti")
-    stats_row = docs.agg(F.count("*").alias("N"), F.avg("doc_len").alias("avgdl")).collect()[0]
+    field_aggs = []
+    for f in cfg.fields:
+        # per-field BM25 normalization constants: avgdl over docs with a
+        # non-empty field (docs without it can never match a field term)
+        cond = F.when(F.col(f"dl_{f}") > 0, F.col(f"dl_{f}"))
+        field_aggs += [
+            F.avg(cond).alias(f"avgdl_{f}"),
+            F.count(cond).alias(f"n_{f}"),
+        ]
+    stats_row = docs.agg(
+        F.count("*").alias("N"), F.avg("doc_len").alias("avgdl"), *field_aggs
+    ).collect()[0]
     stats = {
         "N": int(stats_row["N"]),
         "avgdl": float(stats_row["avgdl"]),
@@ -799,6 +875,14 @@ def _finalize(
         # pattern from stats.json — keep it in sync with the manifest config
         "token_pattern": cfg.token_pattern,
     }
+    if cfg.fields:
+        stats["fields"] = {
+            f: {
+                "avgdl": float(stats_row[f"avgdl_{f}"] or 0.0),
+                "n_docs": int(stats_row[f"n_{f}"]),
+            }
+            for f in cfg.fields
+        }
     # atomic replace: the serving path's freshness protocol keys on
     # stats.json (mtime_ns, size) as the index generation — a truncating
     # in-place write would expose a partial/empty file to a concurrently
@@ -858,6 +942,7 @@ def _cfg_dict(cfg: EngineConfig) -> dict:
         "with_positions": cfg.with_positions,
         "extract_strategy": cfg.extract_strategy,
         "store_text": cfg.store_text,
+        "fields": list(cfg.fields),
     }
 
 
@@ -1017,6 +1102,7 @@ def cfg_from_manifest(manifest: dict, fallback: EngineConfig) -> EngineConfig:
         with_positions=c.get("with_positions", fallback.with_positions),
         extract_strategy=c.get("extract_strategy", fallback.extract_strategy),
         store_text=c.get("store_text", fallback.store_text),
+        fields=tuple(c.get("fields", fallback.fields)),
         build_partitions=fallback.build_partitions,  # runtime knob, not layout
     )
 

@@ -287,6 +287,110 @@ def normalize_query(tree_or_string, expand_prefix, expand_fuzzy) -> dict:
     return expand_leaves(t, expand_prefix, expand_fuzzy)
 
 
+# ------------------------------------------------------------------ fielded --
+def attach_field_stats(node: dict, field_stats: dict) -> dict:
+    """Give field-qualified leaves their field's BM25 normalization: a term
+    leaf `title:foo` (or a phrase whose every slot shares one field prefix)
+    gets `avgdl` = that field's average length from stats.json["fields"].
+    Leaves without a known field prefix keep the index-global avgdl.
+    Explicit `avgdl` on a leaf is never overwritten."""
+    if not field_stats:
+        return node
+    k = node["kind"]
+    if k == "term":
+        if "avgdl" not in node:
+            f = node["term"].partition(":")[0]
+            if f in field_stats and ":" in node["term"]:
+                return {**node, "avgdl": float(field_stats[f]["avgdl"])}
+        return node
+    if k == "phrase":
+        if "avgdl" not in node:
+            prefixes = {t.partition(":")[0] for t in node["terms"] if ":" in t}
+            if len(prefixes) == 1 and all(":" in t for t in node["terms"]):
+                f = next(iter(prefixes))
+                if f in field_stats:
+                    return {**node, "avgdl": float(field_stats[f]["avgdl"])}
+        return node
+    if k in ("and", "or"):
+        return {**node, "clauses": [attach_field_stats(c, field_stats) for c in node["clauses"]]}
+    if k == "not":
+        return {
+            **node,
+            "positive": attach_field_stats(node["positive"], field_stats),
+            "negative": attach_field_stats(node["negative"], field_stats),
+        }
+    return node
+
+
+def fielded_tree(
+    terms: list[str],
+    mode: str,
+    field_weights: dict[str, float],
+    field_stats: dict,
+    min_match: int = 0,
+) -> dict:
+    """BM25F-lite rewrite: a flat OR/AND query plus {field: weight} becomes
+    a boolean tree of field-qualified leaves —
+
+      OR :  or( per-term group, ... )[min_match over base terms]
+      AND:  and( per-term group, ... )
+
+    where each per-term group = or(`field:term`^weight per field). A doc's
+    score is the weighted sum of its per-field BM25 partials (weight scales
+    idf; dl/avgdl are the FIELD's), and AND requires every base term in at
+    least one field — Lucene BooleanQuery-over-fields semantics."""
+    unknown = [f for f in field_weights if f not in field_stats]
+    if unknown:
+        raise ValueError(
+            f"unknown fields {unknown!r} — index has {sorted(field_stats)}"
+        )
+    groups = []
+    for t in dict.fromkeys(terms):
+        leaves = [
+            {
+                "kind": "term",
+                "term": f"{f}:{t}",
+                "boost": float(w),
+                "avgdl": float(field_stats[f]["avgdl"]),
+            }
+            for f, w in field_weights.items()
+        ]
+        groups.append(leaves[0] if len(leaves) == 1 else {"kind": "or", "clauses": leaves})
+    if mode == "AND":
+        return groups[0] if len(groups) == 1 else {"kind": "and", "clauses": groups}
+    node = {"kind": "or", "clauses": groups}
+    if min_match and min_match > 1:
+        node["min_match"] = int(min_match)
+    return node if len(groups) > 1 or "min_match" in node else groups[0]
+
+
+def rewrite_fielded_rows(queries, field_stats: dict):
+    """Both query paths' driver-side rewrite: rows carrying a non-empty
+    `fields` {field: weight} map (modes OR/AND) become mode='BOOL' rows with
+    a fielded_tree in `tree`. Returns a frame without the `fields` column."""
+    import pandas as pd
+
+    if "fields" not in queries.columns:
+        return queries
+    queries = queries.copy()
+    if "tree" not in queries.columns:
+        queries["tree"] = None
+    for i in queries.index:
+        fw = queries.at[i, "fields"]
+        if not isinstance(fw, dict) or not fw:
+            continue
+        mode = queries.at[i, "mode"]
+        if mode not in ("OR", "AND"):
+            raise ValueError(f"`fields` applies to OR/AND queries, not {mode}")
+        mm_raw = queries.at[i, "min_match"] if "min_match" in queries.columns else 0
+        mm = int(mm_raw) if mm_raw is not None and not pd.isna(mm_raw) else 0
+        queries.at[i, "tree"] = fielded_tree(
+            list(queries.at[i, "terms"]), mode, fw, field_stats, min_match=mm
+        )
+        queries.at[i, "mode"] = "BOOL"
+    return queries.drop(columns=["fields"])
+
+
 # ---------------------------------------------------------------- evaluation --
 _EMPTY = (np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64))
 
@@ -318,21 +422,25 @@ def evaluate_shard(tree: dict, by_tid: dict) -> tuple[np.ndarray, np.ndarray]:
             decode_cache[tid] = None if tp is None else tp.decode_all()
         return decode_cache[tid]
 
-    def term_partial(tid: int):
-        """Base (docs, bm25_partial) for one term — computed once per tid,
-        leaf boosts scale a copy."""
-        if tid not in partial_cache:
+    def term_partial(tid: int, avgdl: float | None):
+        """Base (docs, bm25_partial) for one (term, normalization) — leaf
+        boosts scale a copy. avgdl: per-leaf override (fielded leaves use
+        their FIELD's average length)."""
+        key = (tid, avgdl)
+        if key not in partial_cache:
             dec = decoded(tid)
             if dec is None:
-                partial_cache[tid] = _EMPTY
+                partial_cache[key] = _EMPTY
             else:
                 from invoicenet_spark.index import bm25
 
                 tp = by_tid[tid]
                 docs, tfs, dls = dec
-                s = tp.idf * bm25.tf_score(tfs, dls, tp.avgdl, tp.k1, tp.b)
-                partial_cache[tid] = (docs, s)
-        return partial_cache[tid]
+                s = tp.idf * bm25.tf_score(
+                    tfs, dls, avgdl if avgdl is not None else tp.avgdl, tp.k1, tp.b
+                )
+                partial_cache[key] = (docs, s)
+        return partial_cache[key]
 
     def ev(node: dict) -> tuple[np.ndarray, np.ndarray]:
         k = node["kind"]
@@ -340,7 +448,8 @@ def evaluate_shard(tree: dict, by_tid: dict) -> tuple[np.ndarray, np.ndarray]:
             tid = int(node.get("tid", -1))
             if tid < 0 or tid not in by_tid:
                 return _EMPTY
-            docs, s = term_partial(tid)
+            avgdl = node.get("avgdl")
+            docs, s = term_partial(tid, float(avgdl) if avgdl is not None else None)
             boost = float(node.get("boost", 1.0))
             return (docs, s * boost if boost != 1.0 else s.copy())
         if k == "phrase":
@@ -360,7 +469,11 @@ def evaluate_shard(tree: dict, by_tid: dict) -> tuple[np.ndarray, np.ndarray]:
                 )
             if match.size == 0:
                 return _EMPTY
-            s = kernels.bm25_scores_at(plists, dec, match)
+            avgdl = node.get("avgdl")
+            s = kernels.bm25_scores_at(
+                plists, dec, match,
+                avgdl_override=float(avgdl) if avgdl is not None else None,
+            )
             boost = float(node.get("boost", 1.0))
             return (match, s * boost if boost != 1.0 else s)
         if k == "and":

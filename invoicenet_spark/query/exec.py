@@ -309,10 +309,13 @@ def _normalize_bool_rows(index: Index, qpd: pd.DataFrame) -> tuple[pd.DataFrame,
                     "query string in `terms`"
                 )
             raw = ts[0]
-        expanded[i] = booltree.normalize_query(
-            raw,
-            lambda ps: expand_prefix_terms(index, ps),
-            lambda ts_, e: expand_fuzzy_terms(index, ts_, e),
+        expanded[i] = booltree.attach_field_stats(
+            booltree.normalize_query(
+                raw,
+                lambda ps: expand_prefix_terms(index, ps),
+                lambda ts_, e: expand_fuzzy_terms(index, ts_, e),
+            ),
+            index.stats.get("fields") or {},
         )
     needed = set().union(*(booltree.leaf_terms(t) for t in expanded.values()))
     local = index.local_dict()
@@ -527,8 +530,10 @@ def search(
             ).alias("has_after"),
         ).collect()
         spark_modes = {r["mode"] for r in flag_rows}
-        if spark_modes & {"PREFIX", "FUZZY", "BOOL"} or any(
-            r["has_boost"] for r in flag_rows
+        if (
+            spark_modes & {"PREFIX", "FUZZY", "BOOL"}
+            or "fields" in qcols
+            or any(r["has_boost"] for r in flag_rows)
         ):
             qpd = qdf.toPandas()
         else:
@@ -546,6 +551,7 @@ def search(
         qpd = qparse.rewrite_expansion_rows(
             qpd, "FUZZY", lambda ts, e: expand_fuzzy_terms(index, ts, e)
         )
+        qpd = booltree.rewrite_fielded_rows(qpd, index.stats.get("fields") or {})
         qpd, bool_positional = _normalize_bool_rows(index, qpd)
         qpd = qpd.drop(columns=[c for c in ("max_edits",) if c in qpd.columns])
         qpd = _sanitize_optional_columns(parse_term_boosts(qpd))

@@ -256,18 +256,21 @@ def bm25_scores_at(
     plists: list[TermPostings],
     decoded,
     match_arr: np.ndarray,
+    avgdl_override: float | None = None,
 ) -> np.ndarray:
     """BM25 over the query's distinct terms (a slot's term may repeat),
     restricted to the proximity-matching docs; accumulated in deterministic
     term_id order. Standard semantics: proximity is a FILTER, scoring stays
     plain BM25 (shared by PHRASE and NEAR, and by boolean-tree proximity
-    leaves which need the full match list, not a top-k)."""
+    leaves which need the full match list, not a top-k). avgdl_override:
+    fielded phrase leaves normalize by their FIELD's average length."""
     scores = np.zeros(match_arr.size, dtype=np.float64)
     by_tid = {int(tp.row["term_id"]): (tp, dec) for tp, dec in zip(plists, decoded)}
     for tid in sorted(by_tid):
         tp, (docs_i, tfs_i, dls_i) = by_tid[tid]
         j = np.searchsorted(docs_i, match_arr)
-        scores += tp.idf * bm25.tf_score(tfs_i[j], dls_i[j], tp.avgdl, tp.k1, tp.b)
+        avgdl = avgdl_override if avgdl_override is not None else tp.avgdl
+        scores += tp.idf * bm25.tf_score(tfs_i[j], dls_i[j], avgdl, tp.k1, tp.b)
     return scores
 
 

@@ -611,6 +611,7 @@ def search_local(
     queries = qparse.rewrite_expansion_rows(
         queries, "FUZZY", lambda ts, e: li.expand_fuzzy(ts, e)
     )
+    queries = booltree.rewrite_fielded_rows(queries, stats.get("fields") or {})
     bool_positional = False
     if (queries["mode"] == "BOOL").any():
         # boolean trees: parse/expand driver-side (same normalize as the
@@ -629,8 +630,11 @@ def search_local(
                         "query string in `terms`"
                     )
                 raw = ts[0]
-            tree = booltree.normalize_query(
-                raw, li.expand_prefixes, lambda ts_, e: li.expand_fuzzy(ts_, e)
+            tree = booltree.attach_field_stats(
+                booltree.normalize_query(
+                    raw, li.expand_prefixes, lambda ts_, e: li.expand_fuzzy(ts_, e)
+                ),
+                stats.get("fields") or {},
             )
             queries.at[i, "tree"] = tree
             queries.at[i, "terms"] = sorted(booltree.leaf_terms(tree))

@@ -1,0 +1,179 @@
+"""Fielded search (BM25F-lite): per-field postings via field-qualified
+dictionary keys, per-field length normalization, query-time field weights —
+pinned against a hand-computed reference on BOTH query paths, plus the
+html title/body extraction path."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from invoicenet_spark.config import EngineConfig
+from invoicenet_spark.query.exec import load_index, search
+from invoicenet_spark.query.local import search_local
+
+CFG = EngineConfig(
+    shard_size=32, block_size=8, build_partitions=4, fields=("title", "body")
+)
+BIG = 100_000
+
+# (url_int, title, body) — titles short, bodies long, deliberate overlaps
+DOCS = [
+    (0, "spark engine", "query engine for big data spark spark"),
+    (1, "query planner", "spark spark spark planner internals"),
+    (2, "window functions", "query window partition order"),
+    (3, "", "spark only in body no title here"),
+    (4, "spark spark spark", "unrelated text about nothing"),
+    (5, "data systems", "window query window query window"),
+]
+
+
+@pytest.fixture(scope="module")
+def fielded_idx(spark, tmp_path_factory):
+    from invoicenet_spark.index.build import build_index
+
+    pages = spark.createDataFrame(
+        [(f"{d:012d}", t, b, "en") for d, t, b in DOCS],
+        "url string, title string, body string, lang string",
+    )
+    root = str(tmp_path_factory.mktemp("fielded_idx") / "index")
+    build_index(spark, pages, root, CFG, use_stored_text=True)
+    return root, load_index(spark, root)
+
+
+def _toks(s):
+    return [t for t in s.lower().split() if t]
+
+
+def _field_stats():
+    """Per-field (avgdl over docs with a non-empty field, df per term)."""
+    out = {}
+    for fi, fname in ((1, "title"), (2, "body")):
+        lens = [len(_toks(d[fi])) for d in DOCS if _toks(d[fi])]
+        df = {}
+        for d in DOCS:
+            for t in set(_toks(d[fi])):
+                df[t] = df.get(t, 0) + 1
+        out[fname] = (sum(lens) / len(lens), df)
+    return out
+
+
+def _brute_fielded(terms, weights, mode="OR"):
+    """Expected {url_int: score}: weighted sum of per-field BM25 partials;
+    AND = every base term present in >= 1 weighted field."""
+    N = len(DOCS)
+    st = _field_stats()
+    out = {}
+    for d, title, body in DOCS:
+        fields = {"title": _toks(title), "body": _toks(body)}
+        score, matched_terms = 0.0, set()
+        for t in terms:
+            for fname, w in weights.items():
+                toks = fields[fname]
+                tf = toks.count(t)
+                if tf == 0:
+                    continue
+                avgdl, dfs = st[fname]
+                idf = math.log((N - dfs[t] + 0.5) / (dfs[t] + 0.5) + 1.0)
+                score += w * idf * tf * 2.2 / (
+                    tf + 1.2 * (1 - 0.75 + 0.75 * len(toks) / avgdl)
+                )
+                matched_terms.add(t)
+        if mode == "AND" and matched_terms != set(terms):
+            continue
+        if matched_terms:
+            out[d] = score
+    return out
+
+
+def test_fielded_stats_persisted(fielded_idx):
+    root, idx = fielded_idx
+    st = _field_stats()
+    assert set(idx.stats["fields"]) == {"title", "body"}
+    assert idx.stats["fields"]["title"]["avgdl"] == pytest.approx(st["title"][0])
+    assert idx.stats["fields"]["body"]["avgdl"] == pytest.approx(st["body"][0])
+    assert idx.stats["fields"]["title"]["n_docs"] == 5  # doc 3 has no title
+
+
+@pytest.mark.parametrize(
+    "terms,weights,mode",
+    [
+        (["spark"], {"title": 2.0, "body": 1.0}, "OR"),
+        (["spark", "query"], {"title": 2.0, "body": 1.0}, "OR"),
+        (["spark", "query"], {"title": 3.0, "body": 0.5}, "AND"),
+        (["window"], {"title": 1.0}, "OR"),  # title-only search
+        (["spark", "window"], {"body": 1.0}, "AND"),
+    ],
+)
+def test_fielded_scores_both_paths(spark, fielded_idx, terms, weights, mode):
+    root, idx = fielded_idx
+    q = pd.DataFrame(
+        [{"query_id": 1, "terms": terms, "mode": mode, "k": BIG, "fields": weights}]
+    )
+    got = search(spark, idx, q).toPandas()
+    loc = search_local(root, q)
+    assert got["doc_id"].tolist() == loc["doc_id"].astype("int64").tolist()
+    np.testing.assert_array_equal(got["score"].to_numpy(), loc["score"].to_numpy())
+
+    expect = _brute_fielded(terms, weights, mode)
+    got_map = dict(zip(got["url"].astype(int), got["score"]))
+    assert set(got_map) == set(expect), (terms, weights, mode)
+    for d in expect:
+        assert got_map[d] == pytest.approx(expect[d], rel=1e-9), (d, terms)
+
+
+def test_fielded_grammar_leaves(spark, fielded_idx):
+    """`title:spark^2 OR body:query` through the BOOL grammar — field
+    prefixes resolve against the per-field dictionary and pick up their
+    field's avgdl automatically."""
+    root, idx = fielded_idx
+    q = pd.DataFrame(
+        [{"query_id": 1, "terms": ["title:spark^2 OR body:query"], "mode": "BOOL", "k": BIG}]
+    )
+    got = search(spark, idx, q).toPandas()
+    expect = _brute_fielded(["spark"], {"title": 2.0}, "OR")
+    for d, s in _brute_fielded(["query"], {"body": 1.0}, "OR").items():
+        expect[d] = expect.get(d, 0.0) + s
+    got_map = dict(zip(got["url"].astype(int), got["score"]))
+    assert set(got_map) == set(expect)
+    for d in expect:
+        assert got_map[d] == pytest.approx(expect[d], rel=1e-9)
+    loc = search_local(root, q)
+    np.testing.assert_array_equal(got["score"].to_numpy(), loc["score"].to_numpy())
+
+
+def test_fielded_html_extraction(spark, tmp_path):
+    """fields=('title','body') over raw html: <title> feeds the title field,
+    strip_tags of the whole page feeds body (title text included — the
+    standard web-search choice)."""
+    from invoicenet_spark.index.build import build_index
+
+    pages = spark.createDataFrame(
+        [
+            (
+                "000000000000",
+                "<html><head><title>Spark &amp; Friends</title></head>"
+                "<body><p>query engine internals</p></body></html>".encode(),
+                "en",
+            ),
+            (
+                "000000000001",
+                b"<html><head><title>Other</title></head><body>window things</body></html>",
+                "en",
+            ),
+        ],
+        "url string, html binary, lang string",
+    )
+    cfg = EngineConfig(shard_size=32, block_size=8, build_partitions=2, fields=("title", "body"))
+    root = str(tmp_path / "html_fielded")
+    build_index(spark, pages, root, cfg)
+    idx = load_index(spark, root)
+    terms = {r["term"] for r in idx.terms.collect()}
+    assert "title:spark" in terms and "title:friends" in terms  # entity decoded
+    assert "body:query" in terms and "body:spark" in terms  # title rides body too
+    q = pd.DataFrame(
+        [{"query_id": 1, "terms": ["spark"], "mode": "OR", "k": 10, "fields": {"title": 1.0}}]
+    )
+    got = search(spark, idx, q).toPandas()
+    assert got["url"].tolist() == ["000000000000"]
