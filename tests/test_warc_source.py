@@ -104,6 +104,118 @@ def test_build_index_over_warc(spark, tmp_path):
     assert len(res) == 5
 
 
+def test_member_index_spans_cover_archive(tmp_path):
+    from invoicenet_spark.sources.warc import index_warc_members
+
+    p = str(tmp_path / "t.warc.gz")
+    write_warc(_records() * 7, p, gzip_per_record=True)
+    data = open(p, "rb").read()
+    spans = index_warc_members(data)
+    assert len(spans) == 21  # one member per record
+    # contiguous, exhaustive cover
+    pos = 0
+    for start, length in spans:
+        assert start == pos and length > 0
+        pos += length
+    assert pos == len(data)
+    # any span group parses standalone (member boundary == record boundary)
+    got = list(parse_warc(data[spans[3][0] : spans[5][0] + spans[5][1]]))
+    assert [u for u, _, _ in got] == [u for u, _, _ in (_records() * 7)[3:6]]
+    # non-gzip input: one whole-file span
+    raw = str(tmp_path / "t.warc")
+    write_warc(_records(), raw)
+    assert index_warc_members(open(raw, "rb").read()) == [
+        (0, os.path.getsize(raw))
+    ]
+
+
+def test_split_read_matches_whole_file_and_uses_many_tasks(spark, tmp_path):
+    """Sub-file splitting (records_per_task): one big archive → many byte-
+    range tasks, rows identical to the whole-file path, and the index built
+    from the split read is byte-identical to the whole-file one."""
+    from invoicenet_spark.sources.warc import warc_split_ranges
+
+    d = str(tmp_path / "arch")
+    os.makedirs(d)
+    recs = [
+        (f"https://site.example/{i}", "2024-01-01T00:00:00Z",
+         f"<html><body><p>the common crawl page number {i} about the quick fox</p></body></html>".encode())
+        for i in range(50)
+    ]
+    write_warc(recs, os.path.join(d, "seg.warc.gz"), gzip_per_record=True)
+
+    ranges = warc_split_ranges(spark, d, records_per_task=8).collect()
+    assert len(ranges) == 7  # ceil(50/8) byte-range tasks from ONE archive
+
+    whole = read_warc_pages(spark, d).orderBy("url").collect()
+    split = read_warc_pages(spark, d, records_per_task=8).orderBy("url").collect()
+    assert [r.asDict() for r in split] == [r.asDict() for r in whole]
+
+    # e2e: byte-identical postings from either read path
+    from invoicenet_spark.config import EngineConfig
+    from invoicenet_spark.index.build import build_index
+
+    cfg = EngineConfig(shard_size=32, block_size=8, build_partitions=2)
+    outs = []
+    for label, rpt in (("whole", None), ("split", 8)):
+        out = str(tmp_path / f"idx_{label}")
+        build_index(
+            spark, read_warc_pages(spark, d, records_per_task=rpt), out, cfg,
+            use_stored_text=True,
+        )
+        outs.append(out)
+
+    def postings_bytes(root):
+        import pyarrow.dataset as ds
+
+        t = ds.dataset(
+            os.path.join(root, "postings"), format="parquet", partitioning="hive"
+        ).to_table().sort_by([("shard", "ascending"), ("term_id", "ascending")])
+        return t.to_pandas().to_csv(index=False)
+
+    assert postings_bytes(outs[0]) == postings_bytes(outs[1])
+
+
+def test_chunk_sync_split_matches_whole_file(spark, tmp_path):
+    """Arbitrary-offset splitting (split_bytes): tasks sync on CRC-verified
+    member boundaries, every member is owned by exactly one chunk, and the
+    union equals the whole-archive parse — across many chunk sizes so
+    boundaries land mid-member, mid-header, and exactly on members."""
+    from invoicenet_spark.sources.warc import parse_warc_chunk
+
+    d = str(tmp_path / "arch")
+    os.makedirs(d)
+    recs = [
+        (f"https://site.example/{i}", "2024-01-01T00:00:00Z",
+         (f"<html><body><p>page {i} " + "filler " * (i % 17) + "</p></body></html>").encode())
+        for i in range(60)
+    ]
+    p = os.path.join(d, "seg.warc.gz")
+    write_warc(recs, p, gzip_per_record=True)
+    size = os.path.getsize(p)
+    expect = [u for u, _, _ in recs]
+
+    # pure-python chunk walk at several awkward chunk sizes
+    for nchunks in (2, 3, 7, 13):
+        step = max(1, size // nchunks)
+        got = []
+        for s in range(0, size, step):
+            got += [u for u, _, _ in parse_warc_chunk(p, s, min(s + step, size))]
+        assert sorted(got) == sorted(expect), f"nchunks={nchunks}"
+
+    # through Spark: rows identical to the whole-file path
+    whole = read_warc_pages(spark, d).orderBy("url").collect()
+    split = read_warc_pages(spark, d, split_bytes=size // 5).orderBy("url").collect()
+    assert [r.asDict() for r in split] == [r.asDict() for r in whole]
+
+    # non-gzip archive: task 0 owns the file, other chunks contribute nothing
+    raw_d = str(tmp_path / "raw")
+    os.makedirs(raw_d)
+    write_warc(recs[:10], os.path.join(raw_d, "seg.warc"))
+    raw_rows = read_warc_pages(spark, raw_d, split_bytes=1024).orderBy("url").collect()
+    assert [r["url"] for r in raw_rows] == sorted(u for u, _, _ in recs[:10])
+
+
 def test_parse_tolerates_gzip_trailing_garbage_and_bad_dates(spark, tmp_path):
     """Crawl-data reality: trailing junk after gzip members and malformed
     WARC-Date headers must not fail the archive's task."""
