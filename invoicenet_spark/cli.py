@@ -39,6 +39,36 @@ def main(argv=None):
                    help="comma-separated field names for a fielded (BM25F) index, "
                         "e.g. 'title,body'; pages must carry one text column per "
                         "field (or html with fields=title,body)")
+    b.add_argument("--range", default=None, dest="doc_range",
+                   help="multi-executor recipe: build ONLY docID range lo:hi "
+                        "(shard-aligned) against --global-root's doc table + "
+                        "dictionary; ranges merge with the `merge` subcommand")
+    b.add_argument("--global-root", default=None,
+                   help="global-artifacts dir from `prepare` (required with --range)")
+
+    pr = sub.add_parser(
+        "prepare",
+        help="phase 0 of a range-partitioned multi-executor build: write the "
+             "doc-id table + term dictionary (the only shared state) to --out",
+    )
+    pr.add_argument("--pages", required=True)
+    pr.add_argument("--out", required=True)
+    pr.add_argument("--use-stored-text", action="store_true")
+    pr.add_argument("--cores", type=int, default=None)
+    pr.add_argument("--shard-size", type=int, default=None)
+    pr.add_argument("--with-positions", action="store_true")
+    pr.add_argument("--store-text", action="store_true")
+    pr.add_argument("--fields", default=None)
+
+    mg = sub.add_parser(
+        "merge",
+        help="concatenate range builds into the final index (disjoint shard "
+             "sets + one finalize; no posting bytes move)",
+    )
+    mg.add_argument("--ranges", required=True, help="comma-separated range build dirs")
+    mg.add_argument("--global-root", required=True)
+    mg.add_argument("--out", required=True)
+    mg.add_argument("--cores", type=int, default=None)
 
     u = sub.add_parser("update", help="incremental update from a snapshot table")
     u.add_argument("--table", required=True)
@@ -170,20 +200,53 @@ def main(argv=None):
         cfg_kwargs["with_positions"] = True
     if getattr(args, "store_text", False):
         cfg_kwargs["store_text"] = True
-    if getattr(args, "fields", None) and args.cmd in ("build", "update", "bench-build"):
+    if getattr(args, "fields", None) and args.cmd in ("build", "update", "bench-build", "prepare"):
         cfg_kwargs["fields"] = tuple(args.fields.split(","))
     cfg = EngineConfig(**cfg_kwargs)
 
     if args.cmd == "build":
-        from invoicenet_spark.index.build import build_index
+        from invoicenet_spark.index.build import build_index, build_index_range
 
         pages = spark.read.parquet(args.pages)
         t0 = time.time()
-        build_index(
-            spark, pages, args.out, cfg, resume=args.resume,
-            use_stored_text=args.use_stored_text,
+        if args.doc_range is not None:
+            if not args.global_root:
+                raise SystemExit("--range needs --global-root (see `prepare`)")
+            lo, _, hi = args.doc_range.partition(":")
+            res = build_index_range(
+                spark, pages, args.global_root, args.out, int(lo), int(hi),
+                cfg, use_stored_text=args.use_stored_text,
+            )
+            print(json.dumps({
+                "cmd": "build-range", "range": [int(lo), int(hi)],
+                "shards": res["shards"], "n_docs": res["n_docs"],
+                "seconds": round(time.time() - t0, 3),
+            }))
+        else:
+            build_index(
+                spark, pages, args.out, cfg, resume=args.resume,
+                use_stored_text=args.use_stored_text,
+            )
+            print(json.dumps({"cmd": "build", "seconds": round(time.time() - t0, 3)}))
+
+    elif args.cmd == "prepare":
+        from invoicenet_spark.index.build import prepare_global_artifacts
+
+        pages = spark.read.parquet(args.pages)
+        t0 = time.time()
+        prepare_global_artifacts(
+            spark, pages, args.out, cfg, use_stored_text=args.use_stored_text
         )
-        print(json.dumps({"cmd": "build", "seconds": round(time.time() - t0, 3)}))
+        print(json.dumps({"cmd": "prepare", "seconds": round(time.time() - t0, 3)}))
+
+    elif args.cmd == "merge":
+        from invoicenet_spark.index.build import merge_range_builds
+
+        t0 = time.time()
+        merge_range_builds(
+            spark, args.ranges.split(","), args.global_root, args.out, cfg
+        )
+        print(json.dumps({"cmd": "merge", "seconds": round(time.time() - t0, 3)}))
 
     elif args.cmd == "update":
         from invoicenet_spark.sources.snapshots import SnapshotTable

@@ -167,13 +167,19 @@ def lsh_candidate_pairs(
     seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Blocking stage for embedding near-dup at scale: (id_a, id_b) pairs
     that collide in ANY of the multi-table LSH buckets — one signature pass
     per table (vectorized UDF), a self-join per (tbl, bucket), distinct.
     Work ∝ Σ bucket_occupancy², never n²; recall follows the multi-table
-    contract (ann_recall_curve / BENCH/ANN_RECALL.json)."""
-    dim = len(embeddings.select(vec_col).first()[0])
+    contract (ann_recall_curve / BENCH/ANN_RECALL.json).
+
+    dim: embedding dimensionality; pass it (or use a fixed-width vector
+    schema) to keep the call purely lazy — the `.first()` fallback costs
+    one driver job per call just to learn the width."""
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
     tables = F.array(
         *[
             F.struct(

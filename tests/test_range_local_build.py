@@ -106,3 +106,47 @@ def test_range_builds_concatenate_to_single_build(spark, tmp_path):
     rm = [(r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
           for r in search(spark, idx_m, q).collect()]
     assert sorted(rf) == sorted(rm)
+
+
+def test_range_build_cli_turnkey(spark, tmp_path, capsys):
+    """The turnkey multi-executor recipe through the CLI: prepare →
+    build --range lo:hi (per executor group) → merge; the merged index
+    answers queries rank-identically to a direct single build."""
+    from invoicenet_spark.cli import main as cli_main
+
+    pages = gen_pages_spark(spark, 240, seed=42, partitions=4)
+    pages_path = str(tmp_path / "pages")
+    pages.write.parquet(pages_path)
+
+    g = str(tmp_path / "global")
+    # --cores 4 == CFG.build_partitions: docID assignment buckets by
+    # pmod(xxhash64(url), P), so P is part of the id-assignment layout
+    cli_main(["prepare", "--pages", pages_path, "--out", g,
+              "--shard-size", "64", "--cores", "4"])
+    docs = spark.read.parquet(IndexPaths(g).docs)
+    for i, (lo, hi) in enumerate([(0, 128), (128, 256)]):
+        # range-partitioned input slice (what an Iceberg table hands a host)
+        sp = str(tmp_path / f"pages_r{i}")
+        pages.join(
+            docs.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)).select("url"),
+            "url",
+        ).write.parquet(sp)
+        cli_main([
+            "build", "--pages", sp, "--out", str(tmp_path / f"r{i}"),
+            "--range", f"{lo}:{hi}", "--global-root", g,
+        ])
+    cli_main([
+        "merge", "--ranges", f"{tmp_path}/r0,{tmp_path}/r1",
+        "--global-root", g, "--out", str(tmp_path / "merged_cli"),
+    ])
+    out_lines = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
+    assert any('"cmd": "merge"' in l for l in out_lines)
+
+    full = str(tmp_path / "full_direct")
+    build_index(spark, pages, full, CFG)
+    q = gen_queries(15, seed=42)
+    rf = [(r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+          for r in search(spark, load_index(spark, full), q).collect()]
+    rm = [(r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+          for r in search(spark, load_index(spark, str(tmp_path / "merged_cli")), q).collect()]
+    assert sorted(rf) == sorted(rm) and len(rf) > 0
