@@ -193,6 +193,52 @@ def parse(s: str) -> dict:
 
 
 # ------------------------------------------------------------- tree helpers --
+def positive_leaf_terms(node: dict) -> set[str]:
+    """Leaf terms a MATCHING doc can actually contain — negative subtrees
+    excluded (a must_not term never appears in a result doc) and field
+    prefixes stripped (the doc's text holds the bare token). This is the
+    highlight-term set snippets use for BOOL queries. prefix/fuzzy leaves
+    contribute their base string (best-effort when unexpanded)."""
+    k = node["kind"]
+    if k == "term":
+        return {node["term"].partition(":")[2] or node["term"]}
+    if k == "phrase":
+        return {t.partition(":")[2] or t for t in node["terms"]}
+    if k == "prefix":
+        return {node["prefix"]}
+    if k == "fuzzy":
+        return {node["term"]}
+    if k in ("and", "or"):
+        out: set[str] = set()
+        for c in node["clauses"]:
+            out |= positive_leaf_terms(c)
+        return out
+    if k == "not":
+        return positive_leaf_terms(node["positive"])
+    return set()
+
+
+def highlight_terms_for_row(row) -> list[str]:
+    """Terms to highlight for one query row (any mode): BOOL rows parse
+    their tree/grammar and keep only positive leaves; flat rows keep their
+    term list (boost suffixes handled by the snippet highlighter)."""
+    mode = row.get("mode") if hasattr(row, "get") else row["mode"]
+    if mode != "BOOL":
+        return list(row["terms"])
+    raw = None
+    try:
+        raw = row.get("tree") if hasattr(row, "get") else row["tree"]
+    except (KeyError, IndexError):
+        raw = None
+    if raw is None or (isinstance(raw, float)):
+        ts = row["terms"]
+        raw = ts[0] if len(ts) == 1 else None
+    if raw is None:
+        return []
+    if isinstance(raw, str):
+        t = raw.strip()
+        raw = json.loads(t) if t.startswith("{") else parse(t)
+    return sorted(positive_leaf_terms(raw))
 def _children(node: dict):
     k = node["kind"]
     if k in ("and", "or"):

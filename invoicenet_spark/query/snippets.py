@@ -135,7 +135,13 @@ def attach_snippets_local(
     ids = sorted(set(int(d) for d in out["doc_id"]))
     tbl = dset.to_table(columns=["doc_id", "text"], filter=ds.field("doc_id").isin(ids))
     texts = dict(zip(tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()))
-    terms_by_qid = {int(r["query_id"]): list(r["terms"]) for _, r in queries.iterrows()}
+    from invoicenet_spark.query.booltree import highlight_terms_for_row
+
+    # BOOL rows highlight their tree's POSITIVE leaf terms (field prefixes
+    # stripped); flat rows highlight their term list as before
+    terms_by_qid = {
+        int(r["query_id"]): highlight_terms_for_row(r) for _, r in queries.iterrows()
+    }
     pat = _stored_text_pattern(li.stats)
     out["snippet"] = [
         make_snippet(
@@ -169,8 +175,12 @@ def attach_snippets(
             "snippets need stored text — build the index with "
             "EngineConfig(store_text=True) / --store-text"
         )
+    from invoicenet_spark.query.booltree import highlight_terms_for_row
+
     pat = _stored_text_pattern(index.stats)
-    qterms = spark.createDataFrame(queries[["query_id", "terms"]])
+    qhl = queries[["query_id"]].copy()
+    qhl["terms"] = [highlight_terms_for_row(r) for _, r in queries.iterrows()]
+    qterms = spark.createDataFrame(qhl)
 
     @pandas_udf("string")
     def snip(text: pd.Series, terms: pd.Series) -> pd.Series:

@@ -40,6 +40,43 @@ def test_query_plan_broadcasts_query_side(spark, built):
     assert "BroadcastHashJoin" in plan
 
 
+def test_bool_query_plan_keeps_pushed_probe(spark, built):
+    """Boolean trees ride the SAME pruned probe: leaf term_ids reach the
+    postings scan as a pushed IN-filter, and a non-positional BOOL batch
+    prunes the position columns from the scan."""
+    terms = [r["term"] for r in built.terms.limit(3).collect()]
+    q = pd.DataFrame([{
+        "query_id": 1, "terms": [f"({terms[0]} AND {terms[1]}) OR {terms[2]}"],
+        "mode": "BOOL", "k": 10,
+    }])
+    plan = _plan(search(spark, built, q, with_url=False))
+    assert "PushedFilters: [In(term_id" in plan, plan[:2000]
+    assert "pos_blob" not in plan  # no positional leaves -> pruned scan
+
+
+def test_fielded_query_plan_keeps_pushed_probe(spark, tmp_path):
+    """Fielded (BM25F) queries keep the pushed near-point-lookup probe —
+    field qualification lives in the dictionary key, not the plan shape."""
+    cfg = EngineConfig(
+        shard_size=64, block_size=16, build_partitions=4, fields=("title", "body")
+    )
+    pages = spark.createDataFrame(
+        [(f"{i:012d}", f"title {i} spark", f"body text number {i} query spark", "en")
+         for i in range(80)],
+        "url string, title string, body string, lang string",
+    )
+    out = str(tmp_path / "fielded_plan_idx")
+    build_index(spark, pages, out, cfg, use_stored_text=True)
+    idx = load_index(spark, out)
+    q = pd.DataFrame([{
+        "query_id": 1, "terms": ["spark", "query"], "mode": "OR", "k": 10,
+        "fields": {"title": 2.0, "body": 1.0},
+    }])
+    plan = _plan(search(spark, idx, q, with_url=False))
+    assert "PushedFilters: [In(term_id" in plan, plan[:2000]
+    assert "pos_blob" not in plan
+
+
 def test_build_plan_pushes_lang_filter(spark, tmp_path):
     """Language gate must push to the pages scan (column pruning + filter)."""
     pages_path = str(tmp_path / "pages")

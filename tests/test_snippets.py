@@ -93,6 +93,36 @@ def test_snippets_end_to_end(spark, tmp_path):
     assert list(empty.columns)[-1] == "snippet" and len(empty) == 0
 
 
+def test_snippets_over_bool_queries(spark, tmp_path):
+    """BOOL rows highlight their tree's POSITIVE leaf terms: negated terms
+    never mark (they cannot appear in a matching doc), grammar strings and
+    tree dicts both resolve, on both paths."""
+    rows = [
+        ("u1", "The spark engine shuffles data across the cluster quickly"),
+        ("u2", "A window function and a spark join walk into a bar"),
+        ("u3", "A lonely window watches the rain"),
+    ]
+    pages = spark.createDataFrame(
+        [(u, None, None, t, "en") for u, t in rows],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    root = str(tmp_path / "snip_bool_idx")
+    build_index(spark, pages, root, CFG, use_stored_text=True)
+    idx = load_index(spark, root)
+
+    q = pd.DataFrame(
+        [{"query_id": 1, "terms": ["(spark OR window) NOT join"], "mode": "BOOL", "k": 10}]
+    )
+    res = search(spark, idx, q)
+    got = attach_snippets(spark, idx, res, q).toPandas()
+    by_url = dict(zip(got["url"], got["snippet"]))
+    assert set(by_url) == {"u1", "u3"}  # u2 excluded by NOT join
+    assert "«spark»" in by_url["u1"]
+    assert "«window»" in by_url["u3"]
+    loc = attach_snippets_local(root, search_local(root, q), q)
+    assert sorted(loc["snippet"]) == sorted(got["snippet"])
+
+
 def test_snippets_survive_incremental_update(spark, tmp_path):
     from invoicenet_spark.sources.snapshots import SnapshotTable
     from invoicenet_spark.streaming.incremental import update_index
