@@ -320,9 +320,13 @@ def resolve_tids(node: dict, term_to_tid: dict[str, int]) -> dict:
     raise ValueError(f"unexpanded {k} leaf — call expand_leaves first")
 
 
-def normalize_query(tree_or_string, expand_prefix, expand_fuzzy) -> dict:
+def normalize_query(
+    tree_or_string, expand_prefix, expand_fuzzy, field_stats: dict | None = None
+) -> dict:
     """One driver-side entry for both paths: accept a tree dict, a JSON
-    string of one, or the string grammar; expand prefix/fuzzy leaves."""
+    string of one, or the string grammar; on a fielded index, qualify bare
+    leaves across all fields BEFORE dictionary expansion (prefix/fuzzy then
+    expand against the field-qualified keys); expand prefix/fuzzy leaves."""
     t = tree_or_string
     if isinstance(t, str):
         ts = t.strip()
@@ -330,7 +334,143 @@ def normalize_query(tree_or_string, expand_prefix, expand_fuzzy) -> dict:
             t = json.loads(ts)
         else:
             t = parse(ts)
+    if field_stats:
+        t = qualify_bare_leaves(t, field_stats)
     return expand_leaves(t, expand_prefix, expand_fuzzy)
+
+
+def qualify_bare_leaves(node: dict, field_stats: dict) -> dict:
+    """Fielded-index default (the Lucene MultiFieldQueryParser behavior): a
+    leaf WITHOUT a known field prefix expands to an OR over every field at
+    weight 1 — `spark` on a ('title','body') index means
+    `title:spark OR body:spark`, a bare phrase becomes an OR of per-field
+    phrase copies (a phrase never spans fields), and bare prefix/fuzzy
+    leaves become per-field leaves so dictionary expansion matches the
+    field-qualified keys. Explicitly qualified leaves pass through; a
+    phrase mixing qualified and bare slots is left as written (and can
+    only match its qualified slots' field)."""
+    k = node["kind"]
+
+    def _bare(term: str) -> bool:
+        return term.partition(":")[0] not in field_stats
+
+    if k == "term":
+        if not _bare(node["term"]):
+            return node
+        leaves = [{**node, "term": f"{f}:{node['term']}"} for f in field_stats]
+        return leaves[0] if len(leaves) == 1 else {"kind": "or", "clauses": leaves}
+    if k == "phrase":
+        if not all(_bare(t) for t in node["terms"]):
+            return node
+        copies = [
+            {**node, "terms": [f"{f}:{t}" for t in node["terms"]]}
+            for f in field_stats
+        ]
+        return copies[0] if len(copies) == 1 else {"kind": "or", "clauses": copies}
+    if k == "prefix":
+        if not _bare(node["prefix"]):
+            return node
+        leaves = [{**node, "prefix": f"{f}:{node['prefix']}"} for f in field_stats]
+        return leaves[0] if len(leaves) == 1 else {"kind": "or", "clauses": leaves}
+    if k == "fuzzy":
+        if not _bare(node["term"]):
+            return node
+        leaves = [{**node, "term": f"{f}:{node['term']}"} for f in field_stats]
+        return leaves[0] if len(leaves) == 1 else {"kind": "or", "clauses": leaves}
+    if k in ("and", "or"):
+        return {**node, "clauses": [qualify_bare_leaves(c, field_stats) for c in node["clauses"]]}
+    if k == "not":
+        return {
+            **node,
+            "positive": qualify_bare_leaves(node["positive"], field_stats),
+            "negative": qualify_bare_leaves(node["negative"], field_stats),
+        }
+    return node
+
+
+def flat_row_to_tree(row) -> dict:
+    """Rewrite one FLAT query row (any mode, with its modifiers) into the
+    equivalent bare-leaf boolean tree — how fielded indexes serve plain
+    queries: the bare leaves then qualify across all fields
+    (qualify_bare_leaves), so a fielded index is a drop-in replacement for
+    a single-field one at query time."""
+    import pandas as pd
+
+    def _get(name, default=None):
+        try:
+            v = row.get(name) if hasattr(row, "get") else row[name]
+        except (KeyError, IndexError):
+            return default
+        if v is None or (isinstance(v, float) and pd.isna(v)):
+            return default
+        return v
+
+    mode = row["mode"]
+    terms = list(row["terms"])
+    if mode == "PHRASE" or mode == "NEAR":
+        base = {
+            "kind": "phrase",
+            "terms": [t.partition("^")[0] for t in terms],
+            "slop": int(_get("slop", 0)) if mode == "NEAR" else 0,
+            "ordered": bool(_get("ordered", True)),
+            "boost": 1.0,
+        }
+    else:
+        if mode == "PREFIX":
+            leaves = [
+                {"kind": "prefix", "prefix": t.partition("^")[0]}
+                for t in dict.fromkeys(terms)
+            ]
+        elif mode == "FUZZY":
+            e = int(_get("max_edits", 1))
+            leaves = [
+                {"kind": "fuzzy", "term": t.partition("^")[0], "max_edits": e}
+                for t in dict.fromkeys(terms)
+            ]
+        else:  # OR / AND — _leaf_from_word keeps `term^2.5` boosts
+            leaves = [_leaf_from_word(t) for t in dict.fromkeys(terms)]
+        if mode == "AND":
+            base = leaves[0] if len(leaves) == 1 else {"kind": "and", "clauses": leaves}
+        else:
+            mm = int(_get("min_match", 0))
+            if len(leaves) == 1 and mm <= 1:
+                base = leaves[0]
+            else:
+                base = {"kind": "or", "clauses": leaves}
+                if mm > 1:
+                    base["min_match"] = mm
+    negs = _get("neg_terms")
+    if isinstance(negs, (list, tuple)) or (
+        negs is not None and hasattr(negs, "__len__") and not isinstance(negs, str)
+    ):
+        negs = [t for t in negs]
+        if negs:
+            nl = [{"kind": "term", "term": t, "boost": 1.0} for t in dict.fromkeys(negs)]
+            base = {
+                "kind": "not",
+                "positive": base,
+                "negative": nl[0] if len(nl) == 1 else {"kind": "or", "clauses": nl},
+            }
+    return base
+
+
+def auto_fielded_rows(queries):
+    """Fielded-index drop-in: every remaining FLAT row (no explicit `fields`
+    map — those were already rewritten) becomes a mode='BOOL' row whose
+    bare-leaf tree the normalize pipeline qualifies across all fields at
+    weight 1. Rows already BOOL pass through (their bare leaves qualify in
+    normalize)."""
+    queries = queries.copy()
+    if "tree" not in queries.columns:
+        queries["tree"] = None
+    for i in queries.index:
+        if queries.at[i, "mode"] == "BOOL":
+            continue
+        queries.at[i, "tree"] = flat_row_to_tree(queries.loc[i])
+        queries.at[i, "mode"] = "BOOL"
+    drop = [c for c in ("neg_terms", "min_match", "slop", "ordered", "max_edits")
+            if c in queries.columns]
+    return queries.drop(columns=drop)
 
 
 # ------------------------------------------------------------------ fielded --

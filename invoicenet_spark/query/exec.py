@@ -314,6 +314,7 @@ def _normalize_bool_rows(index: Index, qpd: pd.DataFrame) -> tuple[pd.DataFrame,
                 raw,
                 lambda ps: expand_prefix_terms(index, ps),
                 lambda ts_, e: expand_fuzzy_terms(index, ts_, e),
+                field_stats=index.stats.get("fields") or {},
             ),
             index.stats.get("fields") or {},
         )
@@ -533,6 +534,7 @@ def search(
         if (
             spark_modes & {"PREFIX", "FUZZY", "BOOL"}
             or "fields" in qcols
+            or index.stats.get("fields")  # fielded index: tree rewrite path
             or any(r["has_boost"] for r in flag_rows)
         ):
             qpd = qdf.toPandas()
@@ -545,13 +547,21 @@ def search(
             need_tree = False
             bool_positional = False
     if qpd is not None:
-        qpd = qparse.rewrite_expansion_rows(
-            qpd, "PREFIX", lambda ts, _e: expand_prefix_terms(index, ts)
-        )
-        qpd = qparse.rewrite_expansion_rows(
-            qpd, "FUZZY", lambda ts, e: expand_fuzzy_terms(index, ts, e)
-        )
-        qpd = booltree.rewrite_fielded_rows(qpd, index.stats.get("fields") or {})
+        field_stats = index.stats.get("fields") or {}
+        qpd = booltree.rewrite_fielded_rows(qpd, field_stats)
+        if field_stats:
+            # fielded index is a query-time drop-in: every remaining flat
+            # row becomes a bare-leaf tree that qualifies across all fields
+            # (PREFIX/FUZZY expansion then runs against the field-qualified
+            # dictionary inside the tree pipeline)
+            qpd = booltree.auto_fielded_rows(qpd)
+        else:
+            qpd = qparse.rewrite_expansion_rows(
+                qpd, "PREFIX", lambda ts, _e: expand_prefix_terms(index, ts)
+            )
+            qpd = qparse.rewrite_expansion_rows(
+                qpd, "FUZZY", lambda ts, e: expand_fuzzy_terms(index, ts, e)
+            )
         qpd, bool_positional = _normalize_bool_rows(index, qpd)
         qpd = qpd.drop(columns=[c for c in ("max_edits",) if c in qpd.columns])
         qpd = _sanitize_optional_columns(parse_term_boosts(qpd))

@@ -605,13 +605,19 @@ def search_local(
             "PHRASE/NEAR queries require a positional index "
             "(build with EngineConfig(with_positions=True) / --with-positions)"
         )
-    queries = qparse.rewrite_expansion_rows(
-        queries, "PREFIX", lambda ts, _e: li.expand_prefixes(ts)
-    )
-    queries = qparse.rewrite_expansion_rows(
-        queries, "FUZZY", lambda ts, e: li.expand_fuzzy(ts, e)
-    )
-    queries = booltree.rewrite_fielded_rows(queries, stats.get("fields") or {})
+    field_stats = stats.get("fields") or {}
+    queries = booltree.rewrite_fielded_rows(queries, field_stats)
+    if field_stats:
+        # fielded index = query-time drop-in: flat rows become bare-leaf
+        # trees that qualify across all fields in the normalize step
+        queries = booltree.auto_fielded_rows(queries)
+    else:
+        queries = qparse.rewrite_expansion_rows(
+            queries, "PREFIX", lambda ts, _e: li.expand_prefixes(ts)
+        )
+        queries = qparse.rewrite_expansion_rows(
+            queries, "FUZZY", lambda ts, e: li.expand_fuzzy(ts, e)
+        )
     bool_positional = False
     if (queries["mode"] == "BOOL").any():
         # boolean trees: parse/expand driver-side (same normalize as the
@@ -632,9 +638,10 @@ def search_local(
                 raw = ts[0]
             tree = booltree.attach_field_stats(
                 booltree.normalize_query(
-                    raw, li.expand_prefixes, lambda ts_, e: li.expand_fuzzy(ts_, e)
+                    raw, li.expand_prefixes, lambda ts_, e: li.expand_fuzzy(ts_, e),
+                    field_stats=field_stats,
                 ),
-                stats.get("fields") or {},
+                field_stats,
             )
             queries.at[i, "tree"] = tree
             queries.at[i, "terms"] = sorted(booltree.leaf_terms(tree))

@@ -143,6 +143,89 @@ def test_fielded_grammar_leaves(spark, fielded_idx):
     np.testing.assert_array_equal(got["score"].to_numpy(), loc["score"].to_numpy())
 
 
+def test_fielded_index_is_query_time_drop_in(spark, fielded_idx):
+    """Plain queries on a fielded index auto-qualify across all fields at
+    weight 1 (MultiFieldQueryParser default) — identical to explicit
+    {title: 1, body: 1} weights, with modifiers carried, on both paths."""
+    root, idx = fielded_idx
+    eq_w = {"title": 1.0, "body": 1.0}
+    for mode in ("OR", "AND"):
+        plain = pd.DataFrame(
+            [{"query_id": 1, "terms": ["spark", "query"], "mode": mode, "k": BIG}]
+        )
+        explicit = pd.DataFrame(
+            [{"query_id": 1, "terms": ["spark", "query"], "mode": mode, "k": BIG,
+              "fields": dict(eq_w)}]
+        )
+        a = search(spark, idx, plain).toPandas()
+        b = search(spark, idx, explicit).toPandas()
+        assert a["doc_id"].tolist() == b["doc_id"].tolist(), mode
+        np.testing.assert_array_equal(a["score"].to_numpy(), b["score"].to_numpy())
+        loc = search_local(root, plain)
+        np.testing.assert_array_equal(a["score"].to_numpy(), loc["score"].to_numpy())
+    # brute check too: plain AND == weighted-1 fielded AND
+    got = search(
+        spark, idx,
+        pd.DataFrame([{"query_id": 1, "terms": ["spark", "window"], "mode": "AND", "k": BIG}]),
+    ).toPandas()
+    expect = _brute_fielded(["spark", "window"], eq_w, "AND")
+    got_map = dict(zip(got["url"].astype(int), got["score"]))
+    assert set(got_map) == set(expect)
+    for d in expect:
+        assert got_map[d] == pytest.approx(expect[d], rel=1e-9)
+    # neg_terms carried through the auto rewrite
+    neg = search(
+        spark, idx,
+        pd.DataFrame([{"query_id": 1, "terms": ["spark"], "mode": "OR", "k": BIG,
+                       "neg_terms": ["window"]}]),
+    ).toPandas()
+    with_w = {d for d, t, b_ in DOCS if "window" in _toks(t) + _toks(b_)}
+    base = set(dict(zip(got["url"].astype(int), got["score"])))  # docs w/ spark+window
+    assert set(neg["url"].astype(int)) == set(
+        _brute_fielded(["spark"], eq_w, "OR")
+    ) - with_w
+    # bare grammar leaves qualify too
+    g = search(
+        spark, idx,
+        pd.DataFrame([{"query_id": 1, "terms": ["spark AND query"], "mode": "BOOL", "k": BIG}]),
+    ).toPandas()
+    expect_g = _brute_fielded(["spark", "query"], eq_w, "AND")
+    gm = dict(zip(g["url"].astype(int), g["score"]))
+    assert set(gm) == set(expect_g)
+    for d in expect_g:
+        assert gm[d] == pytest.approx(expect_g[d], rel=1e-9)
+
+
+def test_fielded_phrase_drop_in(spark, tmp_path):
+    """A bare PHRASE on a positional fielded index matches within EITHER
+    field (per-field phrase copies), never across the field boundary."""
+    from invoicenet_spark.index.build import build_index
+
+    cfg = EngineConfig(
+        shard_size=32, block_size=8, build_partitions=2,
+        fields=("title", "body"), with_positions=True,
+    )
+    pages = spark.createDataFrame(
+        [
+            ("000000000000", "alpha beta", "unrelated words here", "en"),
+            ("000000000001", "other title", "then alpha beta appears", "en"),
+            ("000000000002", "ends alpha", "beta starts the body", "en"),  # crosses fields
+            ("000000000003", "nothing", "relevant", "en"),
+        ],
+        "url string, title string, body string, lang string",
+    )
+    root = str(tmp_path / "fph")
+    build_index(spark, pages, root, cfg, use_stored_text=True)
+    idx = load_index(spark, root)
+    q = pd.DataFrame(
+        [{"query_id": 1, "terms": ["alpha", "beta"], "mode": "PHRASE", "k": 10}]
+    )
+    got = search(spark, idx, q).toPandas()
+    assert set(got["url"].astype(int)) == {0, 1}  # doc 2's cross-field pair no match
+    loc = search_local(root, q)
+    np.testing.assert_array_equal(got["score"].to_numpy(), loc["score"].to_numpy())
+
+
 def test_fielded_html_extraction(spark, tmp_path):
     """fields=('title','body') over raw html: <title> feeds the title field,
     strip_tags of the whole page feeds body (title text included — the
