@@ -663,6 +663,8 @@ def evaluate_shard(tree: dict, by_tid: dict) -> tuple[np.ndarray, np.ndarray]:
             boost = float(node.get("boost", 1.0))
             return (match, s * boost if boost != 1.0 else s)
         if k == "and":
+            if not node["clauses"]:
+                return _EMPTY
             parts = [ev(c) for c in node["clauses"]]
             docs = kernels.gallop_intersect([d for d, _ in parts])
             if docs.size == 0:

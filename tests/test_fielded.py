@@ -226,6 +226,56 @@ def test_fielded_phrase_drop_in(spark, tmp_path):
     np.testing.assert_array_equal(got["score"].to_numpy(), loc["score"].to_numpy())
 
 
+def test_fielded_incremental_update(spark, tmp_path):
+    """update_index on a fielded index: new docs index under the same
+    field-qualified layout (cfg.fields round-trips the manifest), per-field
+    stats re-derive over the union, and queries match a fresh full build."""
+    from invoicenet_spark.index.build import build_index
+    from invoicenet_spark.sources.snapshots import SnapshotTable
+    from invoicenet_spark.streaming.incremental import update_index
+
+    def pages_of(rows):
+        return spark.createDataFrame(
+            [(f"{d:012d}", t, b, "en") for d, t, b in rows],
+            "url string, title string, body string, lang string",
+        )
+
+    batch1, batch2 = DOCS[:4], DOCS[4:]
+    table = SnapshotTable(str(tmp_path / "pages"))
+    table.append(pages_of(batch1))
+    root = str(tmp_path / "idx")
+    update_index(spark, table, root, CFG, use_stored_text=True)  # cold start
+    table.append(pages_of(batch2))
+    res = update_index(spark, table, root, CFG, use_stored_text=True)
+    assert res["docs_added"] == len(batch2)
+
+    full_root = str(tmp_path / "full")
+    build_index(spark, pages_of(DOCS), full_root, CFG, use_stored_text=True)
+
+    idx_u, idx_f = load_index(spark, root), load_index(spark, full_root)
+    assert idx_u.stats["fields"]["title"]["avgdl"] == pytest.approx(
+        idx_f.stats["fields"]["title"]["avgdl"]
+    )
+    q = pd.DataFrame(
+        [{"query_id": 1, "terms": ["spark", "query"], "mode": "OR", "k": BIG,
+          "fields": {"title": 2.0, "body": 1.0}}]
+    )
+    ru = search(spark, idx_u, q).toPandas()
+    rf = search(spark, idx_f, q).toPandas()
+    mu = dict(zip(ru["url"].astype(int), ru["score"].round(9)))
+    mf = dict(zip(rf["url"].astype(int), rf["score"].round(9)))
+    assert mu == mf and len(mu) > 0
+
+    # compaction is field-agnostic: merging the update's small shards keeps
+    # fielded queries identical
+    from invoicenet_spark.index.maintain import compact_index
+
+    compact_index(spark, root, new_shard_size=CFG.shard_size * 2)
+    rc = search(spark, load_index(spark, root), q).toPandas()
+    mc = dict(zip(rc["url"].astype(int), rc["score"].round(9)))
+    assert mc == mf
+
+
 def test_fielded_html_extraction(spark, tmp_path):
     """fields=('title','body') over raw html: <title> feeds the title field,
     strip_tags of the whole page feeds body (title text included — the
