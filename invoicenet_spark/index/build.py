@@ -574,33 +574,40 @@ def _encode_and_commit(
     )
 
     def _field_tokens(positional: bool) -> DataFrame:
-        """Token rows for a FIELDED index: one explode per field, unioned.
-        The dictionary key is `field:term` (Lucene's per-field term
-        dictionary) and doc_len is the FIELD length — so every posting row
-        is self-contained for per-field BM25 normalization with zero codec
-        change. Positions are per-field ordinals (proximity never crosses a
-        field boundary by construction)."""
-        parts = []
-        for f in cfg.fields:
+        """Token rows for a FIELDED index, in ONE scan: each row builds a
+        flattened array of (term=`field:token`, doc_len=field length[, pos])
+        structs across all fields, then one explode. The dictionary key is
+        `field:term` (Lucene's per-field term dictionary) and doc_len is the
+        FIELD length — so every posting row is self-contained for per-field
+        BM25 normalization with zero codec change. Positions are per-field
+        ordinals (proximity never crosses a field boundary by construction).
+        A union-of-selects shape would scan src (the pages ⋈ docs join) once
+        PER FIELD and double-fire its row-count Observation."""
+        def _arr(f: str):
+            toks = tokens_col(f, cfg.token_pattern)
+            dl = F.col(f"dl_{f}").cast("int")
             if positional:
-                t = src.select(
-                    F.posexplode(tokens_col(f, cfg.token_pattern)).alias("pos", "term"),
-                    "doc_id",
-                    F.col(f"dl_{f}").cast("int").alias("doc_len"),
+                return F.transform(
+                    toks,
+                    lambda t, i: F.struct(
+                        F.concat(F.lit(f + ":"), t).alias("term"),
+                        dl.alias("doc_len"),
+                        i.alias("pos"),
+                    ),
                 )
-            else:
-                t = src.select(
-                    F.explode(tokens_col(f, cfg.token_pattern)).alias("term"),
-                    "doc_id",
-                    F.col(f"dl_{f}").cast("int").alias("doc_len"),
-                )
-            parts.append(
-                t.withColumn("term", F.concat(F.lit(f + ":"), F.col("term")))
+            return F.transform(
+                toks,
+                lambda t: F.struct(
+                    F.concat(F.lit(f + ":"), t).alias("term"), dl.alias("doc_len")
+                ),
             )
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out
+
+        exploded = src.select(
+            "doc_id",
+            F.explode(F.flatten(F.array(*[_arr(f) for f in cfg.fields]))).alias("x"),
+        )
+        cols = ["x.term", "doc_id", "x.doc_len"] + (["x.pos"] if positional else [])
+        return exploded.select(*cols)
 
     shard_expr = (F.col("doc_id") / F.lit(cfg.shard_size)).cast("long")
     if cfg.with_positions:

@@ -54,9 +54,12 @@ def _flat_binary(col) -> np.ndarray:
     """ZERO-COPY concatenation of every value in a null-free Arrow binary
     array: the data buffer sliced by the first/last value offsets IS the
     byte concatenation — no per-row Python objects, no per-row copies."""
+    import pyarrow as pa
+
     if col.null_count:
         raise ValueError("posting blob column must be null-free")
-    offs = np.frombuffer(col.buffers()[1], dtype=np.int32)[
+    off_dtype = np.int64 if pa.types.is_large_binary(col.type) else np.int32
+    offs = np.frombuffer(col.buffers()[1], dtype=off_dtype)[
         col.offset : col.offset + len(col) + 1
     ]
     data = np.frombuffer(col.buffers()[2], dtype=np.uint8)

@@ -194,14 +194,16 @@ def parse_warc_chunk(path: str, start: int, end: int):
         limit = end - start  # member must START inside the chunk
         pos = 0
         if start > 0:
-            # sync: first verified member boundary in the chunk
+            # sync: first verified member boundary in the chunk (search the
+            # original chunk bytes once — probes may grow buf past `limit`)
+            scan = bytes(buf[:limit])
             pos = None
-            i = bytes(buf).find(_GZ_MAGIC)
+            i = scan.find(_GZ_MAGIC)
             while 0 <= i < limit:
                 if _decompress_member(f, buf, i) is not None:
                     pos = i
                     break
-                i = bytes(buf).find(_GZ_MAGIC, i + 1)
+                i = scan.find(_GZ_MAGIC, i + 1)
             if pos is None:
                 return
         elif buf[:2] != b"\x1f\x8b":
