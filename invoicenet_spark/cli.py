@@ -106,6 +106,8 @@ def main(argv=None):
                    help="'auto' = vectorized MaxScore block-max pruning; "
                         "'wand' is a back-compat alias for it (the cursor "
                         "WAND kernel was retired in round 3)")
+    s.add_argument("--count", action="store_true",
+                   help="print the exact match count (track_total_hits) instead of results")
     s.add_argument("--snippets", action="store_true",
                    help="attach highlighted snippets (index must be built with --store-text)")
     s.add_argument("--local", action="store_true",
@@ -174,6 +176,10 @@ def main(argv=None):
         if args.neg_terms:
             qrow["neg_terms"] = args.neg_terms.split(",")
         q = pd.DataFrame([qrow])
+        if args.count:
+            res = search_local(args.index, q, kernel=args.kernel, count_only=True)
+            print(json.dumps({"total_hits": int(res["total_hits"].iloc[0])}))
+            return 0
         res = search_local(args.index, q, kernel=args.kernel)
         if args.snippets:
             from invoicenet_spark.query.snippets import attach_snippets_local
@@ -285,6 +291,10 @@ def main(argv=None):
         if args.neg_terms:
             qrow["neg_terms"] = args.neg_terms.split(",")
         q = pd.DataFrame([qrow])
+        if args.count:
+            row = search(spark, index, q, kernel=args.kernel, count_only=True).collect()[0]
+            print(json.dumps({"total_hits": int(row["total_hits"])}))
+            return 0
         res = search(spark, index, q, kernel=args.kernel)
         if args.snippets:
             from invoicenet_spark.query.snippets import attach_snippets

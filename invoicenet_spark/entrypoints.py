@@ -597,6 +597,48 @@ def q_bm25_topk_near_unordered(spark, sf_dir):
     )
 
 
+def q_bm25_count(spark, sf_dir):
+    """track_total_hits analog (search(count_only=True)): exact match
+    counts per query — OR, AND, and a zero-match query reporting 0 — with
+    no scoring and no top-k merge."""
+    import pandas as pd
+
+    from invoicenet_spark.query.exec import load_index, search
+
+    _bm25_engine_results(spark, sf_dir, BM25_QUERY_TERMS, "OR", 1)  # ensure cache
+    index = load_index(spark, _INDEX_CACHE[(sf_dir,)])
+    q = pd.DataFrame(
+        [
+            {"query_id": 1, "terms": list(BM25_QUERY_TERMS), "mode": "OR", "k": 1},
+            {"query_id": 2, "terms": list(BM25_AND_TERMS), "mode": "AND", "k": 1},
+            {"query_id": 3, "terms": ["zzznotindictionary"], "mode": "OR", "k": 1},
+        ]
+    )
+    return search(spark, index, q, count_only=True)
+
+
+def q_bm25_sorted_by_source(spark, sf_dir):
+    """Sort-by-field (exec.top_by_field, the ES `sort` clause analog): the
+    OR query's FULL match set ranked by the documents table's `source`
+    column (desc, doc_id tiebreak) instead of relevance."""
+    import pandas as pd
+
+    from invoicenet_spark.query.exec import load_index, search, top_by_field
+
+    _bm25_engine_results(spark, sf_dir, BM25_QUERY_TERMS, "OR", 1)  # ensure cache
+    index = load_index(spark, _INDEX_CACHE[(sf_dir,)])
+    q = pd.DataFrame(
+        [{"query_id": 1, "terms": list(BM25_QUERY_TERMS), "mode": "OR", "k": 100000}]
+    )
+    matches = search(spark, index, q).select(
+        "query_id", F.col("url").cast("long").alias("doc_id")
+    )
+    meta = _docs(spark, sf_dir).select("doc_id", "source")
+    return top_by_field(matches, meta, "source", k=20).select(
+        F.col("rank").cast("long").alias("rank"), "doc_id", "source"
+    )
+
+
 def q_bm25_facet_source(spark, sf_dir):
     """Facet counts over the FULL match set of the OR query, by the
     documents table's `source` field (exec.facet_counts)."""
@@ -1077,6 +1119,8 @@ QUERIES = {
     "bm25_topk_near_unordered": q_bm25_topk_near_unordered,
     "bm25_topk_bool": q_bm25_topk_bool,
     "bm25_topk_fielded": q_bm25_topk_fielded,
+    "bm25_count": q_bm25_count,
+    "bm25_sorted_by_source": q_bm25_sorted_by_source,
     "bm25_topk_page2": q_bm25_topk_page2,
     "bm25_facet_source": q_bm25_facet_source,
     "bm25_topk_fuzzy": q_bm25_topk_fuzzy,
@@ -1158,6 +1202,33 @@ ORACLE_SQL = {
     ),
     "bm25_topk_bool": _duck_bm25_bool(20),
     "bm25_topk_fielded": _duck_bm25_fielded(BM25_QUERY_TERMS, 20),
+    "bm25_count": f"""
+WITH toks AS ({_DUCK_TOKS.replace("FROM documents", "FROM documents WHERE lang = 'en'")})
+SELECT CAST(1 AS BIGINT) AS query_id,
+       (SELECT count(DISTINCT doc_id) FROM toks
+        WHERE term IN ({", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)})) AS total_hits
+UNION ALL
+SELECT CAST(2 AS BIGINT),
+       (SELECT count(*) FROM (
+          SELECT doc_id FROM toks
+          WHERE term IN ({", ".join(f"'{t}'" for t in BM25_AND_TERMS)})
+          GROUP BY doc_id HAVING count(DISTINCT term) = {len(BM25_AND_TERMS)}))
+UNION ALL
+SELECT CAST(3 AS BIGINT), CAST(0 AS BIGINT)
+ORDER BY query_id
+""",
+    "bm25_sorted_by_source": f"""
+WITH toks AS ({_DUCK_TOKS.replace("FROM documents", "FROM documents WHERE lang = 'en'")}),
+matched AS (
+  SELECT DISTINCT doc_id FROM toks
+  WHERE term IN ({", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)})
+)
+SELECT CAST(row_number() OVER (ORDER BY d.source DESC, matched.doc_id) AS BIGINT) AS rank,
+       matched.doc_id, d.source
+FROM matched JOIN documents d USING (doc_id)
+QUALIFY rank <= 20
+ORDER BY rank
+""",
     "bm25_topk_page2": _duck_bm25(BM25_QUERY_TERMS, "OR", 20, page_offset=20),
     "bm25_topk_fuzzy": _duck_bm25(["quary", "windoq"], "OR", 20, fuzzy_edits=1),
     # facet over the FULL OR match set == docs containing any query term

@@ -230,6 +230,34 @@ def facet_counts(results: DataFrame, meta: DataFrame, field: str) -> DataFrame:
     )
 
 
+def top_by_field(
+    matches: DataFrame,
+    meta: DataFrame,
+    field: str,
+    k: int,
+    ascending: bool = False,
+) -> DataFrame:
+    """Sort-by-field (the ES `sort` clause analog): rank each query's FULL
+    match set by a doc-metadata column instead of relevance — newest pages
+    first, alphabetical hosts, etc. `matches` is a big-k search() result
+    (relevance ignored); `meta` any (doc_id, field) frame — the engine docs
+    table or an external metadata table, exactly like facet_counts.
+
+    Scale shape: one doc_id equi-join, then a per-query window over the
+    match set — the same merge cost as search()'s own ranking, bounded by
+    matches, with the deterministic doc_id tie-break."""
+    col = F.col(field).asc() if ascending else F.col(field).desc()
+    w = Window.partitionBy("query_id").orderBy(col, F.col("doc_id").asc())
+    return (
+        matches.select("query_id", "doc_id")
+        .join(meta.select("doc_id", field), "doc_id")
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", field)
+        .orderBy("query_id", "rank")
+    )
+
+
 def _sanitize_optional_columns(qpd: pd.DataFrame) -> pd.DataFrame:
     """Multi-query pandas batches where only SOME rows carry an optional
     field arrive with NaN holes (pandas fills missing dict keys) — normalize
@@ -347,10 +375,34 @@ def _empty_results(spark: SparkSession, with_url: bool) -> DataFrame:
     return spark.createDataFrame([], schema=schema)
 
 
-def _shard_kernel(stats: dict, kernel: str, deleted_bc=None):
+def _count_matches_shard(
+    mode: str, pdf: pd.DataFrame, plists, deleted, tree_json: str | None
+) -> int:
+    """One (query, shard) group's match count — parameter extraction around
+    the shared kernels.count_matches_shard (serving path uses it too)."""
+
+    def _opt(col, default, cast):
+        if col in pdf.columns and pd.notna(pdf[col].iloc[0]):
+            return cast(pdf[col].iloc[0])
+        return default
+
+    return kernels.count_matches_shard(
+        mode,
+        plists,
+        deleted=deleted,
+        tree=json.loads(tree_json) if tree_json is not None else None,
+        slop=_opt("slop", 0, int),
+        ordered=_opt("ordered", True, bool),
+        min_match=_opt("min_match", 0, int),
+    )
+
+
+def _shard_kernel(stats: dict, kernel: str, deleted_bc=None, count_mode: bool = False):
     """applyInPandas body for one (query_id, shard) group. deleted_bc: a
     broadcast {shard: sorted tombstoned doc_ids} or None — each group masks
-    with ITS shard's slice only."""
+    with ITS shard's slice only. count_mode: emit ONE row per group whose
+    doc_id column carries the shard's match COUNT (summed by the caller —
+    the track_total_hits analog)."""
     k1, b = stats["k1"], stats["b"]
     avgdl, N = stats["avgdl"], stats["N"]
 
@@ -401,6 +453,22 @@ def _shard_kernel(stats: dict, kernel: str, deleted_bc=None):
             deleted = excl if deleted is None else np.union1d(deleted, excl)
         if len(pdf) == 0 or (mode in ("AND", "PHRASE", "NEAR") and len(pdf) < n_query_terms):
             return empty
+        if count_mode:
+            if mode != "BOOL":
+                pdf = pdf.sort_values(
+                    "qpos" if mode in ("PHRASE", "NEAR") else "term_id"
+                ).reset_index(drop=True)
+            plists = [
+                kernels.TermPostings(row, idf=row["idf"], avgdl=avgdl, k1=k1, b=b)
+                for row in pdf.to_dict("records")
+            ]
+            tree_json = pdf["tree"].iloc[0] if mode == "BOOL" else None
+            n = _count_matches_shard(mode, pdf, plists, deleted, tree_json)
+            return pd.DataFrame(
+                {"query_id": np.array([query_id], dtype=np.int64),
+                 "doc_id": np.array([n], dtype=np.int64),
+                 "score": np.array([0.0])}
+            )
         if mode == "BOOL":
             # boolean tree: ONE evaluator shared with the serving path
             # (query/booltree.py) over this shard's posting rows; tombstone
@@ -487,6 +555,7 @@ def search(
     queries: pd.DataFrame | DataFrame,
     kernel: str = "auto",
     with_url: bool = True,
+    count_only: bool = False,
 ) -> DataFrame:
     """Batch top-k search. queries: (query_id, terms array<string>, mode, k).
 
@@ -497,6 +566,11 @@ def search(
           distinct query terms (minimumNumberShouldMatch).
     mode "PREFIX": each entry of `terms` is a prefix, rewritten driver-side
     to the matching dictionary terms (expand_prefix_terms) and scored as OR.
+
+    count_only (track_total_hits analog): return (query_id, total_hits)
+    instead of ranked rows — per-shard exhaustive match COUNTS summed with
+    one tiny aggregation, no scoring, no global top-k merge; pagination
+    cursors are ignored (a count is page-independent).
 
     Returns (query_id, rank, doc_id, score[, url]) sorted by query_id, rank.
     """
@@ -678,6 +752,12 @@ def search(
             needed = {r["term"] for r in qterms.select("term").distinct().collect()}
         hit = local.loc[sorted(needed & set(local.index))].reset_index()
         if len(hit) == 0:
+            if count_only:
+                return (
+                    qdf.select("query_id").distinct()
+                    .withColumn("total_hits", F.lit(0).cast("long"))
+                    .orderBy("query_id")
+                )
             return _empty_results(spark, with_url)
         hit["idf"] = np.log((N - hit["df"] + 0.5) / (hit["df"] + 0.5) + 1.0)
         t = spark.createDataFrame(hit[["term", "term_id", "idf"]])
@@ -690,6 +770,12 @@ def search(
         ).select("term", "term_id", "idf")
         term_ids = [int(r["term_id"]) for r in t.select("term_id").distinct().collect()]
         if not term_ids:
+            if count_only:
+                return (
+                    qdf.select("query_id").distinct()
+                    .withColumn("total_hits", F.lit(0).cast("long"))
+                    .orderBy("query_id")
+                )
             return _empty_results(spark, with_url)
 
     q = qterms.join(F.broadcast(t), "term")
@@ -726,10 +812,25 @@ def search(
         cand = cand.join(mask_payload, "shard", "left")
     out = cand.groupBy("query_id", "shard").applyInPandas(
         _shard_kernel(
-            index.stats, kernel, mask_payload if mask_kind == "bc" else None
+            index.stats, kernel, mask_payload if mask_kind == "bc" else None,
+            count_mode=count_only,
         ),
         schema=RESULT_SCHEMA,
     )
+    if count_only:
+        counts = out.groupBy("query_id").agg(
+            F.sum("doc_id").cast("long").alias("total_hits")
+        )
+        # zero-match queries still report 0 (track_total_hits contract)
+        return (
+            qdf.select("query_id").distinct()
+            .join(counts, "query_id", "left")
+            .select(
+                "query_id",
+                F.coalesce("total_hits", F.lit(0)).cast("long").alias("total_hits"),
+            )
+            .orderBy("query_id")
+        )
 
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("doc_id").asc())
     topk = (

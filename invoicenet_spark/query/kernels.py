@@ -518,6 +518,46 @@ def score_blockmax(
     return topk_select(cand, scores, k)
 
 
+def count_matches_shard(
+    mode: str,
+    plists: list[TermPostings],
+    deleted: np.ndarray | None = None,
+    tree: dict | None = None,
+    slop: int = 0,
+    ordered: bool = True,
+    min_match: int = 0,
+) -> int:
+    """Match COUNT for one shard — full match semantics, no scoring, no
+    top-k (the track_total_hits analog; shared by the Spark count path and
+    the serving path). Block-max pruning is inapplicable (a count touches
+    every match), so every mode takes its exhaustive match-list path."""
+    if mode == "BOOL":
+        from invoicenet_spark.query import booltree
+
+        by_tid = {int(tp.row["term_id"]): tp for tp in plists}
+        docs, _ = booltree.evaluate_shard(tree, by_tid)
+        return int(drop_deleted(docs, deleted).sum()) if docs.size else 0
+    if not plists:
+        return 0
+    decoded = [tp.decode_all() for tp in plists]
+    if mode == "PHRASE":
+        return int(phrase_matches(plists, decoded, deleted=deleted).size)
+    if mode == "NEAR":
+        return int(
+            near_matches(plists, decoded, slop, deleted=deleted, ordered=ordered).size
+        )
+    if mode == "AND":
+        docs = gallop_intersect([d[0] for d in decoded])
+        return int(drop_deleted(docs, deleted).sum()) if docs.size else 0
+    # OR (+ min_match)
+    docs_cat = np.concatenate([d[0] for d in decoded])
+    uniq, inv = np.unique(docs_cat, return_inverse=True)
+    if min_match > 1:
+        cnt = np.bincount(inv, minlength=uniq.size)
+        uniq = uniq[cnt >= min_match]
+    return int(drop_deleted(uniq, deleted).sum()) if uniq.size else 0
+
+
 # score_wand (document-at-a-time block-max WAND with a per-pivot Python
 # cursor loop) was REMOVED in round 3: it was sound and fuzz-pinned after
 # the round-2 fixes, but per-shard it measured 22 ms vs score_blockmax's

@@ -389,6 +389,7 @@ def _run_one_query(
     stats: dict,
     kernel: str,
     deleted_by_shard: dict | None = None,
+    count_only: bool = False,
 ) -> list[tuple]:
     """Score one query against the pre-fetched posting rows. Pure numpy —
     safe to run from a thread pool (kernels release the GIL in the heavy
@@ -397,7 +398,8 @@ def _run_one_query(
     qid, mode, k = int(q["query_id"]), q["mode"], int(q["k"])
     if mode == "BOOL":
         return _run_bool_query(
-            q, term_info, by_tid_shard, shards_by_tid, stats, deleted_by_shard
+            q, term_info, by_tid_shard, shards_by_tid, stats, deleted_by_shard,
+            count_only=count_only,
         )
     neg_raw = q.get("neg_terms")
     neg_terms = (
@@ -465,6 +467,20 @@ def _run_one_query(
             if neg_docs:
                 excl = np.unique(np.concatenate(neg_docs)).astype(np.int64)
                 deleted = excl if deleted is None else np.union1d(deleted, excl)
+        if count_only:
+            slop_raw = q.get("slop")
+            o_raw = q.get("ordered")
+            docs_all.append(
+                kernels.count_matches_shard(
+                    mode,
+                    plists,
+                    deleted=deleted,
+                    slop=int(slop_raw) if slop_raw is not None and not pd.isna(slop_raw) else 0,
+                    ordered=bool(o_raw) if o_raw is not None and not pd.isna(o_raw) else True,
+                    min_match=min_match,
+                )
+            )
+            continue
         if mode == "PHRASE":
             d, s = kernels.score_phrase(plists, k, deleted=deleted, after=after)
         elif mode == "NEAR":
@@ -488,6 +504,8 @@ def _run_one_query(
                 d, s = kernels.score_blockmax(plists, k, deleted=deleted)
         docs_all.append(d)
         scores_all.append(s)
+    if count_only:
+        return [(qid, int(sum(docs_all)))] if docs_all else [(qid, 0)]
     if not docs_all:
         return []
     docs_cat = np.concatenate(docs_all)
@@ -506,6 +524,7 @@ def _run_bool_query(
     shards_by_tid: dict,
     stats: dict,
     deleted_by_shard: dict | None = None,
+    count_only: bool = False,
 ) -> list[tuple]:
     """mode='BOOL' serving twin: resolve the (already-expanded) tree's leaf
     tids, evaluate booltree.evaluate_shard per candidate shard — the SAME
@@ -551,10 +570,15 @@ def _run_bool_query(
         d, s = booltree.evaluate_shard(tree, by_tid)
         deleted = deleted_by_shard.get(shard) if deleted_by_shard else None
         live = kernels.drop_deleted(d, deleted)
+        if count_only:
+            docs_all.append(int(live.sum()))
+            continue
         d, s = kernels.apply_after(d[live], s[live], after)
         d, s = kernels.topk_select(d, s, k)
         docs_all.append(d)
         scores_all.append(s)
+    if count_only:
+        return [(qid, int(sum(docs_all)))] if docs_all else [(qid, 0)]
     if not docs_all:
         return []
     top_d, top_s = kernels.topk_select(
@@ -572,6 +596,7 @@ def search_local(
     kernel: str = "auto",
     with_url: bool = True,
     n_threads: int | None = None,
+    count_only: bool = False,
 ) -> pd.DataFrame:
     """Serve (query_id, terms, mode, k) queries driver-locally, Spark-free.
 
@@ -689,7 +714,7 @@ def search_local(
                 ex.map(
                     lambda q: _run_one_query(
                         q, term_info, by_tid_shard, shards_by_tid, stats, kernel,
-                        deleted_by_shard,
+                        deleted_by_shard, count_only=count_only,
                     ),
                     qlist,
                 )
@@ -698,10 +723,17 @@ def search_local(
         per_query = [
             _run_one_query(
                 q, term_info, by_tid_shard, shards_by_tid, stats, kernel,
-                deleted_by_shard,
+                deleted_by_shard, count_only=count_only,
             )
             for q in qlist
         ]
+    if count_only:
+        # counts include zero-match queries (track_total_hits contract)
+        got = {int(qid): int(n) for rows_ in per_query for qid, n in rows_}
+        return pd.DataFrame(
+            {"query_id": [int(q["query_id"]) for q in qlist],
+             "total_hits": [got.get(int(q["query_id"]), 0) for q in qlist]}
+        )
     out_rows = [row for rows_ in per_query for row in rows_]
 
     out = pd.DataFrame(out_rows, columns=["query_id", "rank", "doc_id", "score"])

@@ -245,6 +245,40 @@ def test_near_ground_truth(spark, tmp_path):
     assert set(got2["url"]) == {"v_tight", "v_spread"}
 
 
+def test_count_only_matches_bigk_results(spark, ql):
+    """search(count_only=True) == len(big-k results) for every mode and
+    modifier; zero-match queries report 0; serving path identical."""
+    root, idx, top = ql
+    qs = pd.DataFrame(
+        [
+            {"query_id": 1, "terms": top[:3], "mode": "OR", "k": 5},
+            {"query_id": 2, "terms": top[:2], "mode": "AND", "k": 5},
+            {"query_id": 3, "terms": top[:3], "mode": "OR", "k": 5, "min_match": 2},
+            {"query_id": 4, "terms": top[:2], "mode": "OR", "k": 5,
+             "neg_terms": [top[2]]},
+            {"query_id": 5, "terms": [f"({top[0]} AND {top[1]}) OR {top[2]}"],
+             "mode": "BOOL", "k": 5},
+            {"query_id": 6, "terms": ["zzznotaterm"], "mode": "OR", "k": 5},
+            {"query_id": 7, "terms": top[:2], "mode": "PHRASE", "k": 5},
+        ]
+    )
+    counts = search(spark, idx, qs, count_only=True).toPandas()
+    got = dict(zip(counts["query_id"], counts["total_hits"]))
+    for qid in range(1, 8):
+        row = qs[qs["query_id"] == qid].reset_index(drop=True)
+        expect = len(search(spark, idx, _big_k_frame(row)).toPandas())
+        assert got[qid] == expect, f"query {qid}: {got[qid]} != {expect}"
+    assert got[6] == 0
+    loc = search_local(root, qs, count_only=True)
+    assert dict(zip(loc["query_id"], loc["total_hits"])) == got
+
+
+def _big_k_frame(q: pd.DataFrame) -> pd.DataFrame:
+    q = q.copy()
+    q["k"] = 100_000
+    return q
+
+
 def test_near_unordered_ground_truth(spark, tmp_path):
     """Unordered NEAR (ordered=False): terms match in either order within
     the window; ordered results stay bit-unchanged; both query paths."""
