@@ -39,6 +39,9 @@ def main(argv=None):
                    help="comma-separated field names for a fielded (BM25F) index, "
                         "e.g. 'title,body'; pages must carry one text column per "
                         "field (or html with fields=title,body)")
+    b.add_argument("--dedup-exact", action="store_true",
+                   help="drop exact-duplicate docs (identical extracted text; "
+                        "smallest url wins) before indexing")
     b.add_argument("--range", default=None, dest="doc_range",
                    help="multi-executor recipe: build ONLY docID range lo:hi "
                         "(shard-aligned) against --global-root's doc table + "
@@ -232,6 +235,7 @@ def main(argv=None):
             build_index(
                 spark, pages, args.out, cfg, resume=args.resume,
                 use_stored_text=args.use_stored_text,
+                dedup_exact=args.dedup_exact,
             )
             print(json.dumps({"cmd": "build", "seconds": round(time.time() - t0, 3)}))
 

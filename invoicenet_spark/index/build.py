@@ -466,6 +466,27 @@ def build_doc_table(pages_text: DataFrame, cfg: EngineConfig, id_offset: int = 0
     return docs.withColumn("shard", (F.col("doc_id") / F.lit(cfg.shard_size)).cast("long"))
 
 
+def dedup_pages_exact(pages_text: DataFrame, cfg: EngineConfig) -> DataFrame:
+    """Index-time exact deduplication (the web-index ingest step): among
+    pages with byte-identical EXTRACTED text, keep the lexicographically
+    smallest url — deterministic under any partitioning. One shuffle keyed
+    by a 32-byte hash (skew-free: equal texts collapse to one group whose
+    size is the duplicate multiplicity), same scale shape as ops/dedup.py's
+    exact pass. Fielded inputs hash the field concatenation with a
+    separator so ("ab","c") never collides with ("a","bc")."""
+    from pyspark.sql import Window
+
+    cols = list(cfg.fields) if cfg.fields else ["text"]
+    h = F.sha2(F.concat_ws("\x1f", *[F.coalesce(F.col(c), F.lit("")) for c in cols]), 256)
+    w = Window.partitionBy("_h").orderBy("url")
+    return (
+        pages_text.withColumn("_h", h)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_h", "_rn")
+    )
+
+
 def build_index(
     spark: SparkSession,
     pages: DataFrame,
@@ -474,8 +495,14 @@ def build_index(
     resume: bool = False,
     fail_after_shards: int | None = None,
     use_stored_text: bool = False,
+    dedup_exact: bool = False,
 ) -> IndexPaths:
     """Full index build. See module docstring for the plan shape.
+
+    dedup_exact: drop exact-duplicate documents (identical extracted text;
+    smallest url wins) before indexing — the result is byte-identical to
+    building over a pre-deduplicated corpus. Within one build's input only;
+    cross-snapshot duplicates are the upsert path's territory.
 
     fail_after_shards: test hook — commit only the first k shards then raise,
     to exercise resume (FIXTURES.md invariant 6).
@@ -491,6 +518,8 @@ def build_index(
     log = ShardLog(out_dir)
 
     pages_text = tokens_from_pages(pages, cfg, use_stored_text=use_stored_text)
+    if dedup_exact:
+        pages_text = dedup_pages_exact(pages_text, cfg)
 
     # ---- phase 1: doc dictionary (committed once; reused on resume).
     # Written partitioned by `segment` so incremental appends are per-segment

@@ -168,3 +168,41 @@ def test_observed_build_metrics(built, oracle, tmp_path_factory):
     assert obs["posting_rows"] >= len(oracle.postings)  # ≥ one row per term
     assert obs["postings_per_partition"] > 0
     assert manifest["docs_per_sec_this_run"] > 0
+
+
+def test_build_dedup_exact_equals_prededuped_build(spark, tmp_path):
+    """build_index(dedup_exact=True) over a corpus with exact duplicates is
+    byte-identical to building over the manually pre-deduplicated corpus
+    (smallest url per text wins, deterministically)."""
+    import pandas as pd
+
+    from invoicenet_spark.index.build import IndexPaths, build_index, read_postings
+    from invoicenet_spark.query.exec import load_index
+
+    base = [(f"{i:012d}", f"doc number {i} some words {i % 7}") for i in range(40)]
+    dups = [(f"{i + 100:012d}", base[i][1]) for i in range(0, 40, 3)]  # bigger urls
+    rows = base + dups
+    pages = spark.createDataFrame(
+        [(u, None, None, t, "en") for u, t in rows],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    cfg = EngineConfig(shard_size=32, block_size=8, build_partitions=4)
+    root_d = str(tmp_path / "dedup")
+    build_index(spark, pages, root_d, cfg, use_stored_text=True, dedup_exact=True)
+
+    manual = spark.createDataFrame(
+        [(u, None, None, t, "en") for u, t in base],  # base urls are the min per text
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    root_m = str(tmp_path / "manual")
+    build_index(spark, manual, root_m, cfg, use_stored_text=True)
+
+    idx_d, idx_m = load_index(spark, root_d), load_index(spark, root_m)
+    assert idx_d.N == idx_m.N == len(base)
+    a = read_postings(spark, IndexPaths(root_d)).toPandas().sort_values(
+        ["term_id", "shard"]).reset_index(drop=True)
+    b = read_postings(spark, IndexPaths(root_m)).toPandas().sort_values(
+        ["term_id", "shard"]).reset_index(drop=True)
+    assert len(a) == len(b) > 0
+    for c in ("doc_blob", "tf_blob", "dl_blob"):
+        assert all(bytes(x) == bytes(y) for x, y in zip(a[c], b[c])), c
