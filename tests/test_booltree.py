@@ -287,6 +287,57 @@ def test_bool_mixed_batch_with_flat_queries(spark, bool_idx):
     assert got1 <= {d for d, t in doc_toks.items() if VOCAB[2] in t and VOCAB[0] not in t}
 
 
+def test_bool_respects_tombstones_and_pagination(spark, bool_idx, tmp_path):
+    """BOOL queries mask tombstoned docs at the root (both paths) and honor
+    the search_after cursor: page2 == rows k+1..2k of the one-shot run."""
+    import shutil
+
+    from invoicenet_spark.index.deletes import delete_docs
+
+    root, idx, doc_toks = bool_idx
+    qs = f"({VOCAB[0]} AND {VOCAB[1]}) OR {VOCAB[2]}"
+    q = pd.DataFrame([{"query_id": 1, "terms": [qs], "mode": "BOOL", "k": BIG}])
+    full = search(spark, idx, q).toPandas()
+    assert len(full) > 6
+
+    # pagination: page 1 (k=3) + cursor -> page 2 == rows 4..6 of full
+    p1 = search(
+        spark, idx,
+        pd.DataFrame([{"query_id": 1, "terms": [qs], "mode": "BOOL", "k": 3}]),
+    ).toPandas()
+    cur = p1.iloc[-1]
+    p2 = search(
+        spark, idx,
+        pd.DataFrame([{
+            "query_id": 1, "terms": [qs], "mode": "BOOL", "k": 3,
+            "after_score": float(cur["score"]), "after_doc": int(cur["doc_id"]),
+        }]),
+    ).toPandas()
+    assert p2["doc_id"].tolist() == full["doc_id"].iloc[3:6].tolist()
+    np.testing.assert_array_equal(
+        p2["score"].to_numpy(), full["score"].iloc[3:6].to_numpy()
+    )
+
+    # tombstones: delete the top-2 docs on a COPY; survivors re-rank with
+    # bit-unchanged scores on both paths
+    root2 = str(tmp_path / "bool_del")
+    shutil.copytree(root, root2)
+    victims = full["url"].iloc[:2].tolist()
+    assert delete_docs(spark, root2, urls=victims) == 2
+    idx2 = load_index(spark, root2)
+    got = search(spark, idx2, q).toPandas()
+    expect = full[~full["url"].isin(victims)].reset_index(drop=True)
+    assert got["doc_id"].tolist() == expect["doc_id"].tolist()
+    np.testing.assert_array_equal(got["score"].to_numpy(), expect["score"].to_numpy())
+    loc = search_local(root2, q)
+    np.testing.assert_array_equal(got["score"].to_numpy(), loc["score"].to_numpy())
+    # counts see the deletes too
+    cnt = search(spark, idx2, q, count_only=True).toPandas()["total_hits"].iloc[0]
+    assert cnt == len(expect)
+    cnt_l = search_local(root2, q, count_only=True)["total_hits"].iloc[0]
+    assert cnt_l == len(expect)
+
+
 def test_bool_prefix_and_fuzzy_leaves(spark, bool_idx):
     """prefix*/fuzzy~ leaves expand against the dictionary before
     evaluation; w* matches the whole vocabulary (every doc with any term)."""
