@@ -70,14 +70,29 @@ def signatures_numpy(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
     return out.astype(np.int64)
 
 
-def hyperplane_signature_udf(dim: int, n_planes: int = 16, seed: int = 7):
+def hyperplane_signature_udf(dim: int | None, n_planes: int = 16, seed: int = 7):
     """Vectorized pandas UDF: embedding → LSH bucket id (sign pattern of
-    n_planes random projections). One matmul per Arrow batch."""
-    planes = _hyperplanes(dim, n_planes, seed)
+    n_planes random projections). One matmul per Arrow batch.
+
+    dim=None defers plane construction to the executor: the (deterministic,
+    seed-keyed) hyperplane matrix is derived from each batch's actual row
+    width and cached per worker — callers stay fully lazy, with no driver
+    job spent learning the vector width."""
+    cache: dict[int, np.ndarray] = {}
+    if dim is not None:
+        cache[dim] = _hyperplanes(dim, n_planes, seed)
 
     @F.pandas_udf(LongType())
     def sig(v: pd.Series) -> pd.Series:
-        return pd.Series(signatures_numpy(np.stack(v.to_numpy()), planes))
+        if len(v) == 0:
+            return pd.Series([], dtype="int64")
+        mat = np.stack(v.to_numpy())
+        planes = cache.get(mat.shape[1])
+        if planes is None:
+            planes = cache.setdefault(
+                mat.shape[1], _hyperplanes(mat.shape[1], n_planes, seed)
+            )
+        return pd.Series(signatures_numpy(mat, planes))
 
     return sig
 
@@ -175,11 +190,9 @@ def lsh_candidate_pairs(
     Work ∝ Σ bucket_occupancy², never n²; recall follows the multi-table
     contract (ann_recall_curve / BENCH/ANN_RECALL.json).
 
-    dim: embedding dimensionality; pass it (or use a fixed-width vector
-    schema) to keep the call purely lazy — the `.first()` fallback costs
-    one driver job per call just to learn the width."""
-    if dim is None:
-        dim = len(embeddings.select(vec_col).first()[0])
+    Purely lazy: schedules ZERO Spark jobs itself. dim is optional — when
+    omitted, the signature UDF derives the (deterministic, seeded)
+    hyperplanes from each Arrow batch's row width executor-side."""
     tables = F.array(
         *[
             F.struct(
@@ -310,7 +323,9 @@ def build_ann_index(
     import json
     import os
 
-    dim = len(embeddings.select(vec_col).first()[0])
+    # dim is resolved executor-side by the signature UDF (no driver probe);
+    # the build's ONLY job is the write itself.
+    dim = None
     tables = F.array(
         *[
             F.struct(

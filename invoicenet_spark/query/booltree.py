@@ -336,7 +336,33 @@ def normalize_query(
             t = parse(ts)
     if field_stats:
         t = qualify_bare_leaves(t, field_stats)
+        _reject_cross_field_phrases(t, field_stats)
     return expand_leaves(t, expand_prefix, expand_fuzzy)
+
+
+def _reject_cross_field_phrases(node: dict, field_stats: dict) -> None:
+    """Disallow a phrase whose qualified slots span more than one field
+    (Lucene rejects cross-field phrases too): per-field token ordinals all
+    start at 0, so positions from different fields are incomparable and a
+    mixed phrase like '"title:a body:b"' could false-match whenever the two
+    fields' ordinals happen to be adjacent."""
+    k = node["kind"]
+    if k == "phrase":
+        fields = {
+            t.partition(":")[0] if ":" in t and t.partition(":")[0] in field_stats else ""
+            for t in node["terms"]
+        }
+        if len(fields) > 1:
+            raise ValueError(
+                "phrase spans multiple fields (per-field positions are "
+                f"incomparable): {node['terms']!r}"
+            )
+    elif k in ("and", "or"):
+        for c in node["clauses"]:
+            _reject_cross_field_phrases(c, field_stats)
+    elif k == "not":
+        _reject_cross_field_phrases(node["positive"], field_stats)
+        _reject_cross_field_phrases(node["negative"], field_stats)
 
 
 def qualify_bare_leaves(node: dict, field_stats: dict) -> dict:
@@ -347,12 +373,18 @@ def qualify_bare_leaves(node: dict, field_stats: dict) -> dict:
     phrase copies (a phrase never spans fields), and bare prefix/fuzzy
     leaves become per-field leaves so dictionary expansion matches the
     field-qualified keys. Explicitly qualified leaves pass through; a
-    phrase mixing qualified and bare slots is left as written (and can
-    only match its qualified slots' field)."""
+    phrase mixing qualified and bare slots (or qualified slots from two
+    different fields) is rejected downstream by normalize_query —
+    per-field positions are incomparable, so a cross-field phrase has no
+    sound match semantics (Lucene disallows it too)."""
     k = node["kind"]
 
     def _bare(term: str) -> bool:
-        return term.partition(":")[0] not in field_stats
+        # Qualified means an ACTUAL `field:` prefix — without the colon
+        # check, the bare query word `body` on a ('title','body') index
+        # would be classed as qualified, resolve to no dictionary key, and
+        # silently match nothing.
+        return ":" not in term or term.partition(":")[0] not in field_stats
 
     if k == "term":
         if not _bare(node["term"]):

@@ -190,17 +190,27 @@ def parse_warc_chunk(path: str, start: int, end: int):
     BENCH/BASELINE.md 3g)."""
     with open(path, "rb") as f:
         f.seek(start)
-        buf = bytearray(f.read(max(end - start, 0)))
+        # +2 bytes past the chunk end so a member whose 3-byte gzip magic
+        # STARTS at limit-1/limit-2 (ownership: start < end) is still
+        # findable by the scan — without the lookahead such a member's magic
+        # straddles the window and no task parses it (silent record loss).
+        buf = bytearray(f.read(max(end - start, 0) + 2))
         limit = end - start  # member must START inside the chunk
         pos = 0
         if start > 0:
             # sync: first verified member boundary in the chunk (search the
-            # original chunk bytes once — probes may grow buf past `limit`)
-            scan = bytes(buf[:limit])
+            # original chunk bytes once — probes may grow buf past `limit`).
+            # CRC alone is NOT enough: a record whose gzipped body is stored
+            # verbatim inside the outer member's deflate stored blocks also
+            # decompresses cleanly; such an inner stream yields non-WARC
+            # payload, so additionally require the payload to be a WARC
+            # record before accepting the sync point.
+            scan = bytes(buf[: limit + 2])
             pos = None
             i = scan.find(_GZ_MAGIC)
             while 0 <= i < limit:
-                if _decompress_member(f, buf, i) is not None:
+                probe = _decompress_member(f, buf, i)
+                if probe is not None and probe[0].startswith(b"WARC/"):
                     pos = i
                     break
                 i = scan.find(_GZ_MAGIC, i + 1)

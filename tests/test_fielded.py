@@ -310,3 +310,65 @@ def test_fielded_html_extraction(spark, tmp_path):
     )
     got = search(spark, idx, q).toPandas()
     assert got["url"].tolist() == ["000000000000"]
+
+
+def test_bare_term_matching_a_field_name_still_qualifies(spark, fielded_idx):
+    """The bare query word `body` (or `title`) on a ('title','body') index
+    is NOT field-qualified — qualification requires an actual colon. Before
+    the colon check it resolved to no dictionary key and silently matched
+    nothing."""
+    from invoicenet_spark.query import booltree
+
+    stats = {"title": {}, "body": {}}
+    leaf = {"kind": "term", "term": "body", "boost": 1.0}
+    q = booltree.qualify_bare_leaves(leaf, stats)
+    assert q["kind"] == "or" and {c["term"] for c in q["clauses"]} == {
+        "title:body", "body:body"
+    }
+    # explicit qualification still passes through untouched
+    qual = {"kind": "term", "term": "body:spark", "boost": 1.0}
+    assert booltree.qualify_bare_leaves(qual, stats) == qual
+
+    # end-to-end: doc 3's body contains the token 'body'
+    root, idx = fielded_idx
+    got = search(
+        spark, idx,
+        pd.DataFrame([{"query_id": 1, "terms": ["body"], "mode": "OR", "k": BIG}]),
+    ).toPandas()
+    expect = _brute_fielded(["body"], {"title": 1.0, "body": 1.0}, "OR")
+    assert set(got["url"].astype(int)) == set(expect) != set()
+    gm = dict(zip(got["url"].astype(int), got["score"]))
+    for d in expect:
+        assert gm[d] == pytest.approx(expect[d], rel=1e-9)
+    loc = search_local(
+        root,
+        pd.DataFrame([{"query_id": 1, "terms": ["body"], "mode": "OR", "k": BIG}]),
+    )
+    np.testing.assert_array_equal(got["score"].to_numpy(), loc["score"].to_numpy())
+
+
+def test_cross_field_phrase_rejected(fielded_idx):
+    """Phrases whose qualified slots span two fields (or mix qualified and
+    bare slots) are rejected: per-field token ordinals all start at 0, so
+    cross-field positions are incomparable (Lucene disallows these too)."""
+    from invoicenet_spark.query import booltree
+
+    stats = {"title": {}, "body": {}}
+    for terms in (["title:a", "body:b"], ["title:a", "b"]):
+        with pytest.raises(ValueError, match="spans multiple fields"):
+            booltree.normalize_query(
+                {"kind": "phrase", "terms": terms, "slop": 0, "ordered": True,
+                 "boost": 1.0},
+                expand_prefix=lambda p: [],
+                expand_fuzzy=lambda t: [],
+                field_stats=stats,
+            )
+    # single-field qualified and all-bare phrases still normalize fine
+    for terms in (["title:a", "title:b"], ["a", "b"]):
+        booltree.normalize_query(
+            {"kind": "phrase", "terms": terms, "slop": 0, "ordered": True,
+             "boost": 1.0},
+            expand_prefix=lambda p: [],
+            expand_fuzzy=lambda t: [],
+            field_stats=stats,
+        )

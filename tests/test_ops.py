@@ -316,3 +316,39 @@ def test_running_best_keyed_variant(spark):
     assert [r["is_improvement"] for r in out] == [
         True, True, False, True, True, False, True, False,
     ]
+
+
+def test_lsh_calls_schedule_zero_driver_jobs(spark, tmp_path):
+    """lsh_candidate_pairs and build_ann_index's plan construction are
+    purely lazy — the embedding width is resolved executor-side by the
+    signature UDF (deterministic seeded planes per batch width), never by a
+    driver `.first()` probe. Results are unchanged vs an explicit dim."""
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((60, 12)).astype(np.float32)
+    vecs[:6] = vecs[0] + 0.05 * rng.standard_normal((6, 12)).astype(np.float32)
+    pdf = pd.DataFrame({"vec_id": range(60), "embedding": [v.tolist() for v in vecs]})
+    df = spark.createDataFrame(pdf, schema="vec_id long, embedding array<float>")
+    df.count()  # materialize any session-level lazy init before tracking
+
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None) or [])
+    cand = similarity.lsh_candidate_pairs(df, n_tables=4, n_planes=5, seed=7)
+    after = set(tracker.getJobIdsForGroup(None) or [])
+    assert after == before, "lsh_candidate_pairs scheduled a driver job"
+
+    # lazy-dim output == explicit-dim output
+    got = {tuple(r) for r in cand.select("id_a", "id_b").collect()}
+    exp = {
+        tuple(r)
+        for r in similarity.lsh_candidate_pairs(
+            df, n_tables=4, n_planes=5, seed=7, dim=12
+        ).select("id_a", "id_b").collect()
+    }
+    assert got == exp and got  # non-empty (planted near-dups collide)
+
+    # build_ann_index: exactly the write job(s), no dim probe before them —
+    # the probed index still answers (pruning path unchanged)
+    idx = str(tmp_path / "annz")
+    similarity.build_ann_index(df, idx, n_tables=4, n_planes=5, seed=7)
+    res = similarity.lsh_topk_indexed(spark, idx, vecs[0].tolist(), k=3, n_probes=2)
+    assert res.collect()[0]["vec_id"] == 0

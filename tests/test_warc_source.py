@@ -236,3 +236,89 @@ def test_parse_tolerates_gzip_trailing_garbage_and_bad_dates(spark, tmp_path):
     by_url = {r["url"]: r for r in rows}
     assert "https://x.example/9" in by_url
     assert by_url["https://x.example/9"]["warc_ts"] is None
+
+
+def _raw_record(url: str, body: bytes) -> bytes:
+    block = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+    return (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        + f"WARC-Target-URI: {url}\r\n".encode()
+        + f"Content-Length: {len(block)}\r\n".encode()
+        + b"\r\n" + block + b"\r\n\r\n"
+    )
+
+
+def test_chunk_sync_rejects_inner_gzip_stream(tmp_path):
+    """A record whose HTTP body is itself a complete gzip stream
+    (Content-Encoding: gzip bodies are common in crawls), stored verbatim
+    inside the outer member's deflate STORED blocks (level 0): the inner
+    stream decompresses cleanly with a valid CRC, so a CRC-only sync latches
+    onto it and the task then walks from mid-member and drops its real
+    records. The sync must additionally require a WARC payload."""
+    import gzip
+
+    from invoicenet_spark.sources.warc import parse_warc_chunk
+
+    inner = gzip.compress(b"<html><body>compressed page body</body></html>")
+    assert inner.startswith(b"\x1f\x8b\x08")
+    recs = [
+        ("https://s.example/0", b"<html><body>plain zero</body></html>"),
+        ("https://s.example/1", inner),  # gzip body inside stored blocks
+        ("https://s.example/2", b"<html><body>plain two</body></html>"),
+        ("https://s.example/3", b"<html><body>plain three</body></html>"),
+    ]
+    p = str(tmp_path / "poison.warc.gz")
+    with open(p, "wb") as f:
+        for url, body in recs:
+            # level 0 → stored deflate blocks → inner gzip bytes verbatim
+            f.write(gzip.compress(_raw_record(url, body), compresslevel=0))
+    data = open(p, "rb").read()
+    assert inner in data  # the trap is actually present in the archive
+    size = len(data)
+    expect = sorted(u for u, _ in recs)
+
+    for nchunks in (2, 3, 4, 5, 7):
+        step = max(1, size // nchunks)
+        got = []
+        for s in range(0, size, step):
+            got += [u for u, _, _ in parse_warc_chunk(p, s, min(s + step, size))]
+        assert sorted(got) == expect, f"nchunks={nchunks}"
+
+    # and a chunk starting just past the poisoned member's own magic, so the
+    # FIRST candidate the scan sees is the inner stream: must skip it and
+    # sync on the next real member instead of aborting mid-member
+    from invoicenet_spark.sources.warc import index_warc_members
+
+    spans = index_warc_members(data)
+    s1 = spans[1][0]  # poisoned member start
+    got = [u for u, _, _ in parse_warc_chunk(p, s1 + 1, size)]
+    assert got == ["https://s.example/2", "https://s.example/3"]
+
+
+def test_chunk_sync_finds_magic_straddling_chunk_end(tmp_path):
+    """A member whose 3-byte gzip magic starts at limit-1 / limit-2 is owned
+    by the chunk (start < end) but the magic straddles the scan window; the
+    scan must look 2 bytes past the chunk end or the member is parsed by no
+    task (silent record loss)."""
+    from invoicenet_spark.sources.warc import index_warc_members, parse_warc_chunk
+
+    recs = [
+        (f"https://e.example/{i}", "2024-01-01T00:00:00Z",
+         f"<html><body>page {i} body text</body></html>".encode())
+        for i in range(4)
+    ]
+    p = str(tmp_path / "edge.warc.gz")
+    write_warc(recs, p, gzip_per_record=True)
+    data = open(p, "rb").read()
+    size = len(data)
+    spans = index_warc_members(data)
+    assert len(spans) == 4
+    s2 = spans[2][0]  # member 2: the straddled boundary
+    a = spans[1][0] + 1  # chunk 2 starts inside member 1 → must sync by scan
+
+    for e in (s2 + 1, s2 + 2):  # magic at limit-1 and limit-2
+        chunks = [(0, a), (a, e), (e, size)]
+        got = []
+        for cs, ce in chunks:
+            got += [u for u, _, _ in parse_warc_chunk(p, cs, ce)]
+        assert sorted(got) == sorted(u for u, _, _ in recs), f"end={e}"
