@@ -470,9 +470,11 @@ def _shard_kernel(stats: dict, kernel: str, deleted_bc=None, count_mode: bool = 
                  "score": np.array([0.0])}
             )
         if mode == "BOOL":
-            # boolean tree: ONE evaluator shared with the serving path
-            # (query/booltree.py) over this shard's posting rows; tombstone
-            # masking / cursor / top-k applied at the root like every kernel
+            # boolean tree: ONE routing front door shared with the serving
+            # path (booltree.evaluate_shard_topk) over this shard's posting
+            # rows — pure-disjunction trees (incl. every bare/fielded OR
+            # rewrite) get block-max MaxScore pruning; other shapes take the
+            # exhaustive evaluator with root masking / cursor / top-k
             import json as _json
 
             tree = _json.loads(pdf["tree"].iloc[0])
@@ -484,10 +486,9 @@ def _shard_kernel(stats: dict, kernel: str, deleted_bc=None, count_mode: bool = 
             }
             from invoicenet_spark.query import booltree as _bt
 
-            docs, scores = _bt.evaluate_shard(tree, by_tid)
-            live = kernels.drop_deleted(docs, deleted)
-            docs, scores = kernels.apply_after(docs[live], scores[live], after)
-            docs, scores = kernels.topk_select(docs, scores, k)
+            docs, scores = _bt.evaluate_shard_topk(
+                tree, by_tid, k, deleted=deleted, after=after, kernel=kernel
+            )
             return pd.DataFrame(
                 {"query_id": np.full(docs.size, query_id, dtype=np.int64),
                  "doc_id": docs.astype(np.int64),

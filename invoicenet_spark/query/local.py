@@ -399,7 +399,7 @@ def _run_one_query(
     if mode == "BOOL":
         return _run_bool_query(
             q, term_info, by_tid_shard, shards_by_tid, stats, deleted_by_shard,
-            count_only=count_only,
+            count_only=count_only, kernel=kernel,
         )
     neg_raw = q.get("neg_terms")
     neg_terms = (
@@ -525,11 +525,13 @@ def _run_bool_query(
     stats: dict,
     deleted_by_shard: dict | None = None,
     count_only: bool = False,
+    kernel: str = "auto",
 ) -> list[tuple]:
     """mode='BOOL' serving twin: resolve the (already-expanded) tree's leaf
-    tids, evaluate booltree.evaluate_shard per candidate shard — the SAME
-    evaluator the Spark kernel runs, so both paths are float-identical —
-    then global-merge exactly like the flat path."""
+    tids, evaluate booltree.evaluate_shard_topk per candidate shard — the
+    SAME routing front door the Spark kernel runs (block-max pruning for
+    pure disjunctions, exhaustive otherwise), so both paths are
+    float-identical — then global-merge exactly like the flat path."""
     k1, b, avgdl, N = stats["k1"], stats["b"], stats["avgdl"], stats["N"]
     qid, k = int(q["query_id"]), int(q["k"])
     tree = booltree.resolve_tids(
@@ -567,14 +569,14 @@ def _run_bool_query(
                 by_tid[tid] = kernels.TermPostings(rec, idf=idf, avgdl=avgdl, k1=k1, b=b)
         if not by_tid:
             continue
-        d, s = booltree.evaluate_shard(tree, by_tid)
         deleted = deleted_by_shard.get(shard) if deleted_by_shard else None
-        live = kernels.drop_deleted(d, deleted)
         if count_only:
-            docs_all.append(int(live.sum()))
+            d, _ = booltree.evaluate_shard(tree, by_tid)
+            docs_all.append(int(kernels.drop_deleted(d, deleted).sum()))
             continue
-        d, s = kernels.apply_after(d[live], s[live], after)
-        d, s = kernels.topk_select(d, s, k)
+        d, s = booltree.evaluate_shard_topk(
+            tree, by_tid, k, deleted=deleted, after=after, kernel=kernel
+        )
         docs_all.append(d)
         scores_all.append(s)
     if count_only:

@@ -1,0 +1,165 @@
+"""Block-max pruning for boolean trees (booltree.evaluate_shard_topk).
+
+Round-5 flagship: pure-disjunction trees — the shape EVERY bare or fielded
+OR query rewrites to — route to the MaxScore kernel with per-leaf
+(boost-scaled idf, field-avgdl) bounds instead of the exhaustive walk.
+
+Pins, per random trial:
+- pruned vs the exhaustive TREE WALK: rank identity + scores to 1e-12 rel
+  (flat vs nested accumulation may differ in the last ulp);
+- pruned vs the flat exhaustive kernel (kernel='exhaustive' routing):
+  BIT-identical scores — the float-identity contract that keeps pagination
+  cursors exact across pruned and cursored pages;
+- non-flattenable shapes (AND/NOT/phrase/min_match) still take the tree
+  walk bit-exactly;
+- cursor continuation: page 2 from a pruned page 1's cursor equals the
+  tail of one big-k pruned run, float-exact.
+"""
+
+import numpy as np
+
+from invoicenet_spark.index.codec import encode_posting_list
+from invoicenet_spark.query import booltree, kernels
+
+K1, B = 1.2, 0.75
+
+
+def _corpus(rng, n_docs, n_terms, block_size):
+    dls = rng.integers(20, 400, size=n_docs).astype(np.int64)
+    avgdl = float(dls.mean())
+    by_tid = {}
+    for t in range(n_terms):
+        df = int(rng.integers(1, n_docs + 1))
+        docs = np.sort(rng.choice(n_docs, size=df, replace=False)).astype(np.int64)
+        tfs = rng.integers(1, 20, size=df).astype(np.int64)
+        row = encode_posting_list(docs, tfs, dls[docs], block_size=block_size)
+        row["term_id"] = t
+        idf = float(np.log((n_docs - df + 0.5) / (df + 0.5) + 1.0))
+        by_tid[t] = kernels.TermPostings(row, idf=idf, avgdl=avgdl, k1=K1, b=B)
+    return by_tid, avgdl
+
+
+def _random_or_tree(rng, n_terms, avgdl, allow_absent=True):
+    """Random pure disjunction: term leaves with random boosts and avgdl
+    overrides (the fielded-leaf shape), randomly nested under OR nodes."""
+    n_leaves = int(rng.integers(1, 6))
+    leaves = []
+    for _ in range(n_leaves):
+        tid = int(rng.integers(0, n_terms + (2 if allow_absent else 0)))
+        leaf = {"kind": "term", "term": f"t{tid}", "tid": tid,
+                "boost": float(rng.choice([1.0, 0.5, 2.0, 2.5]))}
+        if rng.random() < 0.5:
+            leaf["avgdl"] = float(avgdl * rng.choice([0.7, 1.0, 1.4]))
+        leaves.append(leaf)
+    while len(leaves) > 1:  # random nesting
+        i = int(rng.integers(0, len(leaves) - 1))
+        group = {"kind": "or", "clauses": [leaves.pop(i), leaves.pop(i)]}
+        leaves.insert(i, group)
+    root = leaves[0]
+    if root["kind"] == "term" and rng.random() < 0.3:
+        root = {"kind": "or", "clauses": [root]}
+    return root
+
+
+def _ground_truth(tree, by_tid, k, deleted, after=None):
+    docs, scores = booltree.evaluate_shard(tree, by_tid)
+    live = kernels.drop_deleted(docs, deleted)
+    docs, scores = kernels.apply_after(docs[live], scores[live], after)
+    return kernels.topk_select(docs, scores, k)
+
+
+def test_pruned_disjunction_fuzz():
+    for seed in range(400):
+        rng = np.random.default_rng(90_000 + seed)
+        n_docs = int(rng.integers(8, 60))
+        n_terms = int(rng.integers(2, 5))
+        bs = int(rng.choice([4, 8]))
+        k = int(rng.integers(1, 6))
+        by_tid, avgdl = _corpus(rng, n_docs, n_terms, bs)
+        tree = _random_or_tree(rng, n_terms, avgdl)
+        n_del = int(rng.integers(0, max(1, n_docs // 3)))
+        deleted = (
+            np.sort(rng.choice(n_docs, size=n_del, replace=False)).astype(np.int64)
+            if n_del
+            else None
+        )
+        assert booltree.flatten_or_terms(tree) is not None
+
+        ed, es = _ground_truth(tree, by_tid, k, deleted)
+        gd, gs = booltree.evaluate_shard_topk(tree, by_tid, k, deleted=deleted)
+        assert np.array_equal(ed, gd), f"seed={seed}: docs {ed} != {gd}"
+        assert np.allclose(es, gs, rtol=1e-12, atol=1e-12), f"seed={seed}"
+
+        # bit-identity between the pruned and flat-exhaustive routings
+        xd, xs = booltree.evaluate_shard_topk(
+            tree, by_tid, k, deleted=deleted, kernel="exhaustive"
+        )
+        assert np.array_equal(gd, xd), f"seed={seed}"
+        assert np.array_equal(gs, xs), f"seed={seed}: pruned floats != flat floats"
+
+
+def test_non_flattenable_shapes_take_tree_walk_exactly():
+    for seed in range(150):
+        rng = np.random.default_rng(120_000 + seed)
+        n_docs = int(rng.integers(8, 60))
+        by_tid, avgdl = _corpus(rng, n_docs, 4, 8)
+        k = int(rng.integers(1, 6))
+        a = _random_or_tree(rng, 4, avgdl)
+        b = _random_or_tree(rng, 4, avgdl)
+        shape = int(rng.integers(0, 3))
+        if shape == 0:
+            tree = {"kind": "and", "clauses": [a, b]}
+        elif shape == 1:
+            tree = {"kind": "not", "positive": a, "negative": b}
+        else:
+            tree = {"kind": "or", "clauses": [a, b], "min_match": 2}
+        assert booltree.flatten_or_terms(tree) is None
+        ed, es = _ground_truth(tree, by_tid, k, None)
+        gd, gs = booltree.evaluate_shard_topk(tree, by_tid, k)
+        assert np.array_equal(ed, gd), f"seed={seed}"
+        assert np.array_equal(es, gs), f"seed={seed}"
+
+
+def test_cursor_pages_bit_stable_across_pruned_and_exhaustive():
+    for seed in range(100):
+        rng = np.random.default_rng(150_000 + seed)
+        n_docs = int(rng.integers(20, 80))
+        by_tid, avgdl = _corpus(rng, n_docs, 3, 8)
+        tree = _random_or_tree(rng, 3, avgdl, allow_absent=False)
+        full_d, full_s = booltree.evaluate_shard_topk(tree, by_tid, n_docs + 1)
+        if full_d.size < 4:
+            continue
+        k = full_d.size // 2
+        p1d, p1s = booltree.evaluate_shard_topk(tree, by_tid, k)
+        assert np.array_equal(p1d, full_d[:k]) and np.array_equal(p1s, full_s[:k])
+        after = (float(p1s[-1]), int(p1d[-1]))
+        p2d, p2s = booltree.evaluate_shard_topk(tree, by_tid, k, after=after)
+        n2 = p2d.size
+        assert np.array_equal(p2d, full_d[k : k + n2]), f"seed={seed}"
+        assert np.array_equal(p2s, full_s[k : k + n2]), f"seed={seed}"
+
+
+def test_flatten_shapes():
+    t = {"kind": "term", "term": "a", "tid": 3, "boost": 2.0}
+    assert booltree.flatten_or_terms(t) == [(3, 2.0, None)]
+    nested = {
+        "kind": "or",
+        "clauses": [
+            {"kind": "or", "clauses": [
+                {"kind": "term", "term": "title:a", "tid": 1, "boost": 2.0, "avgdl": 4.5},
+                {"kind": "term", "term": "body:a", "tid": 2, "boost": 1.0, "avgdl": 9.0},
+            ]},
+            {"kind": "term", "term": "b", "tid": 7, "boost": 1.0},
+        ],
+    }
+    assert booltree.flatten_or_terms(nested) == [
+        (1, 2.0, 4.5), (2, 1.0, 9.0), (7, 1.0, None)
+    ]
+    # blockers: min_match, phrase leaves, and/not nodes
+    assert booltree.flatten_or_terms({**nested, "min_match": 2}) is None
+    assert booltree.flatten_or_terms(
+        {"kind": "or", "clauses": [t, {"kind": "phrase", "tids": [1, 2],
+                                       "terms": ["a", "b"], "slop": 0,
+                                       "ordered": True, "boost": 1.0}]}
+    ) is None
+    assert booltree.flatten_or_terms({"kind": "and", "clauses": [t, t]}) is None

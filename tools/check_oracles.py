@@ -27,11 +27,13 @@ def value_hash(df: pd.DataFrame) -> str:
     return hashlib.md5("\n".join(rows).encode()).hexdigest()
 
 
-def main():
+def check(spark, only: set[str] | None = None) -> tuple[list[str], int]:
+    """Run every queries() entry (optionally restricted to `only`) against
+    its DuckDB twin; returns (failures, n_checked). Importable so the pytest
+    suite can hard-gate ALL oracles — including those past the driver's
+    50-row cap (the round-4 rotation made regressions there invisible)."""
     import __spark_entry__ as entry
-    from invoicenet_spark.session import get_spark
 
-    spark = get_spark("oracle_check", shuffle_partitions=8, driver_memory="16g")
     con = duckdb.connect()
     for t in TABLES:
         p = f"{SF_DIR}/{t}.parquet"
@@ -40,11 +42,12 @@ def main():
 
     queries = entry.queries()
     oracles = entry.oracle_sql()
-    only = set(sys.argv[1:])
     failures = []
+    n_checked = 0
     for name, fn in queries.items():
         if only and name not in only:
             continue
+        n_checked += 1
         t0 = time.time()
         try:
             sdf = fn(spark, SF_DIR).toPandas()
@@ -81,6 +84,14 @@ def main():
             print(f"FAIL {name}: {'; '.join(problems)}")
         else:
             print(f"PASS {name}: rows={len(sdf)} [{time.time()-t0:.1f}s]")
+    return failures, n_checked
+
+
+def main():
+    from invoicenet_spark.session import get_spark
+
+    spark = get_spark("oracle_check", shuffle_partitions=8, driver_memory="16g")
+    failures, _ = check(spark, set(sys.argv[1:]) or None)
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL PASS")
     sys.exit(1 if failures else 0)
 
