@@ -84,7 +84,10 @@ def main(argv=None):
     s.add_argument("--terms", default=None, help="comma-separated")
     s.add_argument("--query", default=None,
                    help="boolean query string, e.g. '(a AND b) OR (c NOT d)', "
-                        "'\"x y\"~2 AND pre*' — implies --mode BOOL")
+                        "'\"x y\"~2 AND pre*' — implies --mode BOOL. Leaves "
+                        "take ^boosts (term^2, \"a b\"^1.5) and the "
+                        "--after-score/--after-doc cursor paginates BOOL "
+                        "results exactly like flat modes")
     s.add_argument("--mode", default="OR",
                    choices=["OR", "AND", "PHRASE", "PREFIX", "NEAR", "FUZZY", "BOOL"])
     s.add_argument("--unordered", action="store_true",

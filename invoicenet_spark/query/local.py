@@ -747,3 +747,54 @@ def search_local(
         out["url"] = pd.Series(dtype="object")
         out = out[["query_id", "rank", "doc_id", "url", "score"]]
     return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+def _local_meta(meta, field: str, doc_ids) -> pd.DataFrame:
+    """(doc_id, field) frame for the serving aggs: a pandas frame passes
+    through; a LocalIndex / index root reads the column straight from the
+    index's docs parquet (pyarrow, doc_id-filtered — no Spark job), the
+    same files exec-path callers join against."""
+    if isinstance(meta, pd.DataFrame):
+        return meta[["doc_id", field]]
+    li = local_index(meta)
+    tbl = li.docs_dataset().to_table(
+        columns=["doc_id", field], filter=ds.field("doc_id").isin(list(doc_ids))
+    )
+    return tbl.to_pandas()
+
+
+def facet_counts_local(matches: pd.DataFrame, meta, field: str) -> pd.DataFrame:
+    """Serving twin of exec.facet_counts: facet a search_local result (or
+    any (query_id, doc_id) frame) by a doc-metadata field. `meta` is a
+    pandas (doc_id, field) frame or a LocalIndex / index root (reads the
+    field from the index docs table). Returns (query_id, field, n_docs),
+    value-identical to the Spark op."""
+    m = matches[["query_id", "doc_id"]].merge(
+        _local_meta(meta, field, matches["doc_id"].unique()), on="doc_id"
+    )
+    out = m.groupby(["query_id", field], as_index=False).size()
+    return out.rename(columns={"size": "n_docs"})
+
+
+def top_by_field_local(
+    matches: pd.DataFrame, meta, field: str, k: int, ascending: bool = False
+) -> pd.DataFrame:
+    """Serving twin of exec.top_by_field: rank each query's match set by a
+    doc-metadata column (relevance ignored) with the deterministic doc_id
+    tie-break. Null ordering matches the Spark op's defaults (asc → nulls
+    first, desc → nulls last). Returns (query_id, rank, doc_id, field),
+    rank-identical to the Spark op."""
+    m = matches[["query_id", "doc_id"]].merge(
+        _local_meta(meta, field, matches["doc_id"].unique()), on="doc_id"
+    )
+    m = m.sort_values(
+        ["query_id", field, "doc_id"],
+        ascending=[True, ascending, True],
+        kind="mergesort",
+        na_position="first" if ascending else "last",
+    )
+    m["rank"] = (m.groupby("query_id").cumcount() + 1).astype("int32")
+    return (
+        m[m["rank"] <= k][["query_id", "rank", "doc_id", field]]
+        .reset_index(drop=True)
+    )

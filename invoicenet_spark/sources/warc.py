@@ -146,6 +146,17 @@ def _local_path(p: str) -> str:
 _GZ_MAGIC = b"\x1f\x8b\x08"
 
 
+def _open_local(path: str):
+    """Default byte-range reader: the local filesystem. Every ranged read
+    below goes through an injectable `opener` seam — any callable
+    path → file-like with read/seek qualifies, so an fsspec filesystem's
+    ``lambda p: fs.open(p, "rb")`` (ranged GETs against an object store)
+    drops in without touching the chunk-sync logic. Openers are shipped to
+    executors inside the task closure (cloudpickle), so they must be
+    picklable."""
+    return open(path, "rb")
+
+
 def _decompress_member(f, buf: bytearray, pos: int):
     """Decompress ONE gzip member starting at buf[pos:], extending buf from
     the open file when the member crosses the buffer end. Returns
@@ -175,7 +186,7 @@ def _decompress_member(f, buf: bytearray, pos: int):
             return b"".join(out), end, buf
 
 
-def parse_warc_chunk(path: str, start: int, end: int):
+def parse_warc_chunk(path: str, start: int, end: int, opener=None):
     """Parse the WARC records of every gzip member STARTING in [start, end)
     of a per-record-gzip archive — the task body of arbitrary-offset
     splitting. A task seeks to its chunk, SYNCS on the first verified
@@ -187,8 +198,12 @@ def parse_warc_chunk(path: str, start: int, end: int):
     whole-archive parse. No serial indexing pass anywhere — this is what
     makes one N-GB archive cost N_tasks parallel chunks instead of a
     sequential decompress (the indexing-pass variant measured serial-bound:
-    BENCH/BASELINE.md 3g)."""
-    with open(path, "rb") as f:
+    BENCH/BASELINE.md 3g).
+
+    opener: byte-range reader seam (see _open_local) — this function only
+    ever seeks to its chunk and reads forward, exactly the access pattern
+    of an object-store ranged GET."""
+    with (opener or _open_local)(path) as f:
         f.seek(start)
         # +2 bytes past the chunk end so a member whose 3-byte gzip magic
         # STARTS at limit-1/limit-2 (ownership: start < end) is still
@@ -281,6 +296,7 @@ def read_warc_pages(
     extract_strategy: str = "strip_tags",
     records_per_task: int | None = None,
     split_bytes: int | None = None,
+    opener=None,
 ) -> DataFrame:
     """WARC archive(s) at `path` (file/dir/glob; .warc or .warc.gz) → the
     engine's pages frame (url, warc_ts, html, text, lang).
@@ -304,6 +320,11 @@ def read_warc_pages(
     then ranges of this many members. The index pass is itself a full
     sequential decompress of each archive, so this only pays off when the
     index is reused (the CDX-file shape) — measured in BENCH/BASELINE.md 3g.
+
+    opener: injectable byte-range reader for the chunk/range tasks (see
+    _open_local) — an fsspec-style callable makes every ranged read an
+    object-store GET; archive discovery/size listing still goes through
+    Spark's binaryFile source.
     """
     import pandas as pd
 
@@ -338,7 +359,9 @@ def read_warc_pages(
             for pdf in batches:
                 out = {"url": [], "warc_ts": [], "html": []}
                 for p, start, end in zip(pdf["path"], pdf["start"], pdf["end"]):
-                    _emit_records(out, parse_warc_chunk(p, int(start), int(end)))
+                    _emit_records(
+                        out, parse_warc_chunk(p, int(start), int(end), opener=opener)
+                    )
                 yield pd.DataFrame(out)
 
         pages = (
@@ -357,7 +380,7 @@ def read_warc_pages(
             for pdf in batches:
                 out = {"url": [], "warc_ts": [], "html": []}
                 for p, start, length in zip(pdf["path"], pdf["start"], pdf["length"]):
-                    with open(p, "rb") as f:
+                    with (opener or _open_local)(p) as f:
                         f.seek(int(start))
                         _emit_records(out, parse_warc(f.read(int(length))))
                 yield pd.DataFrame(out)

@@ -166,3 +166,82 @@ def test_batch_serving_threads_match_serial(spark, pos_index):
     serial = search_local(pos_index, queries, n_threads=1)
     threaded = search_local(pos_index, queries, n_threads=8)
     assert serial.equals(threaded)
+
+
+def test_local_facets_and_sort_match_spark_ops(spark, pos_index):
+    """Round-5 serving parity: facet_counts_local / top_by_field_local are
+    value- and rank-identical to the Spark ops over the same match set,
+    with meta supplied as a frame AND read from the index docs table."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from invoicenet_spark.query.exec import facet_counts, top_by_field
+    from invoicenet_spark.query.local import facet_counts_local, top_by_field_local
+
+    queries = gen_queries(8, seed=42)
+    queries["k"] = 100000  # full match sets
+    matches_sdf = search(spark, pos_index, queries, kernel="auto").select("query_id", "doc_id")
+    matches_pd = search_local(pos_index, queries)
+
+    # external metadata frame: deterministic source label per doc
+    all_ids = sorted({int(r["doc_id"]) for r in matches_sdf.select("doc_id").collect()})
+    meta_pd = pd.DataFrame(
+        {"doc_id": all_ids, "source": [f"s{d % 5}" for d in all_ids]}
+    )
+    meta_sdf = spark.createDataFrame(meta_pd)
+
+    want_f = {
+        (int(r["query_id"]), r["source"], int(r["n_docs"]))
+        for r in facet_counts(matches_sdf, meta_sdf, "source").collect()
+    }
+    got_f = {
+        (int(r.query_id), r.source, int(r.n_docs))
+        for r in facet_counts_local(matches_pd, meta_pd, "source").itertuples()
+    }
+    assert got_f == want_f and got_f
+
+    for ascending in (False, True):
+        want_s = [
+            (int(r["query_id"]), int(r["rank"]), int(r["doc_id"]), r["source"])
+            for r in top_by_field(
+                matches_sdf, meta_sdf, "source", 7, ascending=ascending
+            ).collect()
+        ]
+        got_s = [
+            (int(r.query_id), int(r.rank), int(r.doc_id), r.source)
+            for r in top_by_field_local(
+                matches_pd, meta_pd, "source", 7, ascending=ascending
+            ).itertuples()
+        ]
+        assert got_s == want_s
+
+    # meta = the index itself: field read from the docs parquet (url),
+    # pinned against the Spark op joining index.docs — no Spark in the twin
+    want_u = [
+        (int(r["query_id"]), int(r["rank"]), int(r["doc_id"]), r["url"])
+        for r in top_by_field(
+            matches_sdf, pos_index.docs, "url", 5, ascending=True
+        ).collect()
+    ]
+    got_u = [
+        (int(r.query_id), int(r.rank), int(r.doc_id), r.url)
+        for r in top_by_field_local(
+            matches_pd, pos_index.paths.root, "url", 5, ascending=True
+        ).itertuples()
+    ]
+    assert got_u == want_u
+
+    fw = facet_counts(matches_sdf, pos_index.docs.withColumn(
+        "host", F.substring("url", 1, 6)).select("doc_id", "host"), "host").collect()
+    # index-backed facet twin needs the column present in docs — url is;
+    # host isn't, so just pin the url-grouped counts
+    want_fu = {
+        (int(r["query_id"]), r["url"], int(r["n_docs"]))
+        for r in facet_counts(matches_sdf, pos_index.docs, "url").collect()
+    }
+    got_fu = {
+        (int(r.query_id), r.url, int(r.n_docs))
+        for r in facet_counts_local(matches_pd, pos_index.paths.root, "url").itertuples()
+    }
+    assert got_fu == want_fu and len(fw) > 0

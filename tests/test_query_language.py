@@ -546,3 +546,47 @@ def test_prefix_no_match_is_empty(spark, ql):
     got = _run(spark, idx, _q(["zzznoprefix"], mode="PREFIX"))
     assert len(got) == 0
     assert len(search_local(root, _q(["zzznoprefix"], mode="PREFIX"))) == 0
+
+
+def test_cli_bool_pagination_and_boosts_round_trip(spark, ql, capsys):
+    """CLI surface for BOOL trees (round-5 item 7): `--query` strings with
+    leaf boosts paginate via --after-score/--after-doc on BOTH the Spark
+    and --local paths — page 2 equals rows k+1..2k of one big-k run."""
+    import json as _json
+
+    from invoicenet_spark.cli import main
+
+    root, idx, top = ql
+    qstr = f"{top[0]}^2 OR {top[1]} OR {top[2]}"
+    k = 5
+
+    def run_cli(extra):
+        capsys.readouterr()
+        assert main(["search", "--index", root, "--query", qstr, "-k", str(k)]
+                    + extra) == 0
+        return [
+            _json.loads(line)
+            for line in capsys.readouterr().out.strip().splitlines()
+            if line.startswith("{")
+        ]
+
+    for path_args in (["--local"], []):
+        # big-k ground truth (argparse takes the last -k)
+        full = run_cli(path_args + ["-k", str(3 * k)])
+        assert len(full) > k + 1, "fixture too small to paginate"
+        page1 = run_cli(path_args)
+        assert [r["doc_id"] for r in page1] == [r["doc_id"] for r in full[:k]]
+        cur = page1[-1]
+        # CLI rounds printed scores to 6 digits; fetch the exact cursor from
+        # the engine like a client holding raw results would
+        res = search_local(root, _q([qstr], mode="BOOL", k=k))
+        after = ["--after-score", repr(float(res["score"].iloc[-1])),
+                 "--after-doc", str(int(cur["doc_id"]))]
+        page2 = run_cli(path_args + after)
+        assert [r["doc_id"] for r in page2] == [r["doc_id"] for r in full[k : 2 * k]]
+
+    # boost actually changes the ranking vs the unboosted tree
+    boosted = search_local(root, _q([qstr], mode="BOOL", k=BIG))
+    plain = search_local(root, _q([f"{top[0]} OR {top[1]} OR {top[2]}"], mode="BOOL", k=BIG))
+    merged = boosted.merge(plain, on="doc_id", suffixes=("_b", "_p"))
+    assert (merged["score_b"] > merged["score_p"]).any()

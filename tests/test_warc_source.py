@@ -322,3 +322,74 @@ def test_chunk_sync_finds_magic_straddling_chunk_end(tmp_path):
         for cs, ce in chunks:
             got += [u for u, _, _ in parse_warc_chunk(p, cs, ce)]
         assert sorted(got) == sorted(u for u, _, _ in recs), f"end={e}"
+
+
+
+def _fake_store_opener(blob_dir):
+    """A fake object-store reader: opens serve bytes through an in-memory
+    BytesIO (as a ranged-GET client would materialize its response stream)
+    and drop a marker file per open so the Spark-task path proves the seam
+    was exercised."""
+    import io as _io
+    import uuid
+
+    def opener(path):
+        with open(path, "rb") as f:
+            data = f.read()
+        with open(os.path.join(blob_dir, f"open-{uuid.uuid4().hex}"), "w"):
+            pass
+        return _io.BytesIO(data)
+
+    return opener
+
+
+def test_injectable_byte_range_reader(spark, tmp_path):
+    """The WARC chunk tasks read through an injectable opener (fsspec-style
+    path → file-like): byte-identical results to the local-open default,
+    and the Spark split path demonstrably routes every ranged read through
+    the injected reader."""
+    from invoicenet_spark.sources.warc import parse_warc_chunk
+
+    d = str(tmp_path / "arch")
+    os.makedirs(d)
+    recs = [
+        (f"https://r.example/{i}", "2024-01-01T00:00:00Z",
+         (f"<html><body><p>page {i} " + "pad " * (i % 11) + "</p></body></html>").encode())
+        for i in range(30)
+    ]
+    p = os.path.join(d, "seg.warc.gz")
+    write_warc(recs, p, gzip_per_record=True)
+    size = os.path.getsize(p)
+
+    markers = str(tmp_path / "markers")
+    os.makedirs(markers)
+    opener = _fake_store_opener(markers)
+
+    # pure chunk walk: injected reader ≡ default reader
+    step = max(1, size // 5)
+    for s in range(0, size, step):
+        a = list(parse_warc_chunk(p, s, min(s + step, size)))
+        b = list(parse_warc_chunk(p, s, min(s + step, size), opener=opener))
+        assert a == b
+    assert len(os.listdir(markers)) >= 5  # the fake reader actually served
+
+    # through Spark: rows identical, every task's read went through the seam
+    for f in os.listdir(markers):
+        os.unlink(os.path.join(markers, f))
+    whole = read_warc_pages(spark, d).orderBy("url").collect()
+    split = (
+        read_warc_pages(spark, d, split_bytes=size // 4, opener=opener)
+        .orderBy("url").collect()
+    )
+    assert [r.asDict() for r in split] == [r.asDict() for r in whole]
+    assert len(os.listdir(markers)) >= 4
+
+    # records_per_task path honors the seam too
+    for f in os.listdir(markers):
+        os.unlink(os.path.join(markers, f))
+    ranged = (
+        read_warc_pages(spark, d, records_per_task=7, opener=opener)
+        .orderBy("url").collect()
+    )
+    assert [r.asDict() for r in ranged] == [r.asDict() for r in whole]
+    assert len(os.listdir(markers)) >= 1
