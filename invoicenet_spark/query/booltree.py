@@ -803,8 +803,7 @@ def evaluate_shard_topk(
     exactly the round-4 semantics."""
     from invoicenet_spark.query import kernels
 
-    leaves = flatten_or_terms(tree)
-    if leaves is not None:
+    def _resolve(leaves):
         plists = []
         for tid, boost, avgdl in leaves:
             tp0 = by_tid.get(tid)
@@ -819,11 +818,30 @@ def evaluate_shard_topk(
                     b=tp0.b,
                 )
             )
+        return plists
+
+    leaves = flatten_or_terms(tree)
+    if leaves is not None:
+        plists = _resolve(leaves)
         if not plists:
             return _EMPTY
         if kernel == "exhaustive" or after is not None:
             return kernels.score_exhaustive(plists, k, "OR", deleted=deleted, after=after)
         return kernels.score_blockmax(plists, k, deleted=deleted)
+    if tree["kind"] == "and":
+        # conjunction of disjunction-groups (the fielded AND rewrite):
+        # exact structural pruning — candidates seed from the smallest
+        # group, the stopword-side groups are block-probed, every match is
+        # scored, so cursors compose (kernels.score_and_groups). Exact by
+        # construction (no theta), so it serves kernel='exhaustive' too —
+        # its guard-bail branch shares the same float contract, keeping
+        # scores bit-stable across kernel settings and pages.
+        flat_groups = [flatten_or_terms(c) for c in tree["clauses"]]
+        if tree["clauses"] and all(g is not None for g in flat_groups):
+            groups = [_resolve(g) for g in flat_groups]
+            if any(not g for g in groups):
+                return _EMPTY  # a group with no present leaves matches nothing
+            return kernels.score_and_groups(groups, k, deleted=deleted, after=after)
     docs, scores = evaluate_shard(tree, by_tid)
     live = kernels.drop_deleted(docs, deleted)
     docs, scores = kernels.apply_after(docs[live], scores[live], after)

@@ -516,6 +516,15 @@ def _shard_kernel(stats: dict, kernel: str, deleted_bc=None, count_mode: bool = 
             docs, scores = kernels.score_near(
                 plists, k, slop, deleted=deleted, after=after, ordered=ordered
             )
+        elif mode == "AND" and kernel != "exhaustive":
+            # conjunctive block-probe kernel: seed candidates from the
+            # smallest list, probe the others block-granularly — `rare AND
+            # stopword` never decodes the bulk of the stopword list. Exact
+            # (every match scored) and bit-identical to score_exhaustive's
+            # AND floats (fuzz-pinned), so cursors compose directly.
+            docs, scores = kernels.score_and_groups(
+                [[tp] for tp in plists], k, deleted=deleted, after=after
+            )
         elif (
             mode == "AND"
             or kernel == "exhaustive"

@@ -432,6 +432,116 @@ def _probe_scores(
     return scores
 
 
+def _probe_membership(
+    plists: list[TermPostings],
+    caches: list[dict],
+    cand: np.ndarray,
+) -> np.ndarray:
+    """Boolean mask over the sorted candidate array: does the doc appear in
+    AT LEAST ONE of these posting lists? Decodes only the blocks that can
+    contain a candidate (same skip-table random access as _probe_scores,
+    sharing its per-list block caches) — the membership half of the
+    conjunctive probe."""
+    from invoicenet_spark.index.codec import decode_blocks_batch
+
+    hit_any = np.zeros(cand.size, dtype=bool)
+    for li, tp in enumerate(plists):
+        jb = np.searchsorted(tp.block_last, cand, side="left")
+        ok = jb < tp.n_blocks
+        if not ok.any():
+            continue
+        cache = caches[li]
+        needed = np.unique(jb[ok])
+        missing = np.array([j for j in needed if int(j) not in cache], dtype=np.int64)
+        if missing.size:
+            bd, bt, bl, offs = decode_blocks_batch(tp.row, missing)
+            for bi, j in enumerate(missing):
+                sl = slice(offs[bi], offs[bi + 1])
+                cache[int(j)] = (bd[sl], bt[sl], bl[sl])
+        parts = [cache[int(j)] for j in needed]
+        d = np.concatenate([p[0] for p in parts])
+        idx = np.minimum(np.searchsorted(d, cand), d.size - 1)
+        hit_any |= d[idx] == cand
+    return hit_any
+
+
+def score_and_groups(
+    groups: list[list[TermPostings]],
+    k: int,
+    deleted: np.ndarray | None = None,
+    after: tuple[float, int] | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Conjunction of disjunction-groups with block-granular skipping: a doc
+    matches iff it appears in >= 1 list of EVERY group; matching docs score
+    the full BM25 sum over ALL lists (per-leaf idf carries any boost, per
+    -leaf avgdl any field normalization). Flat AND is the special case of
+    single-leaf groups.
+
+    This is structural pruning, not score pruning — no theta, no bound
+    math, EVERY match is scored — so it composes with cursors (apply_after
+    runs on the complete match set) and is EXACT by construction. The win
+    is decode skipping: candidates seed from the smallest group's union,
+    and every other group is probed block-granularly (only blocks
+    containing a surviving candidate are decoded), so `rare AND stopword`
+    never decodes the bulk of the stopword list. Candidates shrink
+    group-by-group in ascending-size order, cheapest-first.
+
+    Float contract: scores accumulate per list in the caller's flat
+    (group-major) list order over the final sorted candidate array —
+    IDENTICAL operand order to score_exhaustive(mode='AND') for
+    single-leaf groups (fuzz-pinned bit-equal), so switching the flat AND
+    path to this kernel changes no score bit.
+
+    Fallback guard: when the seed group is not much smaller than the rest,
+    block probing decodes nearly everything anyway with per-block overhead
+    on top — bail to full decode (union each group, gallop-intersect),
+    which keeps the same float contract."""
+    if not groups or any(not g for g in groups):
+        return np.zeros(0, dtype=np.int64), np.zeros(0)
+    flat = [tp for g in groups for tp in g]
+    if len(groups) == 1:
+        # no conjunction to skip on — plain OR over the single group
+        return score_exhaustive(flat, k, "OR", deleted=deleted, after=after)
+
+    gdf = [sum(int(tp.row["df_shard"]) for tp in g) for g in groups]
+    order = sorted(range(len(groups)), key=lambda i: gdf[i])
+    total_df = sum(gdf)
+    caches_by_id: dict[int, dict] = {}
+    if gdf[order[0]] * 2 > total_df - gdf[order[0]]:
+        # seed ~as big as the rest combined: probe overhead beats skipping
+        decoded_groups = []
+        for g in groups:
+            parts = [tp.decode_all()[0] for tp in g]
+            decoded_groups.append(
+                parts[0] if len(parts) == 1 else np.unique(np.concatenate(parts))
+            )
+        cand = gallop_intersect(decoded_groups)
+        cand = cand[drop_deleted(cand, deleted)]
+    else:
+        seed_parts = [tp.decode_all()[0] for tp in groups[order[0]]]
+        cand = (
+            seed_parts[0]
+            if len(seed_parts) == 1
+            else np.unique(np.concatenate(seed_parts))
+        )
+        cand = cand[drop_deleted(cand, deleted)]
+        caches_by_id = {id(tp): dict() for tp in flat}
+        for gi in order[1:]:  # ascending size: cheapest groups shrink cand first
+            if cand.size == 0:
+                break
+            g = groups[gi]
+            cand = cand[
+                _probe_membership(g, [caches_by_id[id(tp)] for tp in g], cand)
+            ]
+    if cand.size == 0:
+        return np.zeros(0, dtype=np.int64), np.zeros(0)
+    # score at the survivors, reusing any blocks the membership phase
+    # already decoded (caches keyed by list identity; absent = fresh dict)
+    scores = _probe_scores(flat, [caches_by_id.get(id(tp), dict()) for tp in flat], cand)
+    cand, scores = apply_after(cand, scores, after)
+    return topk_select(cand, scores, k)
+
+
 def score_blockmax(
     plists: list[TermPostings],
     k: int,

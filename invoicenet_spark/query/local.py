@@ -493,7 +493,16 @@ def _run_one_query(
             )
         elif mode == "AND":
             plists.sort(key=lambda tp: int(tp.row["term_id"]))
-            d, s = kernels.score_exhaustive(plists, k, "AND", deleted=deleted, after=after)
+            if kernel == "exhaustive":
+                d, s = kernels.score_exhaustive(
+                    plists, k, "AND", deleted=deleted, after=after
+                )
+            else:
+                # conjunctive block-probe (bit-identical floats to the
+                # exhaustive AND — see kernels.score_and_groups)
+                d, s = kernels.score_and_groups(
+                    [[tp] for tp in plists], k, deleted=deleted, after=after
+                )
         else:
             plists.sort(key=lambda tp: int(tp.row["term_id"]))
             if kernel == "exhaustive" or min_match > 1 or after is not None:

@@ -108,7 +108,10 @@ def test_non_flattenable_shapes_take_tree_walk_exactly():
         b = _random_or_tree(rng, 4, avgdl)
         shape = int(rng.integers(0, 3))
         if shape == 0:
-            tree = {"kind": "and", "clauses": [a, b]}
+            # AND with a non-flattenable clause (nested NOT) — AND of pure
+            # disjunction-groups routes to the conjunctive probe instead
+            tree = {"kind": "and",
+                    "clauses": [a, {"kind": "not", "positive": b, "negative": a}]}
         elif shape == 1:
             tree = {"kind": "not", "positive": a, "negative": b}
         else:
@@ -163,3 +166,60 @@ def test_flatten_shapes():
                                        "ordered": True, "boost": 1.0}]}
     ) is None
     assert booltree.flatten_or_terms({"kind": "and", "clauses": [t, t]}) is None
+
+
+def test_and_of_or_groups_fuzz():
+    """AND-of-disjunction-groups (the fielded AND rewrite) routes to the
+    conjunctive block-probe kernel: rank identity + 1e-12-rel scores vs the
+    exhaustive tree walk, bit-stable across repeat calls, cursor pages
+    exact, and a group whose every leaf is absent short-circuits to empty
+    (AND semantics)."""
+    for seed in range(300):
+        rng = np.random.default_rng(300_000 + seed)
+        n_docs = int(rng.integers(10, 70))
+        n_terms = int(rng.integers(3, 6))
+        bs = int(rng.choice([4, 8]))
+        k = int(rng.integers(1, 6))
+        by_tid, avgdl = _corpus(rng, n_docs, n_terms, bs)
+        n_groups = int(rng.integers(2, 4))
+        clauses = [
+            _random_or_tree(rng, n_terms, avgdl, allow_absent=False)
+            for _ in range(n_groups)
+        ]
+        tree = {"kind": "and", "clauses": clauses}
+        n_del = int(rng.integers(0, max(1, n_docs // 3)))
+        deleted = (
+            np.sort(rng.choice(n_docs, size=n_del, replace=False)).astype(np.int64)
+            if n_del
+            else None
+        )
+        ed, es = _ground_truth(tree, by_tid, k, deleted)
+        gd, gs = booltree.evaluate_shard_topk(tree, by_tid, k, deleted=deleted)
+        assert np.array_equal(ed, gd), f"seed={seed}: docs {ed} != {gd}"
+        assert np.allclose(es, gs, rtol=1e-12, atol=1e-12), f"seed={seed}"
+        # repeat call bit-stability (cache state must not leak into floats)
+        gd2, gs2 = booltree.evaluate_shard_topk(tree, by_tid, k, deleted=deleted)
+        assert np.array_equal(gd, gd2) and np.array_equal(gs, gs2)
+
+        if gd.size >= 2:
+            kk = gd.size // 2
+            p1d, p1s = booltree.evaluate_shard_topk(tree, by_tid, kk, deleted=deleted)
+            after = (float(p1s[-1]), int(p1d[-1]))
+            p2d, p2s = booltree.evaluate_shard_topk(
+                tree, by_tid, kk, deleted=deleted, after=after
+            )
+            n2 = p2d.size
+            assert np.array_equal(p2d, gd[kk : kk + n2]), f"seed={seed}"
+            assert np.array_equal(p2s, gs[kk : kk + n2]), f"seed={seed}"
+
+    # absent-leaf group → empty AND result on both routings
+    rng = np.random.default_rng(1)
+    by_tid, avgdl = _corpus(rng, 30, 3, 8)
+    tree = {"kind": "and", "clauses": [
+        {"kind": "term", "term": "t0", "tid": 0, "boost": 1.0},
+        {"kind": "or", "clauses": [
+            {"kind": "term", "term": "zz", "tid": 99, "boost": 1.0}]},
+    ]}
+    ed, _ = _ground_truth(tree, by_tid, 10, None)
+    gd, _ = booltree.evaluate_shard_topk(tree, by_tid, 10)
+    assert ed.size == 0 and gd.size == 0

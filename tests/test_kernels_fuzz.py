@@ -360,3 +360,38 @@ def test_near_unordered_fuzz_vs_selection_scan():
         got_ordered, _ = kernels.score_near(plists, k=50, slop=slop, ordered=True)
         assert set(got_ordered.tolist()) <= set(got_docs.tolist())
     assert checked >= 60
+
+
+def test_and_groups_flat_bitidentical_to_exhaustive_and():
+    """score_and_groups with single-leaf groups IS the flat AND kernel:
+    bit-identical docs AND scores to score_exhaustive(mode='AND') across
+    random corpora, deletions, and cursors — the contract that lets the
+    flat AND path switch to block-probe skipping without changing a bit."""
+    for seed in range(400):
+        rng = np.random.default_rng(200_000 + seed)
+        n_docs = int(rng.integers(8, 60))
+        n_terms = int(rng.integers(2, 4))
+        bs = int(rng.choice([4, 8]))
+        k = int(rng.integers(1, 6))
+        plists = _random_corpus(rng, n_docs, n_terms, bs)
+        n_del = int(rng.integers(0, max(1, n_docs // 3)))
+        deleted = (
+            np.sort(rng.choice(n_docs, size=n_del, replace=False)).astype(np.int64)
+            if n_del
+            else None
+        )
+        ed, es = kernels.score_exhaustive(plists, k, "AND", deleted=deleted)
+        gd, gs = kernels.score_and_groups(
+            [[tp] for tp in plists], k, deleted=deleted
+        )
+        assert np.array_equal(ed, gd), f"seed={seed}: docs {ed} != {gd}"
+        assert np.array_equal(es, gs), f"seed={seed}: float drift"
+
+        # cursor composition: page 2 from page 1's cursor, vs exhaustive
+        if ed.size:
+            after = (float(es[-1]), int(ed[-1]))
+            e2 = kernels.score_exhaustive(plists, k, "AND", deleted=deleted, after=after)
+            g2 = kernels.score_and_groups(
+                [[tp] for tp in plists], k, deleted=deleted, after=after
+            )
+            assert np.array_equal(e2[0], g2[0]) and np.array_equal(e2[1], g2[1])

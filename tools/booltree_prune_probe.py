@@ -129,6 +129,46 @@ def main():
     r["pruned_vs_flat_exhaustive"] = round(r["pruned_ms"] / r["flat_exhaustive_ms"], 3)
     out["flat_3x300k"] = r
 
+    # (c) conjunctive skewed: rare AND stopword, fielded (2 groups × 2
+    # field leaves) — the round-5 score_and_groups target: the tree walk
+    # decodes both 1M stopword lists; the conjunctive probe decodes the
+    # rare group and block-probes the stopword group at its candidates
+    n_docs = 1_200_000
+    dls = rng.integers(20, 400, size=n_docs).astype(np.int64)
+    avgdl = float(dls.mean())
+    by_tid = {
+        0: make_list(rng, n_docs, 1_000_000, 0, dls, avgdl),
+        1: make_list(rng, n_docs, 1_000_000, 1, dls, avgdl),
+        2: make_list(rng, n_docs, 200, 2, dls, avgdl),
+        3: make_list(rng, n_docs, 200, 3, dls, avgdl),
+    }
+    tree = {"kind": "and", "clauses": field_tree(
+        [((2, 3), 2.0), ((0, 1), 1.0)], avgdl)["clauses"]}
+    r = {}
+    r["tree_walk_ms"] = round(1e3 * run(lambda: tree_walk(tree, by_tid, k), args.reps), 2)
+    r["pruned_ms"] = round(1e3 * run(
+        lambda: booltree.evaluate_shard_topk(tree, by_tid, k), args.reps), 2)
+    ed, es = tree_walk(tree, by_tid, k)
+    gd, gs = booltree.evaluate_shard_topk(tree, by_tid, k)
+    assert np.array_equal(ed, gd) and np.allclose(es, gs, rtol=1e-12)
+    r["speedup_vs_tree_walk"] = round(r["tree_walk_ms"] / r["pruned_ms"], 2)
+    out["skewed_and_stopword_rare_fielded"] = r
+
+    # (d) flat AND rare+stopword: previously full-decode intersect-then-
+    # score; now the conjunctive probe skips the stopword decode
+    kernels_plists = [by_tid[0], by_tid[2]]  # stopword AND rare (plain)
+    r = {}
+    r["exhaustive_and_ms"] = round(1e3 * run(
+        lambda: kernels.score_exhaustive(kernels_plists, k, "AND"), args.reps), 2)
+    r["probe_and_ms"] = round(1e3 * run(
+        lambda: kernels.score_and_groups([[p] for p in kernels_plists], k),
+        args.reps), 2)
+    ed, es = kernels.score_exhaustive(kernels_plists, k, "AND")
+    gd, gs = kernels.score_and_groups([[p] for p in kernels_plists], k)
+    assert np.array_equal(ed, gd) and np.array_equal(es, gs)
+    r["speedup"] = round(r["exhaustive_and_ms"] / r["probe_and_ms"], 2)
+    out["flat_and_stopword_rare"] = r
+
     os.makedirs("BENCH", exist_ok=True)
     path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                         "BENCH", "BOOLTREE_PRUNE.json")
