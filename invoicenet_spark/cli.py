@@ -114,6 +114,15 @@ def main(argv=None):
                         "WAND kernel was retired in round 3)")
     s.add_argument("--count", action="store_true",
                    help="print the exact match count (track_total_hits) instead of results")
+    s.add_argument("--facet", default=None,
+                   help="facet the returned match set by a docs-table field "
+                        "(e.g. url) — prints (value, n_docs) rows; pass a "
+                        "big -k to facet the full match set")
+    s.add_argument("--sort-by", default=None,
+                   help="re-rank the returned match set by a docs-table "
+                        "field instead of relevance (ES sort clause)")
+    s.add_argument("--sort-asc", action="store_true",
+                   help="--sort-by ascending (default: descending)")
     s.add_argument("--snippets", action="store_true",
                    help="attach highlighted snippets (index must be built with --store-text)")
     s.add_argument("--local", action="store_true",
@@ -187,6 +196,24 @@ def main(argv=None):
             print(json.dumps({"total_hits": int(res["total_hits"].iloc[0])}))
             return 0
         res = search_local(args.index, q, kernel=args.kernel)
+        if args.facet:
+            from invoicenet_spark.query.local import facet_counts_local
+
+            fc = facet_counts_local(res, args.index, args.facet)
+            for r in fc.to_dict("records"):
+                print(json.dumps({args.facet: r[args.facet],
+                                  "n_docs": int(r["n_docs"])}, ensure_ascii=False))
+            return 0
+        if args.sort_by:
+            from invoicenet_spark.query.local import top_by_field_local
+
+            tb = top_by_field_local(
+                res, args.index, args.sort_by, args.k, ascending=args.sort_asc
+            )
+            for r in tb.to_dict("records"):
+                print(json.dumps({"rank": int(r["rank"]), "doc_id": int(r["doc_id"]),
+                                  args.sort_by: r[args.sort_by]}, ensure_ascii=False))
+            return 0
         if args.snippets:
             from invoicenet_spark.query.snippets import attach_snippets_local
 
@@ -303,6 +330,27 @@ def main(argv=None):
             print(json.dumps({"total_hits": int(row["total_hits"])}))
             return 0
         res = search(spark, index, q, kernel=args.kernel)
+        if args.facet:
+            from invoicenet_spark.query.exec import facet_counts
+
+            fc = facet_counts(
+                res.select("query_id", "doc_id"), index.docs, args.facet
+            ).collect()
+            for r in fc:
+                print(json.dumps({args.facet: r[args.facet],
+                                  "n_docs": int(r["n_docs"])}, ensure_ascii=False))
+            return 0
+        if args.sort_by:
+            from invoicenet_spark.query.exec import top_by_field
+
+            tb = top_by_field(
+                res.select("query_id", "doc_id"), index.docs, args.sort_by,
+                args.k, ascending=args.sort_asc,
+            ).collect()
+            for r in tb:
+                print(json.dumps({"rank": int(r["rank"]), "doc_id": int(r["doc_id"]),
+                                  args.sort_by: r[args.sort_by]}, ensure_ascii=False))
+            return 0
         if args.snippets:
             from invoicenet_spark.query.snippets import attach_snippets
 

@@ -828,6 +828,22 @@ def evaluate_shard_topk(
         if kernel == "exhaustive" or after is not None:
             return kernels.score_exhaustive(plists, k, "OR", deleted=deleted, after=after)
         return kernels.score_blockmax(plists, k, deleted=deleted)
+    if tree["kind"] == "not":
+        # NOT is an exclusion mask over the positive subtree — the exact
+        # mechanism tombstones already use — so fold the negative's match
+        # docs into `deleted` and recurse: the positive keeps whatever
+        # pruned routing its shape earns (a fielded drop-in query with
+        # neg_terms rewrites to not(or(field leaves), …) and would
+        # otherwise fall back to the exhaustive walk).
+        nd, _ = evaluate_shard(tree["negative"], by_tid)
+        merged = (
+            deleted
+            if nd.size == 0
+            else (nd if deleted is None else np.union1d(deleted, nd))
+        )
+        return evaluate_shard_topk(
+            tree["positive"], by_tid, k, deleted=merged, after=after, kernel=kernel
+        )
     if tree["kind"] == "and":
         # conjunction of disjunction-groups (the fielded AND rewrite):
         # exact structural pruning — candidates seed from the smallest

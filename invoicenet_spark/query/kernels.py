@@ -404,32 +404,47 @@ def _probe_scores(
 
     scores = np.zeros(cand.size, dtype=np.float64)
     for li, tp in enumerate(plists):
-        jb = np.searchsorted(tp.block_last, cand, side="left")
-        ok = jb < tp.n_blocks
-        if not ok.any():
-            continue
-        cache = caches[li]
-        needed = np.unique(jb[ok])
-        missing = np.array([j for j in needed if int(j) not in cache], dtype=np.int64)
-        if missing.size:
-            # ONE batched varbyte decode for every missing block — per-block
-            # python decode costs ~0.1 ms of loop overhead each, which ties
-            # the pruned path with exhaustive instead of beating it
-            bd, bt, bl, offs = decode_blocks_batch(tp.row, missing)
-            for bi, j in enumerate(missing):
-                sl = slice(offs[bi], offs[bi + 1])
-                cache[int(j)] = (bd[sl], bt[sl], bl[sl])
-        parts = [cache[int(j)] for j in needed]  # block ids ascending → docs ascending
-        d = np.concatenate([p[0] for p in parts])
-        t = np.concatenate([p[1] for p in parts])
-        l = np.concatenate([p[2] for p in parts])
-        idx = np.searchsorted(d, cand)
-        idx_c = np.minimum(idx, d.size - 1)
-        hit = d[idx_c] == cand
-        if hit.any():
-            h = idx_c[hit]
-            scores[hit] += tp.idf * bm25.tf_score(t[h], l[h], tp.avgdl, tp.k1, tp.b)
+        r = _probe_list(tp, caches[li], cand)
+        if r is not None:
+            hit, tfs, dls = r
+            scores[hit] += tp.idf * bm25.tf_score(tfs, dls, tp.avgdl, tp.k1, tp.b)
     return scores
+
+
+def _probe_list(tp: TermPostings, cache: dict, cand: np.ndarray):
+    """Block-granular random access into ONE posting list at a sorted
+    candidate array: decodes only blocks that can contain a candidate
+    (filling `cache`, keyed by block index) and returns
+    (hit_mask_over_cand, tfs_at_hits, dls_at_hits), or None when no
+    candidate lands in the list. The shared primitive behind MaxScore
+    probing (_probe_scores) and the conjunctive kernel's interleaved
+    scoring — both must add the same operands in the same order."""
+    from invoicenet_spark.index.codec import decode_blocks_batch
+
+    jb = np.searchsorted(tp.block_last, cand, side="left")
+    ok = jb < tp.n_blocks
+    if not ok.any():
+        return None
+    needed = np.unique(jb[ok])
+    missing = np.array([j for j in needed if int(j) not in cache], dtype=np.int64)
+    if missing.size:
+        # ONE batched varbyte decode for every missing block — per-block
+        # python decode costs ~0.1 ms of loop overhead each, which ties
+        # the pruned path with exhaustive instead of beating it
+        bd, bt, bl, offs = decode_blocks_batch(tp.row, missing)
+        for bi, j in enumerate(missing):
+            sl = slice(offs[bi], offs[bi + 1])
+            cache[int(j)] = (bd[sl], bt[sl], bl[sl])
+    parts = [cache[int(j)] for j in needed]  # block ids ascending → docs ascending
+    d = np.concatenate([p[0] for p in parts])
+    t = np.concatenate([p[1] for p in parts])
+    l = np.concatenate([p[2] for p in parts])
+    idx_c = np.minimum(np.searchsorted(d, cand), d.size - 1)
+    hit = d[idx_c] == cand
+    if not hit.any():
+        return None
+    h = idx_c[hit]
+    return hit, t[h], l[h]
 
 
 def _probe_membership(
@@ -492,10 +507,11 @@ def score_and_groups(
     single-leaf groups (fuzz-pinned bit-equal), so switching the flat AND
     path to this kernel changes no score bit.
 
-    Fallback guard: when the seed group is not much smaller than the rest,
-    block probing decodes nearly everything anyway with per-block overhead
-    on top — bail to full decode (union each group, gallop-intersect),
-    which keeps the same float contract."""
+    Decode-strategy guard, per group: block probing decodes ≈ one block
+    (block_size postings) per candidate, so it only pays when
+    2·cand < the group's block count (expected decode under ~half the
+    list); otherwise the group is decoded fully once and gathered — same
+    floats either way (see the scoring loop's order contract)."""
     if not groups or any(not g for g in groups):
         return np.zeros(0, dtype=np.int64), np.zeros(0)
     flat = [tp for g in groups for tp in g]
@@ -505,39 +521,83 @@ def score_and_groups(
 
     gdf = [sum(int(tp.row["df_shard"]) for tp in g) for g in groups]
     order = sorted(range(len(groups)), key=lambda i: gdf[i])
-    total_df = sum(gdf)
     caches_by_id: dict[int, dict] = {}
-    if gdf[order[0]] * 2 > total_df - gdf[order[0]]:
-        # seed ~as big as the rest combined: probe overhead beats skipping
-        decoded_groups = []
-        for g in groups:
-            parts = [tp.decode_all()[0] for tp in g]
-            decoded_groups.append(
-                parts[0] if len(parts) == 1 else np.unique(np.concatenate(parts))
-            )
-        cand = gallop_intersect(decoded_groups)
-        cand = cand[drop_deleted(cand, deleted)]
-    else:
-        seed_parts = [tp.decode_all()[0] for tp in groups[order[0]]]
-        cand = (
-            seed_parts[0]
-            if len(seed_parts) == 1
-            else np.unique(np.concatenate(seed_parts))
-        )
-        cand = cand[drop_deleted(cand, deleted)]
-        caches_by_id = {id(tp): dict() for tp in flat}
-        for gi in order[1:]:  # ascending size: cheapest groups shrink cand first
-            if cand.size == 0:
-                break
-            g = groups[gi]
+    full_by_id: dict[int, tuple] = {}
+
+    # seed: full-decode the smallest group; its union is the candidate set
+    seed_parts = []
+    for tp in groups[order[0]]:
+        full_by_id[id(tp)] = tp.decode_all()
+        seed_parts.append(full_by_id[id(tp)][0])
+    cand = (
+        seed_parts[0]
+        if len(seed_parts) == 1
+        else np.unique(np.concatenate(seed_parts))
+    )
+    cand = cand[drop_deleted(cand, deleted)]
+
+    # membership, group by group in ascending size (cheapest shrink first).
+    # Per-group decode strategy: block probing only pays when candidates
+    # are sparse relative to the group's skip table (each candidate costs
+    # at most one block decode per list, plus per-block python overhead) —
+    # a group with cand >= ~2x its block count decodes nearly everything
+    # anyway, so decode it fully once and gather (the same guard shape as
+    # score_blockmax's seed test, applied per group).
+    for gi in order[1:]:
+        if cand.size == 0:
+            break
+        g = groups[gi]
+        g_blocks = sum(tp.n_blocks for tp in g)
+        # probe only when candidates are sparse vs the skip table: each
+        # candidate decodes at most one block (~block_size postings), so
+        # expected decode ≈ cand/blocks of the list — demand < ~half, else
+        # a single full vb_decode is cheaper than per-block slicing
+        if cand.size * 2 >= g_blocks:
+            hit_any = np.zeros(cand.size, dtype=bool)
+            for tp in g:
+                full_by_id[id(tp)] = tp.decode_all()
+                docs_i = full_by_id[id(tp)][0]
+                if docs_i.size == 0:
+                    continue
+                idx = np.minimum(np.searchsorted(docs_i, cand), docs_i.size - 1)
+                hit_any |= docs_i[idx] == cand
+            cand = cand[hit_any]
+        else:
             cand = cand[
-                _probe_membership(g, [caches_by_id[id(tp)] for tp in g], cand)
+                _probe_membership(
+                    g, [caches_by_id.setdefault(id(tp), {}) for tp in g], cand
+                )
             ]
     if cand.size == 0:
         return np.zeros(0, dtype=np.int64), np.zeros(0)
-    # score at the survivors, reusing any blocks the membership phase
-    # already decoded (caches keyed by list identity; absent = fresh dict)
-    scores = _probe_scores(flat, [caches_by_id.get(id(tp), dict()) for tp in flat], cand)
+    # score at the survivors: lists already fully decoded gather directly,
+    # the rest probe block-granularly (reusing the membership phase's block
+    # caches) — interleaved per list IN FLAT ORDER, so every float is added
+    # with the same operands in the same order whichever representation
+    # served each list (the bit-identity contract with score_exhaustive).
+    scores = np.zeros(cand.size, dtype=np.float64)
+    for tp in flat:
+        dec = full_by_id.get(id(tp))
+        if dec is not None:
+            docs_i, tfs_i, dls_i = dec
+            if docs_i.size == 0:
+                continue
+            idx = np.minimum(np.searchsorted(docs_i, cand), docs_i.size - 1)
+            hit = docs_i[idx] == cand
+            if hit.all():  # single-leaf groups: membership is guaranteed
+                scores += tp.idf * bm25.tf_score(
+                    tfs_i[idx], dls_i[idx], tp.avgdl, tp.k1, tp.b
+                )
+            elif hit.any():
+                h = idx[hit]
+                scores[hit] += tp.idf * bm25.tf_score(
+                    tfs_i[h], dls_i[h], tp.avgdl, tp.k1, tp.b
+                )
+        else:
+            r = _probe_list(tp, caches_by_id.setdefault(id(tp), {}), cand)
+            if r is not None:
+                hit, tfs, dls = r
+                scores[hit] += tp.idf * bm25.tf_score(tfs, dls, tp.avgdl, tp.k1, tp.b)
     cand, scores = apply_after(cand, scores, after)
     return topk_select(cand, scores, k)
 

@@ -10,8 +10,11 @@ Pins, per random trial:
 - pruned vs the flat exhaustive kernel (kernel='exhaustive' routing):
   BIT-identical scores — the float-identity contract that keeps pagination
   cursors exact across pruned and cursored pages;
-- non-flattenable shapes (AND/NOT/phrase/min_match) still take the tree
-  walk bit-exactly;
+- AND-of-disjunction-groups routes to the conjunctive block-probe kernel
+  (exact structural pruning) and NOT folds its negative into the deleted
+  mask so the positive keeps its pruned routing;
+- genuinely non-flattenable shapes (phrase leaves, min_match>1, AND with
+  a non-group clause) still take the tree walk bit-exactly;
 - cursor continuation: page 2 from a pruned page 1's cursor equals the
   tail of one big-k pruned run, float-exact.
 """
@@ -107,15 +110,16 @@ def test_non_flattenable_shapes_take_tree_walk_exactly():
         a = _random_or_tree(rng, 4, avgdl)
         b = _random_or_tree(rng, 4, avgdl)
         shape = int(rng.integers(0, 3))
+        mm_or = {"kind": "or", "clauses": [a, b], "min_match": 2}
         if shape == 0:
-            # AND with a non-flattenable clause (nested NOT) — AND of pure
-            # disjunction-groups routes to the conjunctive probe instead
-            tree = {"kind": "and",
-                    "clauses": [a, {"kind": "not", "positive": b, "negative": a}]}
+            # AND with a non-flattenable clause (min_match OR) — AND of
+            # pure disjunction-groups routes to the conjunctive probe, and
+            # NOT recurses on its positive, so neither qualifies here
+            tree = {"kind": "and", "clauses": [a, mm_or]}
         elif shape == 1:
-            tree = {"kind": "not", "positive": a, "negative": b}
+            tree = {"kind": "not", "positive": mm_or, "negative": b}
         else:
-            tree = {"kind": "or", "clauses": [a, b], "min_match": 2}
+            tree = mm_or
         assert booltree.flatten_or_terms(tree) is None
         ed, es = _ground_truth(tree, by_tid, k, None)
         gd, gs = booltree.evaluate_shard_topk(tree, by_tid, k)
@@ -223,3 +227,45 @@ def test_and_of_or_groups_fuzz():
     ed, _ = _ground_truth(tree, by_tid, 10, None)
     gd, _ = booltree.evaluate_shard_topk(tree, by_tid, 10)
     assert ed.size == 0 and gd.size == 0
+
+
+def test_not_keeps_pruned_positive_fuzz():
+    """NOT routes as an exclusion mask folded into `deleted`, so the
+    positive subtree keeps its pruned routing (flattenable OR → blockmax,
+    AND-of-groups → conjunctive probe). Rank identity vs the tree walk,
+    scores to 1e-12 rel, tombstones compose, cursor pages exact."""
+    for seed in range(250):
+        rng = np.random.default_rng(400_000 + seed)
+        n_docs = int(rng.integers(10, 70))
+        n_terms = int(rng.integers(3, 6))
+        by_tid, avgdl = _corpus(rng, n_docs, n_terms, int(rng.choice([4, 8])))
+        k = int(rng.integers(1, 6))
+        pos = _random_or_tree(rng, n_terms, avgdl)
+        if rng.random() < 0.4:  # AND-of-groups positive too
+            pos = {"kind": "and", "clauses": [
+                pos, _random_or_tree(rng, n_terms, avgdl, allow_absent=False)]}
+        neg = _random_or_tree(rng, n_terms, avgdl)
+        tree = {"kind": "not", "positive": pos, "negative": neg}
+        n_del = int(rng.integers(0, max(1, n_docs // 4)))
+        deleted = (
+            np.sort(rng.choice(n_docs, size=n_del, replace=False)).astype(np.int64)
+            if n_del
+            else None
+        )
+        ed, es = _ground_truth(tree, by_tid, k, deleted)
+        gd, gs = booltree.evaluate_shard_topk(tree, by_tid, k, deleted=deleted)
+        assert np.array_equal(ed, gd), f"seed={seed}: docs {ed} != {gd}"
+        assert np.allclose(es, gs, rtol=1e-12, atol=1e-12), f"seed={seed}"
+        if gd.size >= 2:
+            kk = gd.size // 2
+            p1d, p1s = booltree.evaluate_shard_topk(tree, by_tid, kk, deleted=deleted)
+            after = (float(p1s[-1]), int(p1d[-1]))
+            p2d, p2s = booltree.evaluate_shard_topk(
+                tree, by_tid, kk, deleted=deleted, after=after
+            )
+            n2 = p2d.size
+            full_d, full_s = booltree.evaluate_shard_topk(
+                tree, by_tid, n_docs + 1, deleted=deleted
+            )
+            assert np.array_equal(p2d, full_d[kk : kk + n2]), f"seed={seed}"
+            assert np.array_equal(p2s, full_s[kk : kk + n2]), f"seed={seed}"
