@@ -12,7 +12,9 @@ MEDIAN of ≥3 timed reps after warmup (queries: 2 warmups + 5 reps;
 index_build: median of 3 fresh builds, first build's JIT excluded by the
 median), with per-row spread reported so drift is attributable, plus a
 co-load guard (1-min loadavg sampled before the run; a loaded box is
-flagged in the output instead of silently poisoning the numbers).
+flagged in the output instead of silently poisoning the numbers) and an
+explicit JVM GC between the build and query phases (build garbage
+otherwise collects inside the query timings, +20% measured).
 
 Env knobs:
   SPARK_GRAFT_SF_DIR   (default /root/testdata/sf0.1)
@@ -101,6 +103,13 @@ def main():
     docs_per_sec = round(N_DOCS / timings["index_build"], 1)
     for r in roots[:-1]:  # keep the last index for the query phases
         shutil.rmtree(r, ignore_errors=True)
+
+    # Settle the JVM before the latency phases: the three builds leave GBs
+    # of garbage whose collection otherwise lands inside the query timings
+    # (measured +20% on query_batch_100 medians; a dedicated-process run of
+    # the same batch medians 1.5 s)
+    spark._jvm.System.gc()
+    time.sleep(3)
 
     # ---- 2. reference query set, batch BM25
     index = load_index(spark, out)
