@@ -858,6 +858,18 @@ def evaluate_shard_topk(
             if any(not g for g in groups):
                 return _EMPTY  # a group with no present leaves matches nothing
             return kernels.score_and_groups(groups, k, deleted=deleted, after=after)
+    if tree["kind"] == "or" and int(tree.get("min_match") or 1) > 1:
+        # min_match OR over flattenable clauses: the same pigeonhole
+        # structural pruning (kernels.score_and_groups min_groups) — a doc
+        # must match >= m CLAUSES, so clauses become groups; clauses with
+        # no present leaves are dropped (they can never count toward m)
+        flat_groups = [flatten_or_terms(c) for c in tree["clauses"]]
+        if tree["clauses"] and all(g is not None for g in flat_groups):
+            groups = [g for g in (_resolve(fg) for fg in flat_groups) if g]
+            return kernels.score_and_groups(
+                groups, k, deleted=deleted, after=after,
+                min_groups=int(tree["min_match"]),
+            )
     docs, scores = evaluate_shard(tree, by_tid)
     live = kernels.drop_deleted(docs, deleted)
     docs, scores = kernels.apply_after(docs[live], scores[live], after)

@@ -218,9 +218,12 @@ def facet_counts(results: DataFrame, meta: DataFrame, field: str) -> DataFrame:
     on doc_id, then count per (query_id, field value).
 
     Scale shape: post-top-k results are <= k·n_queries rows (broadcast side
-    of the join); faceting over ALL matches (big-k results) is a doc_id
-    equi-join feeding ONE partial-agg shuffle keyed by (query_id, value) —
-    facet cardinality bounds the shuffle, not corpus size. `meta` is any
+    of the join); faceting over ALL matches should feed from
+    search(matches_only=True) — the full match set WITHOUT the per-query
+    relevance window (a facet never needs relevance order) — making the
+    whole plan a doc_id equi-join into ONE partial-agg shuffle keyed by
+    (query_id, value); facet cardinality bounds the shuffle, not corpus
+    size. `meta` is any
     frame carrying (doc_id, field) — the engine docs table (e.g. url, or
     parse_url(url,'HOST') for host facets) or an external metadata table."""
     return (
@@ -239,8 +242,9 @@ def top_by_field(
 ) -> DataFrame:
     """Sort-by-field (the ES `sort` clause analog): rank each query's FULL
     match set by a doc-metadata column instead of relevance — newest pages
-    first, alphabetical hosts, etc. `matches` is a big-k search() result
-    (relevance ignored); `meta` any (doc_id, field) frame — the engine docs
+    first, alphabetical hosts, etc. `matches` should come from
+    search(matches_only=True) — relevance is ignored, so the match set
+    must not pay the relevance window (a big-k ranked result works too); `meta` any (doc_id, field) frame — the engine docs
     table or an external metadata table, exactly like facet_counts.
 
     Scale shape: one doc_id equi-join, then a per-query window over the
@@ -525,17 +529,24 @@ def _shard_kernel(stats: dict, kernel: str, deleted_bc=None, count_mode: bool = 
             docs, scores = kernels.score_and_groups(
                 [[tp] for tp in plists], k, deleted=deleted, after=after
             )
+        elif mode == "OR" and min_match > 1 and kernel != "exhaustive":
+            # minimumNumberShouldMatch via pigeonhole structural pruning:
+            # candidates seed from the union of the n-m+1 smallest lists,
+            # only the m-1 largest are membership-probed — exact, and
+            # bit-identical to the exhaustive min_match floats
+            docs, scores = kernels.score_and_groups(
+                [[tp] for tp in plists], k, deleted=deleted, after=after,
+                min_groups=min_match,
+            )
         elif (
             mode == "AND"
             or kernel == "exhaustive"
             or min_match > 1
             or after is not None
         ):
-            # min_match > 1 and pagination route to the exhaustive kernel:
+            # pagination without min_match routes to the exhaustive kernel:
             # the block-max decomposition's theta bound doesn't survive a
-            # match-count filter, and a cursor makes the top of the score
-            # range irrelevant (pruning would have to re-derive bounds
-            # below the cursor)
+            # cursor (pruning would have to re-derive bounds below it)
             docs, scores = kernels.score_exhaustive(
                 plists, k, mode, deleted=deleted, min_match=min_match, after=after
             )
@@ -566,6 +577,7 @@ def search(
     kernel: str = "auto",
     with_url: bool = True,
     count_only: bool = False,
+    matches_only: bool = False,
 ) -> DataFrame:
     """Batch top-k search. queries: (query_id, terms array<string>, mode, k).
 
@@ -581,6 +593,14 @@ def search(
     instead of ranked rows — per-shard exhaustive match COUNTS summed with
     one tiny aggregation, no scoring, no global top-k merge; pagination
     cursors are ignored (a count is page-independent).
+
+    matches_only: return the FULL per-query match set as UNRANKED
+    (query_id, doc_id, score) rows — k is ignored, and the per-query
+    global ranking window (the one global sort in the plan) is skipped —
+    the kernels still run (so deletes/NOT/cursors apply). This is
+    the right input for match-set aggregations: facet_counts and
+    top_by_field order by facet value / field, never by relevance, so at
+    scale they should not pay a relevance sort over every match first.
 
     Returns (query_id, rank, doc_id, score[, url]) sorted by query_id, rank.
     """
@@ -684,6 +704,12 @@ def search(
         qdf = qdf.withColumn(
             "boost_map", F.map_from_arrays("boost_keys", "boost_vals")
         ).drop("boost_keys", "boost_vals")
+    if matches_only:
+        if count_only:
+            raise ValueError("count_only and matches_only are mutually exclusive")
+        # k bounds each kernel's per-shard output; the full match set means
+        # no bound (2^62 is unreachable by any shard's doc count)
+        qdf = qdf.withColumn("k", F.lit(1 << 62).cast("long"))
     if not index.stats.get("with_positions", False):
         # validate on BOTH input shapes — a Spark-frame query batch must not
         # sail past the check and die executor-side on an empty pos_blob
@@ -841,6 +867,10 @@ def search(
             )
             .orderBy("query_id")
         )
+    if matches_only:
+        # the match set IS the result — no rank window, no url join; feed
+        # this straight into facet_counts / top_by_field
+        return out
 
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("doc_id").asc())
     topk = (

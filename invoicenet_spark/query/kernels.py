@@ -485,6 +485,7 @@ def score_and_groups(
     k: int,
     deleted: np.ndarray | None = None,
     after: tuple[float, int] | None = None,
+    min_groups: int | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Conjunction of disjunction-groups with block-granular skipping: a doc
     matches iff it appears in >= 1 list of EVERY group; matching docs score
@@ -511,63 +512,96 @@ def score_and_groups(
     (block_size postings) per candidate, so it only pays when
     2·cand < the group's block count (expected decode under ~half the
     list); otherwise the group is decoded fully once and gathered — same
-    floats either way (see the scoring loop's order contract)."""
-    if not groups or any(not g for g in groups):
+    floats either way (see the scoring loop's order contract).
+
+    min_groups=m generalizes the conjunction to Lucene's
+    minimumNumberShouldMatch: a doc matches iff it appears in >= m of the
+    n groups (m=n is AND, the default). Still exact structural pruning,
+    by pigeonhole: any doc in >= m groups must appear in the union of the
+    n-m+1 smallest groups, so that union seeds the candidates and only
+    the m-1 largest groups are membership-probed; candidates are dropped
+    as soon as matched + remaining < m. Scores remain the full OR sum
+    over every list the doc matches — bit-identical to
+    score_exhaustive(mode='OR', min_match=m) for single-leaf groups
+    (fuzz-pinned)."""
+    groups = [g for g in groups if g]  # a leafless group can never match
+    n = len(groups)
+    m = n if min_groups is None else int(min_groups)
+    if n == 0 or m > n:
         return np.zeros(0, dtype=np.int64), np.zeros(0)
+    m = max(m, 1)
     flat = [tp for g in groups for tp in g]
-    if len(groups) == 1:
+    if n == 1:
         # no conjunction to skip on — plain OR over the single group
         return score_exhaustive(flat, k, "OR", deleted=deleted, after=after)
 
     gdf = [sum(int(tp.row["df_shard"]) for tp in g) for g in groups]
-    order = sorted(range(len(groups)), key=lambda i: gdf[i])
+    order = sorted(range(n), key=lambda i: gdf[i])
     caches_by_id: dict[int, dict] = {}
     full_by_id: dict[int, tuple] = {}
 
-    # seed: full-decode the smallest group; its union is the candidate set
+    def _member(g, cand):
+        """Boolean membership of cand in the group (>= 1 list hit), via
+        full decode + gather — used for seed groups, which are decoded
+        anyway."""
+        hit_any = np.zeros(cand.size, dtype=bool)
+        for tp in g:
+            docs_i = full_by_id[id(tp)][0]
+            if docs_i.size == 0:
+                continue
+            idx = np.minimum(np.searchsorted(docs_i, cand), docs_i.size - 1)
+            hit_any |= docs_i[idx] == cand
+        return hit_any
+
+    # seed: by pigeonhole any doc matching >= m groups appears in the
+    # union of the n-m+1 smallest groups — full-decode those, union their
+    # docs as the candidate set (for AND, m=n: just the smallest group)
+    n_seed = n - m + 1
     seed_parts = []
-    for tp in groups[order[0]]:
-        full_by_id[id(tp)] = tp.decode_all()
-        seed_parts.append(full_by_id[id(tp)][0])
+    for gi in order[:n_seed]:
+        for tp in groups[gi]:
+            full_by_id[id(tp)] = tp.decode_all()
+            seed_parts.append(full_by_id[id(tp)][0])
     cand = (
         seed_parts[0]
         if len(seed_parts) == 1
         else np.unique(np.concatenate(seed_parts))
     )
     cand = cand[drop_deleted(cand, deleted)]
+    if m > 1 and n_seed > 1:
+        counts = np.zeros(cand.size, dtype=np.int32)
+        for gi in order[:n_seed]:
+            counts += _member(groups[gi], cand)
+    else:
+        counts = np.ones(cand.size, dtype=np.int32)  # cand ⊆ the one seed
 
-    # membership, group by group in ascending size (cheapest shrink first).
-    # Per-group decode strategy: block probing only pays when candidates
-    # are sparse relative to the group's skip table (each candidate costs
-    # at most one block decode per list, plus per-block python overhead) —
-    # a group with cand >= ~2x its block count decodes nearly everything
-    # anyway, so decode it fully once and gather (the same guard shape as
+    # membership over the remaining (largest) groups, ascending size; drop
+    # a candidate as soon as matched + remaining groups < m. Per-group
+    # decode strategy: block probing only pays when candidates are sparse
+    # relative to the group's skip table (each candidate costs at most one
+    # block decode per list, plus per-block python overhead) — a group
+    # with 2·cand >= its block count decodes nearly everything anyway, so
+    # decode it fully once and gather (the same guard shape as
     # score_blockmax's seed test, applied per group).
-    for gi in order[1:]:
+    for pos, gi in enumerate(order[n_seed:]):
         if cand.size == 0:
             break
         g = groups[gi]
         g_blocks = sum(tp.n_blocks for tp in g)
-        # probe only when candidates are sparse vs the skip table: each
-        # candidate decodes at most one block (~block_size postings), so
-        # expected decode ≈ cand/blocks of the list — demand < ~half, else
-        # a single full vb_decode is cheaper than per-block slicing
         if cand.size * 2 >= g_blocks:
-            hit_any = np.zeros(cand.size, dtype=bool)
             for tp in g:
                 full_by_id[id(tp)] = tp.decode_all()
-                docs_i = full_by_id[id(tp)][0]
-                if docs_i.size == 0:
-                    continue
-                idx = np.minimum(np.searchsorted(docs_i, cand), docs_i.size - 1)
-                hit_any |= docs_i[idx] == cand
-            cand = cand[hit_any]
+            member = _member(g, cand)
         else:
-            cand = cand[
-                _probe_membership(
-                    g, [caches_by_id.setdefault(id(tp), {}) for tp in g], cand
-                )
-            ]
+            member = _probe_membership(
+                g, [caches_by_id.setdefault(id(tp), {}) for tp in g], cand
+            )
+        counts += member
+        remaining = len(order[n_seed:]) - pos - 1
+        viable = counts + remaining >= m
+        cand, counts = cand[viable], counts[viable]
+    keep = counts >= m
+    cand = cand[keep]
     if cand.size == 0:
         return np.zeros(0, dtype=np.int64), np.zeros(0)
     # score at the survivors: lists already fully decoded gather directly,

@@ -505,7 +505,13 @@ def _run_one_query(
                 )
         else:
             plists.sort(key=lambda tp: int(tp.row["term_id"]))
-            if kernel == "exhaustive" or min_match > 1 or after is not None:
+            if kernel != "exhaustive" and min_match > 1:
+                # pigeonhole structural pruning (see exec._shard_kernel)
+                d, s = kernels.score_and_groups(
+                    [[tp] for tp in plists], k, deleted=deleted, after=after,
+                    min_groups=min_match,
+                )
+            elif kernel == "exhaustive" or min_match > 1 or after is not None:
                 d, s = kernels.score_exhaustive(
                     plists, k, "OR", deleted=deleted, min_match=min_match, after=after
                 )

@@ -111,15 +111,18 @@ def test_non_flattenable_shapes_take_tree_walk_exactly():
         b = _random_or_tree(rng, 4, avgdl)
         shape = int(rng.integers(0, 3))
         mm_or = {"kind": "or", "clauses": [a, b], "min_match": 2}
+        inner_and = {"kind": "and", "clauses": [a, mm_or]}
+        # round 5 prunes flattenable ORs, AND-of-groups, min_match ORs with
+        # flattenable clauses, and NOT positives — what still WALKS is any
+        # shape with a non-flattenable, non-group clause in the way:
         if shape == 0:
-            # AND with a non-flattenable clause (min_match OR) — AND of
-            # pure disjunction-groups routes to the conjunctive probe, and
-            # NOT recurses on its positive, so neither qualifies here
-            tree = {"kind": "and", "clauses": [a, mm_or]}
+            tree = inner_and  # AND with a min_match clause
         elif shape == 1:
-            tree = {"kind": "not", "positive": mm_or, "negative": b}
+            # NOT recurses, but its positive itself requires the walk
+            tree = {"kind": "not", "positive": inner_and, "negative": b}
         else:
-            tree = mm_or
+            # min_match OR with a conjunctive clause
+            tree = {"kind": "or", "clauses": [inner_and, b], "min_match": 2}
         assert booltree.flatten_or_terms(tree) is None
         ed, es = _ground_truth(tree, by_tid, k, None)
         gd, gs = booltree.evaluate_shard_topk(tree, by_tid, k)
@@ -267,5 +270,45 @@ def test_not_keeps_pruned_positive_fuzz():
             full_d, full_s = booltree.evaluate_shard_topk(
                 tree, by_tid, n_docs + 1, deleted=deleted
             )
+            assert np.array_equal(p2d, full_d[kk : kk + n2]), f"seed={seed}"
+            assert np.array_equal(p2s, full_s[kk : kk + n2]), f"seed={seed}"
+
+
+def test_min_match_or_of_groups_fuzz():
+    """min_match OR whose clauses all flatten (incl. the fielded_tree
+    min_match shape) routes to the pigeonhole kernel: rank identity +
+    1e-12-rel scores vs the tree walk (which counts CLAUSES, matching the
+    group semantics), clause groups with no present leaves dropped."""
+    for seed in range(250):
+        rng = np.random.default_rng(600_000 + seed)
+        n_docs = int(rng.integers(10, 70))
+        n_terms = int(rng.integers(3, 6))
+        by_tid, avgdl = _corpus(rng, n_docs, n_terms, int(rng.choice([4, 8])))
+        k = int(rng.integers(1, 6))
+        n_groups = int(rng.integers(2, 5))
+        clauses = [_random_or_tree(rng, n_terms, avgdl) for _ in range(n_groups)]
+        m = int(rng.integers(2, n_groups + 1))
+        tree = {"kind": "or", "clauses": clauses, "min_match": m}
+        n_del = int(rng.integers(0, max(1, n_docs // 4)))
+        deleted = (
+            np.sort(rng.choice(n_docs, size=n_del, replace=False)).astype(np.int64)
+            if n_del
+            else None
+        )
+        ed, es = _ground_truth(tree, by_tid, k, deleted)
+        gd, gs = booltree.evaluate_shard_topk(tree, by_tid, k, deleted=deleted)
+        assert np.array_equal(ed, gd), f"seed={seed} m={m}: docs {ed} != {gd}"
+        assert np.allclose(es, gs, rtol=1e-12, atol=1e-12), f"seed={seed}"
+        if gd.size >= 2:
+            kk = gd.size // 2
+            p1d, p1s = booltree.evaluate_shard_topk(tree, by_tid, kk, deleted=deleted)
+            after = (float(p1s[-1]), int(p1d[-1]))
+            p2d, p2s = booltree.evaluate_shard_topk(
+                tree, by_tid, kk, deleted=deleted, after=after
+            )
+            full_d, full_s = booltree.evaluate_shard_topk(
+                tree, by_tid, n_docs + 1, deleted=deleted
+            )
+            n2 = p2d.size
             assert np.array_equal(p2d, full_d[kk : kk + n2]), f"seed={seed}"
             assert np.array_equal(p2s, full_s[kk : kk + n2]), f"seed={seed}"

@@ -395,3 +395,44 @@ def test_and_groups_flat_bitidentical_to_exhaustive_and():
                 [[tp] for tp in plists], k, deleted=deleted, after=after
             )
             assert np.array_equal(e2[0], g2[0]) and np.array_equal(e2[1], g2[1])
+
+
+def test_min_match_groups_bitidentical_to_exhaustive_mm():
+    """score_and_groups(min_groups=m) with single-leaf groups IS the
+    min_match OR kernel: by pigeonhole a doc matching >= m of n lists
+    appears in the union of the n-m+1 smallest, so that union seeds
+    candidates and only the m-1 largest lists are probed — bit-identical
+    docs AND scores to score_exhaustive(mode='OR', min_match=m), across
+    deletions and cursors."""
+    for seed in range(400):
+        rng = np.random.default_rng(500_000 + seed)
+        n_docs = int(rng.integers(8, 60))
+        n_terms = int(rng.integers(2, 6))
+        bs = int(rng.choice([4, 8]))
+        k = int(rng.integers(1, 6))
+        m = int(rng.integers(2, n_terms + 1))
+        plists = _random_corpus(rng, n_docs, n_terms, bs)
+        n_del = int(rng.integers(0, max(1, n_docs // 3)))
+        deleted = (
+            np.sort(rng.choice(n_docs, size=n_del, replace=False)).astype(np.int64)
+            if n_del
+            else None
+        )
+        ed, es = kernels.score_exhaustive(
+            plists, k, "OR", deleted=deleted, min_match=m
+        )
+        gd, gs = kernels.score_and_groups(
+            [[tp] for tp in plists], k, deleted=deleted, min_groups=m
+        )
+        assert np.array_equal(ed, gd), f"seed={seed} m={m}: docs {ed} != {gd}"
+        assert np.array_equal(es, gs), f"seed={seed} m={m}: float drift"
+        if ed.size:
+            after = (float(es[-1]), int(ed[-1]))
+            e2 = kernels.score_exhaustive(
+                plists, k, "OR", deleted=deleted, min_match=m, after=after
+            )
+            g2 = kernels.score_and_groups(
+                [[tp] for tp in plists], k, deleted=deleted, min_groups=m,
+                after=after,
+            )
+            assert np.array_equal(e2[0], g2[0]) and np.array_equal(e2[1], g2[1])
