@@ -119,6 +119,18 @@ def main():
     )
     n_res = search(spark, index, queries, kernel="auto").count()
 
+    # same 100 queries rewritten as boolean trees ("a OR b" strings, mode
+    # BOOL) — the round-5 pruned tree path in the official record
+    bool_queries = queries.copy()
+    bool_queries["terms"] = [
+        [f" {'OR' if m == 'OR' else 'AND'} ".join(ts)]
+        for ts, m in zip(bool_queries["terms"], bool_queries["mode"])
+    ]
+    bool_queries["mode"] = "BOOL"
+    timings["query_batch_bool_100"], spreads["query_batch_bool_100"] = measure(
+        lambda: search(spark, index, bool_queries, kernel="auto").count()
+    )
+
     # ---- 2b. serving path: single-query latency without a Spark job
     from invoicenet_spark.query.local import search_local
 

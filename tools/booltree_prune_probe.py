@@ -169,6 +169,24 @@ def main():
     r["speedup"] = round(r["exhaustive_and_ms"] / r["probe_and_ms"], 2)
     out["flat_and_stopword_rare"] = r
 
+    # (e) pigeonhole minimum_should_match: rare OR rare2 OR stopword, m=2 —
+    # candidates = union of the two rare lists; the stopword list is only
+    # membership-probed at those candidates
+    mm_plists = [by_tid[2], by_tid[3], by_tid[0]]  # rare, rare, stopword
+    r = {}
+    r["exhaustive_mm_ms"] = round(1e3 * run(
+        lambda: kernels.score_exhaustive(mm_plists, k, "OR", min_match=2),
+        args.reps), 2)
+    r["pigeonhole_mm_ms"] = round(1e3 * run(
+        lambda: kernels.score_and_groups(
+            [[p] for p in mm_plists], k, min_groups=2),
+        args.reps), 2)
+    ed, es = kernels.score_exhaustive(mm_plists, k, "OR", min_match=2)
+    gd, gs = kernels.score_and_groups([[p] for p in mm_plists], k, min_groups=2)
+    assert np.array_equal(ed, gd) and np.array_equal(es, gs)
+    r["speedup"] = round(r["exhaustive_mm_ms"] / r["pigeonhole_mm_ms"], 2)
+    out["min_match_2of3_rare_rare_stopword"] = r
+
     os.makedirs("BENCH", exist_ok=True)
     path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                         "BENCH", "BOOLTREE_PRUNE.json")
