@@ -6,7 +6,7 @@ entrypoints.py.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F, types as T
 
 
 def bounded_vocab_lookup(
@@ -45,16 +45,64 @@ def nearest_neighbor_1d(
     probe_key: str,
 ) -> DataFrame:
     """J5/K2 — argmin nearest match (invoicenet/gui/viewer.py:243-251:
-    nearest word to a drawn rect by L1 distance). Engine shape: for each
-    probe, the point minimizing |value - probe| — Window row_number over
-    distance with deterministic tie-break."""
-    j = probes.crossJoin(points)  # probes are few; points may be bucketized at scale
-    j = j.withColumn("dist", F.abs(F.col(value_col) - F.col(probe_col)))
-    w = Window.partitionBy(probe_key).orderBy(F.col("dist").asc(), F.col(point_key).asc())
+    nearest word to a drawn rect by L1 distance). For each probe, the
+    point minimizing |value - probe|, ties broken by point_key asc.
+
+    Scale shape (round 5, replacing the crossJoin): probe values broadcast
+    into ONE mapInPandas pass over the points — each Arrow batch sorts its
+    values once and emits, per probe, its nearest-below and nearest-above
+    candidates (run-start indices so equal-value ties surface the smallest
+    key), ≤ 2·n_probes rows per batch — then a single min(struct(dist,
+    key)) aggregation picks the global argmin with the same deterministic
+    tie-break the old Window had. Work is O(points·log(batch) +
+    probes·batches), never points×probes; probes must fit in executor
+    memory (they are the op's small side by definition)."""
+    import numpy as np
+    import pandas as pd
+
+    probe_pd = probes.select(probe_key, probe_col).toPandas()
+    pvals = probe_pd[probe_col].to_numpy(dtype=np.float64)
+    pids = probe_pd[probe_key].to_numpy()
+    pk_field = points.schema[point_key]
+    pr_field = probes.schema[probe_key]
+    out_schema = T.StructType(
+        [pr_field, pk_field, T.StructField("dist", T.DoubleType())]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            v = pdf[value_col].to_numpy(dtype=np.float64)
+            keys = pdf[point_key].to_numpy()
+            if v.size == 0 or pvals.size == 0:
+                continue
+            order = np.lexsort((keys, v))  # by value, then key (tie runs)
+            vs, ks = v[order], keys[order]
+            j = np.searchsorted(vs, pvals, side="left")
+            rows = {pr_field.name: [], pk_field.name: [], "dist": []}
+            for idx, valid in (
+                (j - 1, j > 0),  # nearest value strictly below (run end)
+                (np.minimum(j, vs.size - 1), j < vs.size),  # at/above
+            ):
+                if not valid.any():
+                    continue
+                ci = idx[valid]
+                # run start = smallest key among equal values (global
+                # tie-break is (dist, key) — the run shares one dist)
+                ci = np.searchsorted(vs, vs[ci], side="left")
+                rows[pr_field.name].extend(pids[valid])
+                rows[pk_field.name].extend(ks[ci])
+                rows["dist"].extend(np.abs(vs[ci] - pvals[valid]))
+            yield pd.DataFrame(rows)
+
+    cand = points.select(point_key, value_col).mapInPandas(gen, schema=out_schema)
     return (
-        j.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select(probe_key, point_key, "dist")
+        cand.groupBy(probe_key)
+        .agg(F.min(F.struct(F.col("dist"), F.col(point_key))).alias("_m"))
+        .select(
+            probe_key,
+            F.col(f"_m.{point_key}").alias(point_key),
+            F.col("_m.dist").alias("dist"),
+        )
     )
 
 

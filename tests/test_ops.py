@@ -352,3 +352,36 @@ def test_lsh_calls_schedule_zero_driver_jobs(spark, tmp_path):
     similarity.build_ann_index(df, idx, n_tables=4, n_planes=5, seed=7)
     res = similarity.lsh_topk_indexed(spark, idx, vecs[0].tolist(), k=3, n_probes=2)
     assert res.collect()[0]["vec_id"] == 0
+
+
+def test_nearest_1d_no_crossjoin_fuzz(spark):
+    """Round-5 rewrite of nearest_neighbor_1d: one mapInPandas pass + one
+    min-struct agg — no crossJoin in the plan — with results identical to
+    the brute-force argmin (|v-p| asc, key asc) across random inputs incl.
+    duplicate values (tie runs must surface the smallest key)."""
+    from invoicenet_spark.operators.relational import nearest_neighbor_1d
+
+    rng = np.random.default_rng(17)
+    for trial in range(6):
+        n_pts = int(rng.integers(5, 400))
+        n_pr = int(rng.integers(1, 12))
+        vals = np.round(rng.uniform(0, 100, n_pts), 1)  # coarse → many ties
+        pts = pd.DataFrame({"pk": np.arange(n_pts)[::-1], "v": vals})
+        prb = pd.DataFrame(
+            {"qk": np.arange(n_pr), "p": np.round(rng.uniform(-10, 110, n_pr), 2)}
+        )
+        pts_df = spark.createDataFrame(pts).repartition(4)
+        out = nearest_neighbor_1d(
+            pts_df, spark.createDataFrame(prb), "v", "p", "pk", "qk"
+        )
+        if trial == 0:
+            plan = out._jdf.queryExecution().executedPlan().toString()
+            assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+        got = {r["qk"]: (r["pk"], round(r["dist"], 9)) for r in out.collect()}
+        want = {}
+        for qk, p in zip(prb["qk"], prb["p"]):
+            d = np.abs(pts["v"].to_numpy() - p)
+            order = np.lexsort((pts["pk"].to_numpy(), d))
+            i = order[0]
+            want[qk] = (int(pts["pk"].iloc[i]), round(float(d[i]), 9))
+        assert got == want, f"trial={trial}"
