@@ -778,6 +778,21 @@ def q_minhash_lsh(spark, sf_dir):
     return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.12)
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup clustering: the MinHash-LSH pair graph collapsed to
+    connected components (label propagation to the component-minimum id,
+    ops/dedup.duplicate_clusters) — total assignment: every document gets
+    a cluster_id (= its component's min doc_id; singletons label
+    themselves). The keep-one-representative step every corpus dedup
+    pipeline ends with."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.12).select("id_a", "id_b")
+    return dedup.duplicate_clusters(pairs, all_ids=docs.select("doc_id")).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+    )
+
+
 def q_simhash(spark, sf_dir):
     """Dedup (SimHash): 60-bit tf-weighted sign signatures (md5-derived bit
     source → exact DuckDB oracle)."""
@@ -1156,6 +1171,7 @@ QUERIES = {
     "date_extract_text": q_date_extract_text,
     "candidate_routing": q_candidate_routing,
     "line_segments": q_line_segments,
+    "dedup_clusters": q_dedup_clusters,
 }
 
 _AMOUNT_VALUES = ", ".join(f"('{r}')" for r in AMOUNT_RAWS)
@@ -1374,7 +1390,10 @@ FROM m JOIN documents d USING(doc_id) GROUP BY d.source
 }
 
 
-def _minhash_lsh_sql(num_perm: int = 16, bands: int = 4, threshold: float = 0.12) -> str:
+def _minhash_lsh_sql(
+    num_perm: int = 16, bands: int = 4, threshold: float = 0.12,
+    pairs_only: bool = False,
+) -> str:
     """DuckDB twin of dedup.minhash_lsh_pairs (md5-derived 60-bit minhashes,
     '_'-joined band keys, Jaccard computed on candidate pairs only)."""
     rows = num_perm // bands
@@ -1408,8 +1427,7 @@ def _minhash_lsh_sql(num_perm: int = 16, bands: int = 4, threshold: float = 0.12
           JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
           GROUP BY c.id_a, c.id_b
         )
-        SELECT id_a, id_b,
-               round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+        SELECT id_a, id_b{", round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard" if not pairs_only else ""}
         FROM inter
         JOIN sizes sa ON sa.doc_id = id_a
         JOIN sizes sb ON sb.doc_id = id_b
@@ -1418,6 +1436,27 @@ def _minhash_lsh_sql(num_perm: int = 16, bands: int = 4, threshold: float = 0.12
 
 
 ORACLE_SQL["minhash_lsh"] = _minhash_lsh_sql()
+
+# connected components: transitive closure (recursive CTE) over the SAME
+# pair query, label = min reachable id; singletons label themselves
+ORACLE_SQL["dedup_clusters"] = f"""
+    WITH RECURSIVE pairs AS ({_minhash_lsh_sql(pairs_only=True)}),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    labels AS (
+      SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u
+    )
+    SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+           CAST(coalesce(l.cluster_id, d.doc_id) AS BIGINT) AS cluster_id
+    FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id
+"""
 
 ORACLE_SQL["simhash"] = f"""
     WITH tf AS (

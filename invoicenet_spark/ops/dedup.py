@@ -362,3 +362,90 @@ def simhash_near_dups(
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    all_ids: DataFrame | None = None,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    out_id: str = "doc_id",
+    max_iters: int = 50,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph → (doc_id,
+    cluster_id) with cluster_id = the component's MINIMUM doc id (the
+    canonical representative every dedup pipeline keeps). The missing last
+    step after pair generation: near-dup relations are not transitive, so
+    "drop one of each pair" under- or over-deletes — clustering first,
+    then keeping one representative per cluster, is the standard corpus
+    dedup contract (same shape GraphFrames/Spark CC uses).
+
+    Algorithm: label propagation to the minimum over undirected edges —
+    labels start as own id; each round every node takes min(own label,
+    neighbors' labels); converged when no label changes. Rounds ∝ graph
+    diameter — near-dup components are small and dense (stars/cliques
+    from band collisions), so a handful of rounds; each round is one
+    shuffle (edges ⋈ labels → min-agg) plus an O(1)-row convergence
+    check, and labels are checkpointed via localCheckpoint every few
+    rounds to keep the plan from growing superlinearly.
+
+    all_ids: optional (out_id) frame of the FULL corpus — singletons (docs
+    in no pair) then appear with cluster_id = their own id, so the result
+    is a total assignment. Work ∝ edges + ids, never n².
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .unionByName(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("u").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+    ).localCheckpoint(eager=True)
+
+    for it in range(max_iters):
+        # neighbor minimum: for each node, the smallest label reachable in
+        # one hop (sending side joins on u, receives on v)
+        incoming = (
+            edges.join(labels.withColumnRenamed("id", "u"), "u")
+            .groupBy(F.col("v").alias("id"))
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(incoming, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
+                ).alias("label"),
+                (F.coalesce(F.col("nbr_min"), F.col("label")) < F.col("label"))
+                .alias("_changed"),
+            )
+        ).localCheckpoint(eager=True)
+        n_changed = updated.where(F.col("_changed")).limit(1).count()
+        labels = updated.drop("_changed")
+        if n_changed == 0:
+            break
+    out = labels.select(F.col("id").alias(out_id), F.col("label").alias("cluster_id"))
+    if all_ids is not None:
+        singles = (
+            all_ids.select(F.col(out_id))
+            .join(out.select(out_id), out_id, "left_anti")
+            .withColumn("cluster_id", F.col(out_id))
+        )
+        out = out.unionByName(singles)
+    return out
+
+
+def dedup_representatives(
+    clusters: DataFrame, out_id: str = "doc_id"
+) -> DataFrame:
+    """Keep-one-per-cluster: the rows a dedup pipeline RETAINS — each
+    cluster's minimum doc id (which is the cluster_id by construction of
+    duplicate_clusters), plus the cluster's size for audit."""
+    return (
+        clusters.groupBy("cluster_id")
+        .agg(F.count("*").alias("cluster_size"))
+        .select(F.col("cluster_id").alias(out_id), "cluster_size")
+    )

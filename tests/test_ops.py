@@ -385,3 +385,36 @@ def test_nearest_1d_no_crossjoin_fuzz(spark):
             i = order[0]
             want[qk] = (int(pts["pk"].iloc[i]), round(float(d[i]), 9))
         assert got == want, f"trial={trial}"
+
+
+def test_duplicate_clusters_chain_and_singletons(spark):
+    """duplicate_clusters: label propagation reaches the component minimum
+    across multi-hop chains (near-dup is not transitive — clustering is),
+    singletons label themselves, representatives = cluster minima."""
+    from invoicenet_spark.ops.dedup import dedup_representatives, duplicate_clusters
+
+    # components: chain 1-2-3-4-5 (diameter 4), clique {10,11,12},
+    # pair {20,21}; singletons 30, 31
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5),
+         (10, 11), (11, 12), (10, 12),
+         (20, 21)],
+        "id_a long, id_b long",
+    )
+    ids = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 4, 5, 10, 11, 12, 20, 21, 30, 31]],
+        "doc_id long",
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in duplicate_clusters(pairs, all_ids=ids).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                   10: 10, 11: 10, 12: 10, 20: 20, 21: 20, 30: 30, 31: 31}
+    reps = {
+        (r["doc_id"], r["cluster_size"])
+        for r in dedup_representatives(
+            duplicate_clusters(pairs, all_ids=ids)
+        ).collect()
+    }
+    assert reps == {(1, 5), (10, 3), (20, 2), (30, 1), (31, 1)}
