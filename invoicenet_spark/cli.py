@@ -147,6 +147,24 @@ def main(argv=None):
     c.add_argument("--shard-size", type=int, required=True, dest="new_shard_size")
     c.add_argument("--cores", type=int, default=None)
 
+    dd = sub.add_parser(
+        "dedup",
+        help="corpus dedup over a (doc_id, text) parquet: exact groups, "
+             "near-dup pairs, or connected-component cluster assignment",
+    )
+    dd.add_argument("--docs", required=True, help="parquet with doc_id + text columns")
+    dd.add_argument("--out", required=True, help="output parquet directory")
+    dd.add_argument("--method", default="cluster",
+                    choices=["exact", "pairs", "cluster", "representatives"],
+                    help="exact: fingerprint groups; pairs: MinHash-LSH "
+                         "near-dup pairs; cluster: total (doc_id, cluster_id) "
+                         "assignment; representatives: one kept doc per cluster")
+    dd.add_argument("--threshold", type=float, default=0.5,
+                    help="Jaccard threshold for near-dup pairs/clusters")
+    dd.add_argument("--text-col", default="text")
+    dd.add_argument("--id-col", default="doc_id")
+    dd.add_argument("--cores", type=int, default=None)
+
     v = sub.add_parser(
         "vacuum",
         help="delete postings data files not referenced by any committed "
@@ -368,6 +386,30 @@ def main(argv=None):
 
         out = compact_index(spark, args.index, args.new_shard_size)
         print(json.dumps({"cmd": "compact", **out}))
+
+    elif args.cmd == "dedup":
+        from invoicenet_spark.ops import dedup as dd_ops
+
+        docs = spark.read.parquet(args.docs)
+        if args.text_col != "text":
+            docs = docs.withColumnRenamed(args.text_col, "text")
+        if args.id_col != "doc_id":
+            docs = docs.withColumnRenamed(args.id_col, "doc_id")
+        if args.method == "exact":
+            out_df = dd_ops.exact_dedup(docs)
+        elif args.method == "pairs":
+            out_df = dd_ops.minhash_lsh_pairs(docs, threshold=args.threshold)
+        else:
+            pairs = dd_ops.minhash_lsh_pairs(docs, threshold=args.threshold).select(
+                "id_a", "id_b"
+            )
+            out_df = dd_ops.duplicate_clusters(pairs, all_ids=docs.select("doc_id"))
+            if args.method == "representatives":
+                out_df = dd_ops.dedup_representatives(out_df)
+        out_df.write.mode("overwrite").parquet(args.out)
+        n = spark.read.parquet(args.out).count()
+        print(json.dumps({"cmd": "dedup", "method": args.method, "rows": n,
+                          "out": args.out}))
 
     elif args.cmd == "bench-build":
         from invoicenet_spark.fixtures import gen_pages_spark

@@ -418,3 +418,35 @@ def test_duplicate_clusters_chain_and_singletons(spark):
         ).collect()
     }
     assert reps == {(1, 5), (10, 3), (20, 2), (30, 1), (31, 1)}
+
+
+def test_cli_dedup_subcommand(spark, tmp_path, dup_docs):
+    """CLI dedup: exact groups, near-dup pairs, cluster assignment, and
+    kept representatives — all from one (doc_id, text) parquet."""
+    import json as _json
+
+    from invoicenet_spark.cli import main
+
+    src = str(tmp_path / "docs")
+    dup_docs.write.parquet(src)
+    n_docs = dup_docs.count()
+
+    out_c = str(tmp_path / "clusters")
+    assert main(["dedup", "--docs", src, "--out", out_c,
+                 "--method", "cluster", "--threshold", "0.5"]) == 0
+    clusters = spark.read.parquet(out_c)
+    assert clusters.count() == n_docs  # total assignment
+    assert set(clusters.columns) == {"doc_id", "cluster_id"}
+
+    out_r = str(tmp_path / "reps")
+    assert main(["dedup", "--docs", src, "--out", out_r,
+                 "--method", "representatives", "--threshold", "0.5"]) == 0
+    reps = spark.read.parquet(out_r)
+    assert 0 < reps.count() <= n_docs
+    # representative ids are cluster minima → also valid doc ids
+    ids = {r["doc_id"] for r in dup_docs.select("doc_id").collect()}
+    assert {r["doc_id"] for r in reps.collect()} <= ids
+
+    out_p = str(tmp_path / "pairs")
+    assert main(["dedup", "--docs", src, "--out", out_p, "--method", "pairs"]) == 0
+    assert {"id_a", "id_b"} <= set(spark.read.parquet(out_p).columns)
