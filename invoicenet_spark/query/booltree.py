@@ -770,6 +770,43 @@ def flatten_or_terms(tree: dict) -> list[tuple[int, float, float | None]] | None
     return out if walk(tree) and out else None
 
 
+def flatten_or_mixed(tree: dict) -> list | None:
+    """flatten_or_terms' sibling for disjunctions that ALSO carry phrase
+    leaves: returns [('term', (tid, boost, avgdl|None)) | ('phrase', node)]
+    in DFS order when the tree is OR-nested term/phrase leaves with
+    min_match ≤ 1 everywhere AND at least one phrase leaf — the shape that
+    previously fell to the exhaustive walk. Pure-term trees return None
+    here (they take flatten_or_terms' kernels)."""
+    out: list = []
+
+    def walk(node: dict) -> bool:
+        kd = node["kind"]
+        if kd == "term":
+            avgdl = node.get("avgdl")
+            out.append((
+                "term",
+                (
+                    int(node.get("tid", -1)),
+                    float(node.get("boost", 1.0)),
+                    float(avgdl) if avgdl is not None else None,
+                ),
+            ))
+            return True
+        if kd == "phrase":
+            out.append(("phrase", node))
+            return True
+        if kd == "or":
+            mm = node.get("min_match", 1)
+            if int(mm if mm is not None else 1) > 1:
+                return False
+            return all(walk(c) for c in node["clauses"])
+        return False
+
+    if not walk(tree) or not out or not any(k == "phrase" for k, _ in out):
+        return None
+    return out
+
+
 def evaluate_shard_topk(
     tree: dict,
     by_tid: dict,
@@ -828,6 +865,42 @@ def evaluate_shard_topk(
         if kernel == "exhaustive" or after is not None:
             return kernels.score_exhaustive(plists, k, "OR", deleted=deleted, after=after)
         return kernels.score_blockmax(plists, k, deleted=deleted)
+    if tree["kind"] == "or":
+        mixed = flatten_or_mixed(tree)
+        if mixed is not None:
+            # disjunction containing phrase leaves: phrases pre-evaluate
+            # through the walk (their own cost is intersection-bounded)
+            # into materialized pseudo lists with EXACT upper bounds, and
+            # the term leaves keep MaxScore pruning (score_mixed_or) —
+            # previously any phrase leaf dragged the whole OR, stopword
+            # terms included, onto the exhaustive walk
+            parts = []
+            for kind, payload in mixed:
+                if kind == "term":
+                    tid, boost, avgdl = payload
+                    tp0 = by_tid.get(tid)
+                    if tid < 0 or tp0 is None:
+                        continue
+                    parts.append((
+                        "term",
+                        kernels.TermPostings(
+                            tp0.row,
+                            idf=tp0.idf * boost,
+                            avgdl=avgdl if avgdl is not None else tp0.avgdl,
+                            k1=tp0.k1,
+                            b=tp0.b,
+                        ),
+                    ))
+                else:
+                    d, s = evaluate_shard(payload, by_tid)
+                    if d.size:
+                        parts.append(("mat", (d, s)))
+            if not parts:
+                return _EMPTY
+            return kernels.score_mixed_or(
+                parts, k, deleted=deleted, after=after,
+                prune=(kernel != "exhaustive"),
+            )
     if tree["kind"] == "not":
         # NOT is an exclusion mask over the positive subtree — the exact
         # mechanism tombstones already use — so fold the negative's match

@@ -722,6 +722,131 @@ def score_blockmax(
     return topk_select(cand, scores, k)
 
 
+def score_mixed_or(
+    parts: list,
+    k: int,
+    deleted: np.ndarray | None = None,
+    after: tuple[float, int] | None = None,
+    prune: bool = True,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Disjunction over MIXED lists: ('term', TermPostings) entries decode
+    lazily with block-max bounds; ('mat', (docs, scores)) entries are
+    pre-evaluated pseudo posting lists — phrase/NEAR leaf results, whose
+    own evaluation is already intersection-bounded and whose upper bound
+    is EXACT (max of the materialized scores). This is how an OR
+    containing phrase leaves keeps MaxScore pruning for its term leaves
+    instead of dragging the whole tree to the exhaustive walk.
+
+    Float contract: scores accumulate per part in the caller's list order
+    over the final sorted doc array, with identical operands whether a
+    term part was probed block-granularly or fully decoded — so the
+    pruned and exhaustive (prune=False / cursor) routings are
+    BIT-identical, and cursors minted by a pruned page stay exact.
+
+    Rank soundness mirrors score_blockmax: theta is the k-th FULL score
+    over the strongest part's own (live) docs; the maximal ascending-ub
+    prefix with cumsum strictly below theta is non-essential — a doc
+    appearing only there scores < theta (partials are non-negative) and
+    cannot place. Candidates = union of essential parts' docs; probes
+    fill in non-essential contributions exactly."""
+    if not parts:
+        return np.zeros(0, dtype=np.int64), np.zeros(0)
+
+    caches = [dict() for _ in parts]
+    full: dict[int, tuple] = {}  # part index -> full decode (terms only)
+
+    def part_docs(pi):
+        kind, obj = parts[pi]
+        if kind != "term":
+            return obj[0]
+        if pi not in full:
+            full[pi] = obj.decode_all()
+        return full[pi][0]
+
+    def score_at(cand):
+        """Per part IN ORDER: gather from the cached full decode when one
+        exists, block-probe otherwise — identical operands and add order
+        either way (the bit-identity contract)."""
+        scores = np.zeros(cand.size, dtype=np.float64)
+        for pi, (kind, obj) in enumerate(parts):
+            if kind == "term":
+                if pi in full:
+                    docs_i, tfs_i, dls_i = full[pi]
+                    if docs_i.size == 0:
+                        continue
+                    idx = np.minimum(np.searchsorted(docs_i, cand), docs_i.size - 1)
+                    hit = docs_i[idx] == cand
+                    if hit.any():
+                        h = idx[hit]
+                        scores[hit] += obj.idf * bm25.tf_score(
+                            tfs_i[h], dls_i[h], obj.avgdl, obj.k1, obj.b
+                        )
+                else:
+                    r = _probe_list(obj, caches[pi], cand)
+                    if r is not None:
+                        hit, tfs, dls = r
+                        scores[hit] += obj.idf * bm25.tf_score(
+                            tfs, dls, obj.avgdl, obj.k1, obj.b
+                        )
+            else:
+                d, s = obj
+                if d.size:
+                    idx = np.minimum(np.searchsorted(d, cand), d.size - 1)
+                    hit = d[idx] == cand
+                    if hit.any():
+                        scores[hit] += s[idx[hit]]
+        return scores
+
+    ubs = np.array(
+        [
+            p[1].list_ub if p[0] == "term"
+            else (float(p[1][1].max()) if p[1][1].size else 0.0)
+            for p in parts
+        ]
+    )
+    term_blocks = sum(p[1].n_blocks for p in parts if p[0] == "term")
+    has_term = any(p[0] == "term" for p in parts)
+    pdfs = [
+        int(p[1].row["df_shard"]) if p[0] == "term" else int(p[1][0].size)
+        for p in parts
+    ]
+
+    if prune and after is None and has_term and len(parts) > 1:
+        seed = int(np.argmax(ubs))
+        seed_docs = part_docs(seed)
+        if pdfs[seed] <= 2 * max(term_blocks, 1):
+            seed_docs = seed_docs[drop_deleted(seed_docs, deleted)]
+            seed_scores = score_at(seed_docs)
+            if seed_docs.size >= k:
+                kth = np.lexsort((seed_docs, -seed_scores))[k - 1]
+                theta = float(seed_scores[kth])
+            else:
+                theta = -np.inf
+            order = np.argsort(ubs, kind="stable")
+            cum = np.cumsum(ubs[order])
+            essential = [int(i) for i, ne in zip(order, cum < theta) if not ne]
+            ess_df = sum(pdfs[i] for i in essential) + (
+                pdfs[seed] if seed not in essential else 0
+            )
+            if len(essential) < len(parts) and ess_df <= sum(pdfs) // 2:
+                cand_parts = [seed_docs]
+                for i in essential:
+                    if i != seed:
+                        cand_parts.append(part_docs(i))
+                cand = np.unique(np.concatenate(cand_parts))
+                cand = cand[drop_deleted(cand, deleted)]
+                return topk_select(cand, score_at(cand), k)
+    # exhaustive (and cursor) path — same score_at float order
+    all_docs = [part_docs(pi) for pi in range(len(parts))]
+    uniq = np.unique(np.concatenate(all_docs)) if all_docs else np.zeros(0, np.int64)
+    uniq = uniq[drop_deleted(uniq, deleted)]
+    if uniq.size == 0:
+        return np.zeros(0, dtype=np.int64), np.zeros(0)
+    scores = score_at(uniq)
+    uniq, scores = apply_after(uniq, scores, after)
+    return topk_select(uniq, scores, k)
+
+
 def count_matches_shard(
     mode: str,
     plists: list[TermPostings],

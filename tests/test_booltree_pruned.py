@@ -312,3 +312,98 @@ def test_min_match_or_of_groups_fuzz():
             n2 = p2d.size
             assert np.array_equal(p2d, full_d[kk : kk + n2]), f"seed={seed}"
             assert np.array_equal(p2s, full_s[kk : kk + n2]), f"seed={seed}"
+
+
+def _positional_corpus(rng, n_docs, vocab_size):
+    """Token corpus → positional TermPostings per term (mirrors
+    test_kernels_fuzz._encode_positional)."""
+    from invoicenet_spark.index.codec import vb_encode
+
+    vocab = [f"t{i}" for i in range(vocab_size)]
+    docs_tokens = {
+        d: [vocab[i] for i in rng.integers(0, vocab_size, size=rng.integers(3, 40))]
+        for d in range(n_docs)
+    }
+    dls = np.array([len(docs_tokens[d]) for d in range(n_docs)], dtype=np.int64)
+    avgdl = float(dls.mean())
+    by_tid = {}
+    for tid, term in enumerate(vocab):
+        docs, poss = [], []
+        for d in range(n_docs):
+            p = [i for i, t in enumerate(docs_tokens[d]) if t == term]
+            if p:
+                docs.append(d)
+                poss.append(np.array(p, dtype=np.int64))
+        if not docs:
+            continue
+        docs = np.array(docs, dtype=np.int64)
+        tfs = np.array([len(p) for p in poss], dtype=np.int64)
+        row = encode_posting_list(docs, tfs, dls[docs], block_size=8)
+        pos_flat = np.concatenate(poss).astype(np.int64)
+        p_cum = np.concatenate(([0], np.cumsum(tfs)))
+        pdeltas = np.diff(pos_flat, prepend=np.int64(0))
+        pdeltas[p_cum[:-1]] = pos_flat[p_cum[:-1]]
+        row["pos_blob"] = vb_encode(pdeltas.astype(np.uint64))
+        row["term_id"] = tid
+        df = docs.size
+        idf = float(np.log((n_docs - df + 0.5) / (df + 0.5) + 1.0))
+        by_tid[tid] = kernels.TermPostings(row, idf=idf, avgdl=avgdl, k1=K1, b=B)
+    return by_tid, avgdl, vocab_size
+
+
+def test_mixed_or_with_phrase_leaves_fuzz():
+    """OR trees carrying phrase leaves route to score_mixed_or: phrases
+    pre-evaluate into materialized pseudo lists (exact upper bounds), term
+    leaves keep MaxScore pruning. Rank identity + 1e-12-rel scores vs the
+    tree walk, bit-identity between pruned and exhaustive routings, exact
+    cursor pages, tombstones composed."""
+    for seed in range(250):
+        rng = np.random.default_rng(700_000 + seed)
+        n_docs = int(rng.integers(8, 60))
+        by_tid, avgdl, vs = _positional_corpus(rng, n_docs, int(rng.integers(3, 7)))
+        if not by_tid:
+            continue
+        k = int(rng.integers(1, 6))
+        clauses = []
+        for _ in range(int(rng.integers(1, 4))):  # term leaves / nested ORs
+            clauses.append(_random_or_tree(rng, vs, avgdl))
+        for _ in range(int(rng.integers(1, 3))):  # phrase leaves
+            L = int(rng.integers(1, 4))
+            tids = [int(rng.integers(0, vs)) for _ in range(L)]
+            clauses.append({
+                "kind": "phrase", "tids": tids,
+                "terms": [f"t{t}" for t in tids],
+                "slop": 0, "ordered": True,
+                "boost": float(rng.choice([1.0, 2.0])),
+            })
+        rng.shuffle(clauses)
+        tree = {"kind": "or", "clauses": list(clauses)}
+        assert booltree.flatten_or_terms(tree) is None
+        assert booltree.flatten_or_mixed(tree) is not None
+        n_del = int(rng.integers(0, max(1, n_docs // 4)))
+        deleted = (
+            np.sort(rng.choice(n_docs, size=n_del, replace=False)).astype(np.int64)
+            if n_del
+            else None
+        )
+        ed, es = _ground_truth(tree, by_tid, k, deleted)
+        gd, gs = booltree.evaluate_shard_topk(tree, by_tid, k, deleted=deleted)
+        assert np.array_equal(ed, gd), f"seed={seed}: docs {ed} != {gd}"
+        assert np.allclose(es, gs, rtol=1e-12, atol=1e-12), f"seed={seed}"
+        xd, xs = booltree.evaluate_shard_topk(
+            tree, by_tid, k, deleted=deleted, kernel="exhaustive"
+        )
+        assert np.array_equal(gd, xd) and np.array_equal(gs, xs), f"seed={seed}"
+        if gd.size >= 2:
+            kk = gd.size // 2
+            p1d, p1s = booltree.evaluate_shard_topk(tree, by_tid, kk, deleted=deleted)
+            after = (float(p1s[-1]), int(p1d[-1]))
+            p2d, p2s = booltree.evaluate_shard_topk(
+                tree, by_tid, kk, deleted=deleted, after=after
+            )
+            fd, fs = booltree.evaluate_shard_topk(
+                tree, by_tid, n_docs + 1, deleted=deleted
+            )
+            n2 = p2d.size
+            assert np.array_equal(p2d, fd[kk : kk + n2]), f"seed={seed}"
+            assert np.array_equal(p2s, fs[kk : kk + n2]), f"seed={seed}"

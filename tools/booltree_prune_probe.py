@@ -187,6 +187,60 @@ def main():
     r["speedup"] = round(r["exhaustive_mm_ms"] / r["pigeonhole_mm_ms"], 2)
     out["min_match_2of3_rare_rare_stopword"] = r
 
+    # (f) OR carrying a phrase leaf: the phrase pre-evaluates over its own
+    # (rare) terms; the stopword TERM leaf keeps MaxScore pruning via
+    # score_mixed_or — previously the phrase dragged the whole OR onto the
+    # exhaustive walk, full stopword decode included
+    from invoicenet_spark.index.codec import vb_encode
+
+    def make_positional(df, tid, docs=None):
+        d = (np.sort(rng.choice(n_docs, size=df, replace=False)).astype(np.int64)
+             if docs is None else docs)
+        poss = [np.sort(rng.choice(200, size=int(rng.integers(1, 4)),
+                                   replace=False)).astype(np.int64) for _ in d]
+        tfs = np.array([len(p) for p in poss], dtype=np.int64)
+        row = encode_posting_list(d, tfs, dls[d], block_size=BLOCK)
+        pos_flat = np.concatenate(poss).astype(np.int64)
+        p_cum = np.concatenate(([0], np.cumsum(tfs)))
+        pdeltas = np.diff(pos_flat, prepend=np.int64(0))
+        pdeltas[p_cum[:-1]] = pos_flat[p_cum[:-1]]
+        row["pos_blob"] = vb_encode(pdeltas.astype(np.uint64))
+        row["term_id"] = tid
+        idf = float(np.log((n_docs - df + 0.5) / (df + 0.5) + 1.0))
+        return kernels.TermPostings(row, idf=idf, avgdl=avgdl, k1=1.2, b=0.75)
+
+    shared = np.sort(rng.choice(n_docs, size=200, replace=False)).astype(np.int64)
+    by_tid[4] = make_positional(200, 4, docs=shared)
+    # t5 occurs at t4's position + 1 in every shared doc → the phrase
+    # actually matches (theta needs >= k real matches to prune with)
+    t4_pos, t4_off = by_tid[4].decode_positions(by_tid[4].decode_all()[1])
+    poss5 = [t4_pos[t4_off[i]:t4_off[i + 1]] + 1 for i in range(shared.size)]
+    from invoicenet_spark.index.codec import vb_encode as _vb
+    tfs5 = np.array([len(p) for p in poss5], dtype=np.int64)
+    row5 = encode_posting_list(shared, tfs5, dls[shared], block_size=BLOCK)
+    pos_flat = np.concatenate(poss5).astype(np.int64)
+    p_cum = np.concatenate(([0], np.cumsum(tfs5)))
+    pdeltas = np.diff(pos_flat, prepend=np.int64(0))
+    pdeltas[p_cum[:-1]] = pos_flat[p_cum[:-1]]
+    row5["pos_blob"] = _vb(pdeltas.astype(np.uint64))
+    row5["term_id"] = 5
+    idf5 = float(np.log((n_docs - 200 + 0.5) / (200 + 0.5) + 1.0))
+    by_tid[5] = kernels.TermPostings(row5, idf=idf5, avgdl=avgdl, k1=1.2, b=0.75)
+    tree = {"kind": "or", "clauses": [
+        {"kind": "term", "term": "t0", "tid": 0, "boost": 1.0},  # stopword
+        {"kind": "phrase", "tids": [4, 5], "terms": ["t4", "t5"],
+         "slop": 0, "ordered": True, "boost": 2.0},
+    ]}
+    r = {}
+    r["tree_walk_ms"] = round(1e3 * run(lambda: tree_walk(tree, by_tid, k), args.reps), 2)
+    r["pruned_ms"] = round(1e3 * run(
+        lambda: booltree.evaluate_shard_topk(tree, by_tid, k), args.reps), 2)
+    ed, es = tree_walk(tree, by_tid, k)
+    gd, gs = booltree.evaluate_shard_topk(tree, by_tid, k)
+    assert np.array_equal(ed, gd) and np.allclose(es, gs, rtol=1e-12)
+    r["speedup_vs_tree_walk"] = round(r["tree_walk_ms"] / r["pruned_ms"], 2)
+    out["mixed_or_stopword_plus_phrase"] = r
+
     os.makedirs("BENCH", exist_ok=True)
     path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                         "BENCH", "BOOLTREE_PRUNE.json")
