@@ -627,10 +627,13 @@ def evaluate_shard(tree: dict, by_tid: dict) -> tuple[np.ndarray, np.ndarray]:
     no per-doc Python; work is O(sum of leaf posting lengths) per shard —
     this walk is the exhaustive path. Top-k callers should enter through
     evaluate_shard_topk, which routes pure-disjunction trees (every
-    bare/fielded OR rewrite) to the block-max MaxScore kernel and only
-    falls back here for shapes pruning can't survive (AND/NOT composition,
-    phrase leaves, min_match, cursors). Counting callers use this walk
-    directly — a count touches every match by definition.
+    bare/fielded OR rewrite) to the block-max MaxScore kernel,
+    AND-of-groups to the conjunctive block-probe kernel, min_match to its
+    pigeonhole mode, and mixed ORs to score_mixed_or — falling back here
+    only to materialize individual non-flat subtrees (phrases, NOT
+    negatives, nested min_match) whose cost their own semantics bound.
+    Counting callers use this walk directly — a count touches every match
+    by definition.
     """
     from invoicenet_spark.query import kernels
 
@@ -771,15 +774,40 @@ def flatten_or_terms(tree: dict) -> list[tuple[int, float, float | None]] | None
 
 
 def flatten_or_mixed(tree: dict) -> list | None:
-    """flatten_or_terms' sibling for disjunctions that ALSO carry phrase
-    leaves: returns [('term', (tid, boost, avgdl|None)) | ('phrase', node)]
-    in DFS order when the tree is OR-nested term/phrase leaves with
-    min_match ≤ 1 everywhere AND at least one phrase leaf — the shape that
-    previously fell to the exhaustive walk. Pure-term trees return None
-    here (they take flatten_or_terms' kernels)."""
+    """flatten_or_terms' sibling for disjunctions that ALSO carry non-term
+    clauses. When the tree is OR-nested (min_match ≤ 1 at every walked OR)
+    returns DFS-ordered parts:
+
+      ('term', (tid, boost, avgdl|None))  — a term leaf (keeps MaxScore
+                                            pruning in score_mixed_or)
+      ('andg', [group_leaves, ...])       — an AND subtree whose clauses
+                                            all flatten via
+                                            flatten_or_terms: materializes
+                                            via the block-probed
+                                            score_and_groups full-matches
+                                            mode (its stopword clauses are
+                                            never fully decoded)
+      ('sub', node)                       — any other subtree (phrase/NEAR
+                                            leaf, NOT, nested min_match>1
+                                            OR, non-flat AND): materializes
+                                            via the walk — bounded by its
+                                            own semantics, and no worse
+                                            than the status quo where it
+                                            dragged ALL siblings onto the
+                                            exhaustive walk
+
+    Returns None when the root is not a plain disjunction (kind != 'or',
+    or root min_match > 1 — that shape belongs to the pigeonhole
+    min_match routing) or when there is no non-term clause (pure-term
+    trees take flatten_or_terms' flat kernels) — so this recognizes
+    exactly the shapes that previously fell to the exhaustive walk:
+    `stopword OR "a phrase"`, `stopword OR (rare AND stopword2)`,
+    dismax-style unions of subqueries."""
+    if tree["kind"] != "or" or int(tree.get("min_match") or 1) > 1:
+        return None
     out: list = []
 
-    def walk(node: dict) -> bool:
+    def walk(node: dict) -> None:
         kd = node["kind"]
         if kd == "term":
             avgdl = node.get("avgdl")
@@ -791,18 +819,24 @@ def flatten_or_mixed(tree: dict) -> list | None:
                     float(avgdl) if avgdl is not None else None,
                 ),
             ))
-            return True
-        if kd == "phrase":
-            out.append(("phrase", node))
-            return True
-        if kd == "or":
-            mm = node.get("min_match", 1)
-            if int(mm if mm is not None else 1) > 1:
-                return False
-            return all(walk(c) for c in node["clauses"])
-        return False
+            return
+        if kd == "or" and int(node.get("min_match") or 1) <= 1:
+            for c in node["clauses"]:
+                walk(c)
+            return
+        if kd == "and":
+            flat = [flatten_or_terms(c) for c in node["clauses"]]
+            if node["clauses"] and all(g is not None for g in flat):
+                out.append(("andg", flat))
+            else:
+                out.append(("sub", node))
+            return
+        # phrase / not / min_match>1 OR / anything else: walk-materialized
+        out.append(("sub", node))
 
-    if not walk(tree) or not out or not any(k == "phrase" for k, _ in out):
+    for c in tree["clauses"]:
+        walk(c)
+    if not out or all(k == "term" for k, _ in out):
         return None
     return out
 
@@ -868,12 +902,16 @@ def evaluate_shard_topk(
     if tree["kind"] == "or":
         mixed = flatten_or_mixed(tree)
         if mixed is not None:
-            # disjunction containing phrase leaves: phrases pre-evaluate
-            # through the walk (their own cost is intersection-bounded)
-            # into materialized pseudo lists with EXACT upper bounds, and
-            # the term leaves keep MaxScore pruning (score_mixed_or) —
-            # previously any phrase leaf dragged the whole OR, stopword
-            # terms included, onto the exhaustive walk
+            # disjunction carrying non-term clauses: each such clause
+            # pre-evaluates into a materialized pseudo posting list with
+            # an EXACT upper bound, and the sibling term leaves keep
+            # MaxScore pruning (score_mixed_or) — previously ANY non-term
+            # clause dragged the whole OR, stopword terms included, onto
+            # the exhaustive walk. AND-of-flat-groups subtrees materialize
+            # via the block-probed conjunction kernel (their own stopword
+            # clauses are skipped, not decoded); phrases/NOT/nested
+            # min_match materialize via the walk, bounded by their own
+            # semantics.
             parts = []
             for kind, payload in mixed:
                 if kind == "term":
@@ -891,6 +929,13 @@ def evaluate_shard_topk(
                             b=tp0.b,
                         ),
                     ))
+                elif kind == "andg":
+                    groups = [_resolve(g) for g in payload]
+                    if any(not g for g in groups):
+                        continue  # a leafless group: the AND matches nothing
+                    d, s = kernels.score_and_groups(groups, 0, full_matches=True)
+                    if d.size:
+                        parts.append(("mat", (d, s)))
                 else:
                     d, s = evaluate_shard(payload, by_tid)
                     if d.size:

@@ -486,6 +486,7 @@ def score_and_groups(
     deleted: np.ndarray | None = None,
     after: tuple[float, int] | None = None,
     min_groups: int | None = None,
+    full_matches: bool = False,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Conjunction of disjunction-groups with block-granular skipping: a doc
     matches iff it appears in >= 1 list of EVERY group; matching docs score
@@ -523,7 +524,13 @@ def score_and_groups(
     as soon as matched + remaining < m. Scores remain the full OR sum
     over every list the doc matches — bit-identical to
     score_exhaustive(mode='OR', min_match=m) for single-leaf groups
-    (fuzz-pinned)."""
+    (fuzz-pinned).
+
+    full_matches=True returns the COMPLETE match set doc-ascending
+    (k/after ignored) instead of top-k — this is how an AND subtree
+    inside a disjunction materializes into a pseudo posting list for
+    score_mixed_or while keeping the block-probed decode skipping (the
+    walk would decode its stopword clauses fully)."""
     groups = [g for g in groups if g]  # a leafless group can never match
     n = len(groups)
     m = n if min_groups is None else int(min_groups)
@@ -532,6 +539,30 @@ def score_and_groups(
     m = max(m, 1)
     flat = [tp for g in groups for tp in g]
     if n == 1:
+        if full_matches:
+            # complete doc-ascending match set of a plain OR group: the
+            # same per-list gather order over the sorted union as the
+            # main scoring loop below (float contract preserved)
+            decs = [tp.decode_all() for tp in flat]
+            parts = [d[0] for d in decs if d[0].size]
+            if not parts:
+                return np.zeros(0, dtype=np.int64), np.zeros(0)
+            cand = parts[0] if len(parts) == 1 else np.unique(np.concatenate(parts))
+            cand = cand[drop_deleted(cand, deleted)]
+            if cand.size == 0:
+                return np.zeros(0, dtype=np.int64), np.zeros(0)
+            scores = np.zeros(cand.size, dtype=np.float64)
+            for tp, (docs_i, tfs_i, dls_i) in zip(flat, decs):
+                if docs_i.size == 0:
+                    continue
+                idx = np.minimum(np.searchsorted(docs_i, cand), docs_i.size - 1)
+                hit = docs_i[idx] == cand
+                if hit.any():
+                    h = idx[hit]
+                    scores[hit] += tp.idf * bm25.tf_score(
+                        tfs_i[h], dls_i[h], tp.avgdl, tp.k1, tp.b
+                    )
+            return cand, scores
         # no conjunction to skip on — plain OR over the single group
         return score_exhaustive(flat, k, "OR", deleted=deleted, after=after)
 
@@ -632,6 +663,8 @@ def score_and_groups(
             if r is not None:
                 hit, tfs, dls = r
                 scores[hit] += tp.idf * bm25.tf_score(tfs, dls, tp.avgdl, tp.k1, tp.b)
+    if full_matches:
+        return cand, scores  # doc-ascending by construction
     cand, scores = apply_after(cand, scores, after)
     return topk_select(cand, scores, k)
 
@@ -731,11 +764,13 @@ def score_mixed_or(
 ) -> tuple[np.ndarray, np.ndarray]:
     """Disjunction over MIXED lists: ('term', TermPostings) entries decode
     lazily with block-max bounds; ('mat', (docs, scores)) entries are
-    pre-evaluated pseudo posting lists — phrase/NEAR leaf results, whose
-    own evaluation is already intersection-bounded and whose upper bound
-    is EXACT (max of the materialized scores). This is how an OR
-    containing phrase leaves keeps MaxScore pruning for its term leaves
-    instead of dragging the whole tree to the exhaustive walk.
+    pre-evaluated pseudo posting lists — phrase/NEAR leaves, AND subtrees
+    (materialized via score_and_groups full_matches mode, block-probed),
+    NOT / nested-min_match subtrees — whose own evaluation is bounded by
+    their semantics and whose upper bound is EXACT (max of the
+    materialized scores). This is how an OR containing non-term clauses
+    keeps MaxScore pruning for its term leaves instead of dragging the
+    whole tree to the exhaustive walk.
 
     Float contract: scores accumulate per part in the caller's list order
     over the final sorted doc array, with identical operands whether a

@@ -407,3 +407,115 @@ def test_mixed_or_with_phrase_leaves_fuzz():
             n2 = p2d.size
             assert np.array_equal(p2d, fd[kk : kk + n2]), f"seed={seed}"
             assert np.array_equal(p2s, fs[kk : kk + n2]), f"seed={seed}"
+
+
+def test_flatten_or_mixed_shapes():
+    t = lambda tid: {"kind": "term", "term": f"t{tid}", "tid": tid, "boost": 1.0}
+    ph = {"kind": "phrase", "tids": [1, 2], "terms": ["a", "b"],
+          "slop": 0, "ordered": True, "boost": 1.0}
+    andt = {"kind": "and", "clauses": [t(1), t(2)]}
+    nott = {"kind": "not", "positive": t(1), "negative": t(2)}
+    mmt = {"kind": "or", "clauses": [t(1), t(2), t(3)], "min_match": 2}
+    # root must be a plain OR
+    assert booltree.flatten_or_mixed(t(1)) is None
+    assert booltree.flatten_or_mixed(andt) is None
+    assert booltree.flatten_or_mixed({"kind": "or", "clauses": [t(1), andt],
+                                      "min_match": 2}) is None
+    # pure-term ORs belong to flatten_or_terms
+    assert booltree.flatten_or_mixed({"kind": "or", "clauses": [t(1), t(2)]}) is None
+    # AND-of-flat-groups -> andg; AND with a non-flat clause -> sub
+    parts = booltree.flatten_or_mixed({"kind": "or", "clauses": [t(0), andt]})
+    assert [k for k, _ in parts] == ["term", "andg"]
+    assert parts[1][1] == [[(1, 1.0, None)], [(2, 1.0, None)]]
+    deep_and = {"kind": "and", "clauses": [t(1), ph]}
+    parts = booltree.flatten_or_mixed({"kind": "or", "clauses": [t(0), deep_and]})
+    assert [k for k, _ in parts] == ["term", "sub"]
+    # phrase / NOT / nested min_match OR -> sub; nested mm<=1 OR unnests
+    parts = booltree.flatten_or_mixed({"kind": "or", "clauses": [
+        {"kind": "or", "clauses": [t(0), ph]}, nott, mmt]})
+    assert [k for k, _ in parts] == ["term", "sub", "sub", "sub"]
+
+
+def test_mixed_or_general_subtrees_fuzz():
+    """The generalized mixed-OR routing: disjunctions whose clauses mix
+    term leaves with AND subtrees (-> block-probed andg materialization),
+    NOT subtrees, nested min_match ORs, and phrase leaves (-> walk
+    materialization). Rank identity + 1e-12-rel scores vs the tree walk,
+    bit-identity between pruned and exhaustive routings, exact cursor
+    pages, tombstones composed."""
+    for seed in range(300):
+        rng = np.random.default_rng(800_000 + seed)
+        n_docs = int(rng.integers(10, 70))
+        n_terms = int(rng.integers(3, 6))
+        by_tid, avgdl = _corpus(rng, n_docs, n_terms, int(rng.choice([4, 8])))
+        k = int(rng.integers(1, 6))
+        clauses = []
+        for _ in range(int(rng.integers(1, 4))):  # term leaves / nested ORs
+            clauses.append(_random_or_tree(rng, n_terms, avgdl))
+        n_sub = int(rng.integers(1, 4))
+        for _ in range(n_sub):
+            kind = int(rng.integers(0, 3))
+            a = _random_or_tree(rng, n_terms, avgdl, allow_absent=False)
+            b = _random_or_tree(rng, n_terms, avgdl)
+            if kind == 0:  # AND subtree (flat groups -> andg)
+                clauses.append({"kind": "and", "clauses": [a, b]})
+            elif kind == 1:  # NOT subtree -> sub
+                clauses.append({"kind": "not", "positive": a, "negative": b})
+            else:  # nested min_match OR -> sub
+                c = _random_or_tree(rng, n_terms, avgdl)
+                clauses.append({"kind": "or", "clauses": [a, b, c],
+                                "min_match": 2})
+        rng.shuffle(clauses)
+        tree = {"kind": "or", "clauses": list(clauses)}
+        assert booltree.flatten_or_terms(tree) is None
+        assert booltree.flatten_or_mixed(tree) is not None
+        n_del = int(rng.integers(0, max(1, n_docs // 4)))
+        deleted = (
+            np.sort(rng.choice(n_docs, size=n_del, replace=False)).astype(np.int64)
+            if n_del
+            else None
+        )
+        ed, es = _ground_truth(tree, by_tid, k, deleted)
+        gd, gs = booltree.evaluate_shard_topk(tree, by_tid, k, deleted=deleted)
+        assert np.array_equal(ed, gd), f"seed={seed}: docs {ed} != {gd}"
+        assert np.allclose(es, gs, rtol=1e-12, atol=1e-12), f"seed={seed}"
+        xd, xs = booltree.evaluate_shard_topk(
+            tree, by_tid, k, deleted=deleted, kernel="exhaustive"
+        )
+        assert np.array_equal(gd, xd) and np.array_equal(gs, xs), f"seed={seed}"
+        if gd.size >= 2:
+            kk = gd.size // 2
+            p1d, p1s = booltree.evaluate_shard_topk(tree, by_tid, kk, deleted=deleted)
+            after = (float(p1s[-1]), int(p1d[-1]))
+            p2d, p2s = booltree.evaluate_shard_topk(
+                tree, by_tid, kk, deleted=deleted, after=after
+            )
+            fd, fs = booltree.evaluate_shard_topk(
+                tree, by_tid, n_docs + 1, deleted=deleted
+            )
+            n2 = p2d.size
+            assert np.array_equal(p2d, fd[kk : kk + n2]), f"seed={seed}"
+            assert np.array_equal(p2s, fs[kk : kk + n2]), f"seed={seed}"
+
+
+def test_and_groups_full_matches_mode():
+    """score_and_groups(full_matches=True) returns the COMPLETE match set
+    doc-ascending with scores bit-identical to the top-k mode's big-k run
+    (re-sorted), including the single-group fallback."""
+    for seed in range(150):
+        rng = np.random.default_rng(900_000 + seed)
+        n_docs = int(rng.integers(10, 70))
+        n_terms = int(rng.integers(2, 6))
+        by_tid, avgdl = _corpus(rng, n_docs, n_terms, int(rng.choice([4, 8])))
+        n_groups = int(rng.integers(1, 4))
+        groups = []
+        for _ in range(n_groups):
+            size = int(rng.integers(1, 4))
+            groups.append([by_tid[int(rng.integers(0, n_terms))]
+                           for _ in range(size)])
+        fd, fs = kernels.score_and_groups(groups, 0, full_matches=True)
+        assert np.all(np.diff(fd) > 0), f"seed={seed}: not doc-ascending"
+        td, ts = kernels.score_and_groups(groups, n_docs + 1)
+        order = np.argsort(td, kind="stable")
+        assert np.array_equal(fd, td[order]), f"seed={seed}"
+        assert np.array_equal(fs, ts[order]), f"seed={seed}"

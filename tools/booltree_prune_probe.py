@@ -241,6 +241,28 @@ def main():
     r["speedup_vs_tree_walk"] = round(r["tree_walk_ms"] / r["pruned_ms"], 2)
     out["mixed_or_stopword_plus_phrase"] = r
 
+    # (g) OR carrying an AND subtree — the dismax shape `stopword OR
+    # (rare AND stopword2)`: the AND materializes via the block-probed
+    # conjunction kernel (stopword2 never fully decoded), and the sibling
+    # stopword TERM leaf is MaxScore-pruned against the AND's exact upper
+    # bound — previously the whole tree walked, decoding BOTH 1M lists
+    tree = {"kind": "or", "clauses": [
+        {"kind": "term", "term": "t0", "tid": 0, "boost": 1.0},  # stopword
+        {"kind": "and", "clauses": [
+            {"kind": "term", "term": "t2", "tid": 2, "boost": 2.0},  # rare
+            {"kind": "term", "term": "t1", "tid": 1, "boost": 1.0},  # stopword2
+        ]},
+    ]}
+    r = {}
+    r["tree_walk_ms"] = round(1e3 * run(lambda: tree_walk(tree, by_tid, k), args.reps), 2)
+    r["pruned_ms"] = round(1e3 * run(
+        lambda: booltree.evaluate_shard_topk(tree, by_tid, k), args.reps), 2)
+    ed, es = tree_walk(tree, by_tid, k)
+    gd, gs = booltree.evaluate_shard_topk(tree, by_tid, k)
+    assert np.array_equal(ed, gd) and np.allclose(es, gs, rtol=1e-12)
+    r["speedup_vs_tree_walk"] = round(r["tree_walk_ms"] / r["pruned_ms"], 2)
+    out["mixed_or_stopword_plus_and_subtree"] = r
+
     os.makedirs("BENCH", exist_ok=True)
     path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                         "BENCH", "BOOLTREE_PRUNE.json")
