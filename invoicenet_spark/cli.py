@@ -123,6 +123,11 @@ def main(argv=None):
                         "field instead of relevance (ES sort clause)")
     s.add_argument("--sort-asc", action="store_true",
                    help="--sort-by ascending (default: descending)")
+    s.add_argument("--filter", default=None, dest="doc_filter",
+                   help="ES filter context: a SQL predicate over the docs "
+                        "table (e.g. \"url LIKE 'https://%%'\") — only docs "
+                        "satisfying it are searchable; applied before "
+                        "per-shard top-k, never scored (false/NULL exclude)")
     s.add_argument("--snippets", action="store_true",
                    help="attach highlighted snippets (index must be built with --store-text)")
     s.add_argument("--local", action="store_true",
@@ -209,11 +214,17 @@ def main(argv=None):
         if args.neg_terms:
             qrow["neg_terms"] = args.neg_terms.split(",")
         q = pd.DataFrame([qrow])
+        excluded = None
+        if args.doc_filter:
+            from invoicenet_spark.query.local import excluded_ids_local
+
+            excluded = excluded_ids_local(args.index, args.doc_filter)
         if args.count:
-            res = search_local(args.index, q, kernel=args.kernel, count_only=True)
+            res = search_local(args.index, q, kernel=args.kernel,
+                               count_only=True, excluded_ids=excluded)
             print(json.dumps({"total_hits": int(res["total_hits"].iloc[0])}))
             return 0
-        res = search_local(args.index, q, kernel=args.kernel)
+        res = search_local(args.index, q, kernel=args.kernel, excluded_ids=excluded)
         if args.facet:
             from invoicenet_spark.query.local import facet_counts_local
 
@@ -343,11 +354,13 @@ def main(argv=None):
         if args.neg_terms:
             qrow["neg_terms"] = args.neg_terms.split(",")
         q = pd.DataFrame([qrow])
+        doc_filter = (index.docs, args.doc_filter) if args.doc_filter else None
         if args.count:
-            row = search(spark, index, q, kernel=args.kernel, count_only=True).collect()[0]
+            row = search(spark, index, q, kernel=args.kernel, count_only=True,
+                         doc_filter=doc_filter).collect()[0]
             print(json.dumps({"total_hits": int(row["total_hits"])}))
             return 0
-        res = search(spark, index, q, kernel=args.kernel)
+        res = search(spark, index, q, kernel=args.kernel, doc_filter=doc_filter)
         if args.facet:
             from invoicenet_spark.query.exec import facet_counts
 

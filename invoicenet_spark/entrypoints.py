@@ -137,10 +137,13 @@ def _bm25_engine_results(
 
 
 def _ranked_from_index(
-    spark: SparkSession, index_root: str, terms, mode: str, k: int, **qextra
+    spark: SparkSession, index_root: str, terms, mode: str, k: int,
+    doc_filter=None, **qextra
 ):
     """qextra: optional per-query fields (neg_terms, min_match) passed
-    straight into the query row — exercised by the query-language oracles."""
+    straight into the query row — exercised by the query-language oracles.
+    doc_filter: (meta frame, SQL predicate) forwarded to search() — the ES
+    filter-context oracle."""
     import pandas as pd
 
     from invoicenet_spark.query.exec import load_index, search
@@ -149,7 +152,7 @@ def _ranked_from_index(
     q = pd.DataFrame(
         [{"query_id": 1, "terms": list(terms), "mode": mode, "k": 100000, **qextra}]
     )
-    res = search(spark, index, q, kernel="auto", with_url=True)
+    res = search(spark, index, q, kernel="auto", with_url=True, doc_filter=doc_filter)
     scored = res.select(
         F.col("url").cast("long").alias("doc_id"),
         F.round(F.col("score"), 6).alias("score_r6"),
@@ -167,6 +170,14 @@ def _ranked_from_index(
 # predicate (on the ORIGINAL documents.doc_id) selecting the docs the
 # delete-semantics queries tombstone — shared by engine side and oracle SQL
 _DELETE_PRED_SQL = "doc_id % 10 = 3"
+
+# metadata predicate for the ES-filter-context oracle (even-numbered
+# sources, half the corpus) — shared by the engine's doc_filter and the
+# DuckDB twin
+_FILTER_PRED_SQL = (
+    "source IN ('src0','src2','src4','src6','src8',"
+    "'src10','src12','src14','src16','src18')"
+)
 
 
 def _bm25_deleted_results(
@@ -219,6 +230,7 @@ def _duck_bm25(
     near_unordered: bool = False,
     page_offset: int = 0,
     fuzzy_edits: int | None = None,
+    filter_pred: str | None = None,
 ) -> str:
     """deleted: 'masked' — exclude _DELETE_PRED_SQL docs from ranking only
     (tombstone semantics: corpus stats still count them); 'purged' — exclude
@@ -230,7 +242,10 @@ def _duck_bm25(
     boosts: {term: boost} — scales that term's score contribution (the
     engine's `term^boost` syntax).
     near_slop (2 terms): ordered proximity — keep docs where term2 follows
-    term1 at distance <= 1+slop (the engine's NEAR/slop; slop=0 == PHRASE)."""
+    term1 at distance <= 1+slop (the engine's NEAR/slop; slop=0 == PHRASE).
+    filter_pred: ES filter context — only docs whose documents-row satisfies
+    the predicate rank (excluded BEFORE the top-k window, never scored);
+    false/NULL exclude, matching search(doc_filter=...)."""
     boosts = boosts or {}
     tlist = ", ".join(
         f"('{t}', {float(boosts.get(t, 1.0))!r})" for t in dict.fromkeys(terms)
@@ -288,6 +303,11 @@ def _duck_bm25(
         nlist = ", ".join(f"'{t}'" for t in dict.fromkeys(neg_terms))
         rank_conds.append(
             f"doc_id NOT IN (SELECT DISTINCT doc_id FROM toks WHERE term IN ({nlist}))"
+        )
+    if filter_pred:
+        rank_conds.append(
+            "doc_id IN (SELECT doc_id FROM documents"
+            f" WHERE coalesce(({filter_pred}), false))"
         )
     rank_pred = (" WHERE " + " AND ".join(rank_conds)) if rank_conds else ""
     if prefix:
@@ -656,6 +676,32 @@ def q_bm25_facet_source(spark, sf_dir):
     )
     meta = _docs(spark, sf_dir).select("doc_id", "source")
     return facet_counts(res, meta, "source").select("source", "n_docs")
+
+
+def q_bm25_topk_filtered(spark, sf_dir):
+    """ES filter context (search(doc_filter=(meta, pred))): the OR query
+    restricted to docs whose metadata satisfies _FILTER_PRED_SQL (even
+    sources — half the corpus). The filter excludes docs BEFORE per-shard
+    top-k (excluded docs never occupy k slots) and never contributes to
+    the score; corpus stats (N/avgdl/idf) stay index-wide, exactly like
+    Lucene filter clauses."""
+    _bm25_engine_results(spark, sf_dir, BM25_QUERY_TERMS, "OR", 1)  # ensure cache
+    from invoicenet_spark.query.exec import load_index
+
+    root = _INDEX_CACHE[(sf_dir,)]
+    index = load_index(spark, root)
+    # meta keyed by the ENGINE's doc_id: index.docs carries (doc_id, url)
+    # and url round-trips the original documents.doc_id
+    meta = index.docs.select("doc_id", "url").join(
+        _docs(spark, sf_dir).select(
+            F.lpad(F.col("doc_id").cast("string"), 12, "0").alias("url"), "source"
+        ),
+        "url",
+    )
+    return _ranked_from_index(
+        spark, root, BM25_QUERY_TERMS, "OR", 20,
+        doc_filter=(meta, _FILTER_PRED_SQL),
+    )
 
 
 def q_bm25_topk_fuzzy(spark, sf_dir):
@@ -1138,6 +1184,7 @@ QUERIES = {
     "bm25_sorted_by_source": q_bm25_sorted_by_source,
     "bm25_topk_page2": q_bm25_topk_page2,
     "bm25_facet_source": q_bm25_facet_source,
+    "bm25_topk_filtered": q_bm25_topk_filtered,
     "bm25_topk_fuzzy": q_bm25_topk_fuzzy,
     "substring_search": q_substring_search,
     "ngram_counts": q_ngram_counts,
@@ -1148,6 +1195,7 @@ QUERIES = {
     "fingerprint": q_fingerprint,
     "jaccard_pairs": q_jaccard_pairs,
     "minhash_lsh": q_minhash_lsh,
+    "dedup_clusters": q_dedup_clusters,
     "simhash": q_simhash,
     "token_counts": q_token_counts,
     "lang_id": q_lang_id,
@@ -1171,7 +1219,6 @@ QUERIES = {
     "date_extract_text": q_date_extract_text,
     "candidate_routing": q_candidate_routing,
     "line_segments": q_line_segments,
-    "dedup_clusters": q_dedup_clusters,
 }
 
 _AMOUNT_VALUES = ", ".join(f"('{r}')" for r in AMOUNT_RAWS)
@@ -1246,6 +1293,9 @@ QUALIFY rank <= 20
 ORDER BY rank
 """,
     "bm25_topk_page2": _duck_bm25(BM25_QUERY_TERMS, "OR", 20, page_offset=20),
+    "bm25_topk_filtered": _duck_bm25(
+        BM25_QUERY_TERMS, "OR", 20, filter_pred=_FILTER_PRED_SQL
+    ),
     "bm25_topk_fuzzy": _duck_bm25(["quary", "windoq"], "OR", 20, fuzzy_edits=1),
     # facet over the FULL OR match set == docs containing any query term
     "bm25_facet_source": f"""

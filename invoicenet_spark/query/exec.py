@@ -262,6 +262,60 @@ def top_by_field(
     )
 
 
+def excluded_by_shard_df(
+    spark: SparkSession,
+    meta: DataFrame,
+    predicate: str,
+    shard_size: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ES filter-context exclusions as a (shard, _deleted array<long>
+    sorted) frame — the same per-shard mask carrier the big-tombstone-set
+    regime uses, so the shard kernels apply a metadata filter with ZERO
+    kernel changes and BEFORE top-k selection (post-filtering a ranked
+    page would under-fill it; Lucene applies filter bitsets during
+    collection for the same reason).
+
+    Excluded = meta rows where `predicate` is NOT TRUE — false and NULL
+    both exclude (ES filter semantics: a missing/NULL field never
+    matches). Contract: `meta` must cover every indexed doc (it is the
+    corpus metadata table); docs absent from `meta` are not excluded.
+
+    Scale shape: ONE scan of the metadata table with the negated
+    predicate and the id column pushed to the reader, then a single
+    shuffle keyed by shard to build the arrays (each ≤ shard_size, the
+    docID-range sharding guarantee). Exclusion volume ∝ docs FAILING the
+    filter, so permissive filters are near-free; a highly selective
+    filter (most docs excluded) pays arrays ∝ shard population — at that
+    extreme, seeding candidates from the allowed side instead would win,
+    which is the documented future escalation."""
+    return (
+        meta.where(~F.coalesce(F.expr(predicate).cast("boolean"), F.lit(False)))
+        .select(F.col(id_col).cast("long").alias("doc_id"))
+        .distinct()
+        .withColumn("shard", (F.col("doc_id") / F.lit(int(shard_size))).cast("long"))
+        .groupBy("shard")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("_deleted"))
+    )
+
+
+def _merge_mask_frames(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Union two (shard, _deleted[]) mask frames into one — tombstones +
+    filter exclusions ride a single joined column, keeping the kernel's
+    one-mask contract."""
+    empty = F.array().cast("array<long>")
+    return (
+        a.withColumnRenamed("_deleted", "_da")
+        .join(b.withColumnRenamed("_deleted", "_db"), "shard", "full")
+        .select(
+            "shard",
+            F.array_sort(
+                F.array_union(F.coalesce("_da", empty), F.coalesce("_db", empty))
+            ).alias("_deleted"),
+        )
+    )
+
+
 def _sanitize_optional_columns(qpd: pd.DataFrame) -> pd.DataFrame:
     """Multi-query pandas batches where only SOME rows carry an optional
     field arrive with NaN holes (pandas fills missing dict keys) — normalize
@@ -578,6 +632,7 @@ def search(
     with_url: bool = True,
     count_only: bool = False,
     matches_only: bool = False,
+    doc_filter: "tuple[DataFrame, str] | None" = None,
 ) -> DataFrame:
     """Batch top-k search. queries: (query_id, terms array<string>, mode, k).
 
@@ -601,6 +656,16 @@ def search(
     the right input for match-set aggregations: facet_counts and
     top_by_field order by facet value / field, never by relevance, so at
     scale they should not pay a relevance sort over every match first.
+
+    doc_filter (ES filter context): a (meta DataFrame, SQL predicate)
+    pair — only docs whose meta row satisfies the predicate are
+    searchable, applied BEFORE per-shard top-k (so filtered-out docs
+    never occupy k slots) and shared by every query in the batch. The
+    filter restricts matching but never scores (Lucene filter clauses
+    contribute 0). Implemented as negated-predicate exclusions unioned
+    into the tombstone mask frame — see excluded_by_shard_df for the
+    semantics (false/NULL exclude) and scale shape. Applies to ranked,
+    count_only and matches_only modes alike.
 
     Returns (query_id, rank, doc_id, score[, url]) sorted by query_id, rank.
     """
@@ -842,6 +907,26 @@ def search(
     # doc_len stream in dl_blob) — the only scan is the pruned postings probe
 
     mask_kind, mask_payload = index.deleted_mask_source(spark)
+    if doc_filter is not None:
+        meta_df, pred = doc_filter
+        excl = excluded_by_shard_df(
+            spark, meta_df, pred, int(index.stats["shard_size"])
+        )
+        if mask_kind == "bc":
+            # fold the broadcast tombstones into frame form and merge —
+            # with a filter in play the join-frame regime carries both
+            # (filter exclusions have no small-set guarantee)
+            from invoicenet_spark.index.deletes import tombstones_by_shard_df
+
+            excl = _merge_mask_frames(
+                tombstones_by_shard_df(
+                    spark, index.paths, int(index.stats["shard_size"])
+                ),
+                excl,
+            )
+        elif mask_kind == "df":
+            excl = _merge_mask_frames(mask_payload, excl)
+        mask_kind, mask_payload = "df", excl
     if mask_kind == "df":
         # big-tombstone-set regime: each kernel group gets ONLY its shard's
         # ids via this equi-join — no full-set broadcast anywhere

@@ -614,8 +614,15 @@ def search_local(
     with_url: bool = True,
     n_threads: int | None = None,
     count_only: bool = False,
+    excluded_ids: "np.ndarray | None" = None,
 ) -> pd.DataFrame:
     """Serve (query_id, terms, mode, k) queries driver-locally, Spark-free.
+
+    excluded_ids: doc_ids excluded from matching for this call (ES filter
+    context, pre-computed by the caller — e.g. a pyarrow/pandas predicate
+    over the corpus metadata). Masked exactly like tombstones, BEFORE each
+    shard's top-k, so filtered-out docs never occupy k slots; parity twin
+    of exec.search(doc_filter=...).
 
     `index`: an exec.Index, a LocalIndex, or an index root path string —
     resolved through the generation-keyed serving cache, so results always
@@ -722,6 +729,15 @@ def search_local(
 
     qlist = [q for _, q in queries.iterrows()]
     deleted_by_shard = li.deleted_by_shard()
+    if excluded_ids is not None and len(excluded_ids):
+        from invoicenet_spark.index.deletes import split_by_shard
+
+        ex = np.unique(np.asarray(excluded_ids, dtype=np.int64))
+        merged = dict(deleted_by_shard)
+        for sh, ids in split_by_shard(ex, int(stats["shard_size"])).items():
+            cur = merged.get(sh)
+            merged[sh] = ids if cur is None else np.union1d(cur, ids)
+        deleted_by_shard = merged
     workers = n_threads if n_threads is not None else 1
     if workers > 1 and len(qlist) > 1:
         from concurrent.futures import ThreadPoolExecutor
@@ -813,3 +829,27 @@ def top_by_field_local(
         m[m["rank"] <= k][["query_id", "rank", "doc_id", field]]
         .reset_index(drop=True)
     )
+
+
+def excluded_ids_local(index, predicate: str) -> np.ndarray:
+    """ES filter context, serving side: evaluate a SQL predicate over the
+    index's docs table with DuckDB (Spark-free) and return the doc_ids
+    that FAIL it — false and NULL both exclude (a missing/NULL field never
+    matches a filter), ready for ``search_local(excluded_ids=...)``.
+    Exclusion twin of exec.excluded_by_shard_df, evaluated over the same
+    committed docs files the Spark path joins against.
+
+    Scale shape: one scan of the docs parquet reading only doc_id plus the
+    predicate's columns; output size ∝ docs failing the filter, so
+    permissive filters are near-free. A replica serving one hot filter
+    should cache the returned array alongside its LocalIndex handle."""
+    import duckdb
+
+    li = local_index(index)
+    glob = os.path.join(li.paths.docs, "**", "*.parquet")
+    out = duckdb.connect().execute(
+        "SELECT doc_id FROM read_parquet(?, hive_partitioning=true) "
+        f"WHERE NOT coalesce(({predicate}), false)",
+        [glob],
+    ).fetchnumpy()["doc_id"]
+    return np.unique(out.astype(np.int64))
