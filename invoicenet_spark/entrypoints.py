@@ -898,6 +898,54 @@ def q_ann_cosine_topk(spark, sf_dir):
     )
 
 
+_IVF_CACHE: dict = {}
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF ANN (ops/similarity.build_ivf_index: spherical-k-means coarse
+    quantizer, corpus partitioned by nearest-centroid cell): top-10 to the
+    vec_id=0 embedding probing ALL cells. Cells PARTITION the corpus, so a
+    full probe is exact cosine by construction — the invariant this oracle
+    pins is the build round-trip (no vector lost, duplicated, or altered
+    by the cell write; probes ride the cell partition filter). Recall at
+    n_probes < n_centroids is the measured contract in
+    BENCH/IVF_RECALL.json."""
+    import json
+
+    import numpy as np
+
+    if sf_dir not in _IVF_CACHE:
+        emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        out = tempfile.mkdtemp(prefix="ivf_idx_")
+        similarity.build_ivf_index(emb, out, n_centroids=32)
+        _IVF_CACHE[sf_dir] = out
+    root = _IVF_CACHE[sf_dir]
+    with open(os.path.join(root, "ivf_meta.json")) as f:
+        meta = json.load(f)
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    cells = similarity.ivf_probe_cells(
+        qvec, np.asarray(meta["centroids"], dtype=float), n_probes=meta["n_centroids"]
+    )
+    cand = spark.read.parquet(os.path.join(root, "vectors")).where(
+        F.col("cell").isin(cells) & (F.col("vec_id") != 0)
+    )
+    scored = cand.select(
+        "vec_id",
+        F.round(
+            similarity.cosine_col(
+                F.col("embedding"), F.array(*[F.lit(x) for x in qvec])
+            ),
+            6,
+        ).alias("cos_r6"),
+    )
+    top = scored.orderBy(F.col("cos_r6").desc(), F.col("vec_id").asc()).limit(10)
+    w = Window.orderBy(F.col("cos_r6").desc(), F.col("vec_id").asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "rank", "vec_id", "cos_r6"
+    )
+
+
 def q_embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-dup pairs (exact all-pairs twin; the scale
     path blocks with multi-table LSH first — ops/similarity.py
@@ -1202,6 +1250,7 @@ QUERIES = {
     "quality_score": q_quality_score,
     "binary_meta": q_binary_meta,
     "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "embedding_near_dup": q_embedding_near_dup,
     "tpch_q1": q_tpch_q1,
     "events_window": q_events_window,
@@ -1656,5 +1705,8 @@ ORACLE_SQL.update(
         """,
     }
 )
+
+# full-probe IVF ≡ exact cosine (cells partition the corpus) — same twin
+ORACLE_SQL["ann_ivf_topk"] = ORACLE_SQL["ann_cosine_topk"]
 
 ORACLE_SQL = {k: v for k, v in ORACLE_SQL.items() if v is not None}

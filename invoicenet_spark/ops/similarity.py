@@ -384,3 +384,206 @@ def lsh_topk_indexed(
     # a vector can collide in several tables — dedupe before the re-rank
     cand = df.groupBy(meta["id_col"]).agg(F.first(meta["vec_col"]).alias(meta["vec_col"]))
     return brute_force_topk(cand, query_vec, k, meta["id_col"], meta["vec_col"])
+
+
+# ------------------------------------------------------------------- IVF --
+# The second scale path the pipeline brief calls for alongside LSH: a
+# coarse quantizer (spherical k-means over a bounded sample) partitions the
+# corpus into cells; a query exact-ranks only its nearest n_probes cells.
+# Unlike hyperplane LSH (data-oblivious), IVF adapts cell boundaries to the
+# data distribution — clustered corpora get tighter cells and higher recall
+# at the same scan fraction. Every vector lives in EXACTLY one cell, so
+# probing all cells is exact by construction (the oracle invariant).
+
+
+def kmeans_centroids(
+    sample: np.ndarray, n_centroids: int, seed: int = 7, iters: int = 20
+) -> np.ndarray:
+    """Deterministic spherical k-means over a driver-side sample: rows are
+    L2-normalized, similarity = dot product, centroids re-normalized each
+    step. kmeans++-style seeded init; an emptied cell deterministically
+    re-seeds to the point worst-served by its current cell. Returns
+    (n_centroids, dim) float64, rows L2-normalized.
+
+    The sample is the ONLY driver-memory input at any corpus scale —
+    100k vectors × a few hundred dims is megabytes; centroid quality needs
+    a representative sample, not the corpus."""
+    x = np.asarray(sample, dtype=np.float64)
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    n = x.shape[0]
+    n_centroids = min(n_centroids, n)
+    rng = np.random.default_rng(seed)
+    # kmeans++ on cosine distance (1 - sim)
+    centroids = [x[int(rng.integers(n))]]
+    for _ in range(1, n_centroids):
+        sims = np.max(np.stack([x @ c for c in centroids]), axis=0)
+        d = np.maximum(1.0 - sims, 0.0)
+        tot = d.sum()
+        if tot <= 0:  # degenerate sample: all points already covered
+            centroids.append(x[int(rng.integers(n))])
+            continue
+        centroids.append(x[int(rng.choice(n, p=d / tot))])
+    c = np.stack(centroids)
+    for _ in range(iters):
+        assign = np.argmax(x @ c.T, axis=1)  # ties → lower cell id
+        new_c = c.copy()
+        for j in range(n_centroids):
+            members = x[assign == j]
+            if len(members):
+                m = members.sum(0)
+                nm = np.linalg.norm(m)
+                if nm > 1e-12:
+                    new_c[j] = m / nm
+            else:  # re-seed an empty cell to the worst-served point
+                worst = int(np.argmin((x @ c.T).max(axis=1)))
+                new_c[j] = x[worst]
+        if np.array_equal(new_c, c):
+            break
+        c = new_c
+    return c
+
+
+def assign_cells_numpy(mat: np.ndarray, centroids: np.ndarray) -> np.ndarray:
+    """(n, dim) matrix → int64 cell ids: argmax cosine to the centroids
+    (rows normalized here; centroids are already unit). Ties → lower cell
+    id (np.argmax keeps the first maximum). The single source of truth
+    shared by the build UDF, the recall probe, and the parity test."""
+    x = np.asarray(mat, dtype=np.float64)
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    return np.argmax(x @ centroids.T, axis=1).astype(np.int64)
+
+
+def cell_assign_udf(centroids: np.ndarray):
+    """Vectorized pandas UDF: embedding → IVF cell id. One matmul per Arrow
+    batch; the (tiny) centroid matrix ships once per task via the closure."""
+    c = np.ascontiguousarray(centroids, dtype=np.float64)
+
+    @F.pandas_udf(LongType())
+    def cell(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="int64")
+        return pd.Series(assign_cells_numpy(np.stack(v.to_numpy()), c))
+
+    return cell
+
+
+def build_ivf_index(
+    embeddings: DataFrame,
+    out_dir: str,
+    n_centroids: int = 64,
+    seed: int = 7,
+    sample_mod: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Persist the corpus under an IVF coarse quantizer: train centroids on
+    a deterministic hash sample (rows where xxhash64(id) % sample_mod == 0,
+    sorted by id — at 100 TB pick sample_mod so ~100k rows survive; the
+    collect is bounded by that choice, the train set never grows with the
+    corpus), then ONE assignment pass (a matmul per Arrow batch) and one
+    write partitioned by cell. Queries read only probed cells' directories
+    (partition pruning); cell population imbalance = scan-cost skew, which
+    the recall probe reports per cell. Returns the centroid matrix (also
+    persisted in ivf_meta.json)."""
+    import json
+    import os
+
+    sample_rows = (
+        embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .where(F.pmod(F.xxhash64(F.col("id")), F.lit(int(sample_mod))) == 0)
+        .collect()
+    )
+    sample_rows.sort(key=lambda r: r["id"])  # order-independence of the scan
+    sample = np.stack([np.asarray(r["v"], dtype=np.float64) for r in sample_rows])
+    centroids = kmeans_centroids(sample, n_centroids, seed)
+    (
+        embeddings.withColumn("cell", cell_assign_udf(centroids)(F.col(vec_col)))
+        .select(id_col, vec_col, "cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(os.path.join(out_dir, "vectors"))
+    )
+    with open(os.path.join(out_dir, "ivf_meta.json"), "w") as f:
+        json.dump(
+            {
+                "n_centroids": int(centroids.shape[0]),
+                "dim": int(centroids.shape[1]),
+                "seed": seed,
+                "id_col": id_col,
+                "vec_col": vec_col,
+                "centroids": centroids.tolist(),
+            },
+            f,
+        )
+    return centroids
+
+
+def ivf_probe_cells(query_vec, centroids: np.ndarray, n_probes: int) -> list[int]:
+    """Cells ranked by centroid cosine to the query, top n_probes — the
+    probe order both the Spark reader and the numpy recall twin use.
+    Ties → lower cell id (stable argsort on negated sims)."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    q = q / max(np.linalg.norm(q), 1e-12)
+    sims = centroids @ q
+    order = np.argsort(-sims, kind="stable")
+    return [int(i) for i in order[: max(1, n_probes)]]
+
+
+def ivf_topk(
+    spark,
+    index_dir: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_probes: int = 4,
+) -> DataFrame:
+    """ANN over the persisted IVF index: exact-cosine re-rank inside the
+    query's n_probes nearest cells. The cell predicate reaches the scan as
+    a partition filter, so scan cost ∝ probed-cell population, not corpus
+    size. n_probes == n_centroids degenerates to exact search (cells
+    partition the corpus) — the identity the driver oracle pins."""
+    import json
+    import os
+
+    with open(os.path.join(index_dir, "ivf_meta.json")) as f:
+        meta = json.load(f)
+    centroids = np.asarray(meta["centroids"], dtype=np.float64)
+    cells = ivf_probe_cells(query_vec, centroids, n_probes)
+    df = spark.read.parquet(os.path.join(index_dir, "vectors")).where(
+        F.col("cell").isin(cells)
+    )
+    return brute_force_topk(df, query_vec, k, meta["id_col"], meta["vec_col"])
+
+
+def ivf_recall_curve(
+    corpus: np.ndarray,
+    ids: np.ndarray,
+    queries: np.ndarray,
+    k: int = 10,
+    n_centroids: int = 64,
+    seed: int = 7,
+    sample: np.ndarray | None = None,
+    n_probes_list: tuple[int, ...] = (1, 2, 4, 8),
+) -> dict[int, tuple[float, float]]:
+    """Measured recall@k + scanned fraction of IVF vs exact cosine — the
+    same contract shape as ann_recall_curve, same math as the persisted
+    index (kmeans_centroids + assign_cells_numpy + ivf_probe_cells; a
+    pytest pins the parity). Returns {n_probes: (recall, scanned_frac)}."""
+    centroids = kmeans_centroids(
+        corpus if sample is None else sample, n_centroids, seed
+    )
+    assign = assign_cells_numpy(corpus, centroids)
+    cn = corpus / np.linalg.norm(corpus, axis=1, keepdims=True)
+    qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+    sims = qn @ cn.T
+    out: dict[int, tuple[float, float]] = {}
+    for n_probes in n_probes_list:
+        hits = 0
+        scanned = 0.0
+        for qi in range(queries.shape[0]):
+            topk = np.lexsort((ids, -sims[qi]))[:k]
+            cells = ivf_probe_cells(queries[qi], centroids, n_probes)
+            cand = np.isin(assign, cells)
+            scanned += float(cand.mean())
+            hits += int(cand[topk].sum())
+        out[n_probes] = (hits / (queries.shape[0] * k), scanned / queries.shape[0])
+    return out
