@@ -167,6 +167,75 @@ def _ranked_from_index(
     )
 
 
+# federated-search fixture: epoch anchoring the synthetic warc_ts column
+# (2024-01-01T00:00:00 UTC; ts = epoch + doc_id seconds on both sides)
+_FED_EPOCH = 1704067200
+
+
+def _federated_roots(spark: SparkSession, sf_dir: str):
+    """Two segment indexes over doc_id halves (the crawl-segment topology),
+    each with a synthetic warc_ts = epoch + doc_id seconds so segment time
+    ranges land in stats.json. Returns (root_a, root_b, T) with segment a
+    owning doc_id <= T and segment b the rest."""
+    from invoicenet_spark.index.build import build_index
+
+    key = ("fed", sf_dir)
+    if key not in _INDEX_CACHE:
+        pages = _docs_as_pages(spark, sf_dir).withColumn(
+            "warc_ts",
+            F.timestamp_seconds(F.lit(_FED_EPOCH) + F.col("url").cast("long")),
+        )
+        max_id = pages.agg(F.max(F.col("url").cast("long"))).collect()[0][0]
+        T = int(max_id) // 2
+        base = tempfile.mkdtemp(prefix="ivs_fed_")
+        cfg = EngineConfig(
+            shard_size=256, block_size=64, build_partitions=8, with_positions=True
+        )
+        for name, pred in (
+            ("a", F.col("url").cast("long") <= F.lit(T)),
+            ("b", F.col("url").cast("long") > F.lit(T)),
+        ):
+            build_index(
+                spark, pages.where(pred), os.path.join(base, name), cfg,
+                use_stored_text=True,
+            )
+        _INDEX_CACHE[key] = (os.path.join(base, "a"), os.path.join(base, "b"), T)
+    return _INDEX_CACHE[key]
+
+
+def _federated_ranked(
+    spark: SparkSession, sf_dir: str, terms, mode: str, k: int, pruned: bool = False
+):
+    """search_federated over the two doc_id-half segments; same rounded
+    re-rank contract as _ranked_from_index. pruned=True passes a time
+    window covering only segment b — whole-segment pruning plus
+    surviving-corpus statistics, the ES `indices from the last crawl` shape."""
+    import datetime
+
+    import pandas as pd
+
+    from invoicenet_spark.query.federate import search_federated
+
+    ra, rb, T = _federated_roots(spark, sf_dir)
+    q = pd.DataFrame(
+        [{"query_id": 1, "terms": list(terms), "mode": mode, "k": 100000}]
+    )
+    kw = {}
+    if pruned:
+        # fromtimestamp (system tz) matches Spark's collect()/stats tz
+        kw["ts_from"] = datetime.datetime.fromtimestamp(_FED_EPOCH + T + 1)
+    res = search_federated(spark, [ra, rb], q, **kw)
+    scored = res.select(
+        F.col("url").cast("long").alias("doc_id"),
+        F.round(F.col("score"), 6).alias("score_r6"),
+    )
+    top = scored.orderBy(F.col("score_r6").desc(), F.col("doc_id").asc()).limit(k)
+    w = Window.orderBy(F.col("score_r6").desc(), F.col("doc_id").asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "rank", "doc_id", F.round("score_r6", 4).alias("score_r4")
+    )
+
+
 # predicate (on the ORIGINAL documents.doc_id) selecting the docs the
 # delete-semantics queries tombstone — shared by engine side and oracle SQL
 _DELETE_PRED_SQL = "doc_id % 10 = 3"
@@ -231,6 +300,7 @@ def _duck_bm25(
     page_offset: int = 0,
     fuzzy_edits: int | None = None,
     filter_pred: str | None = None,
+    corpus_pred: str | None = None,
 ) -> str:
     """deleted: 'masked' — exclude _DELETE_PRED_SQL docs from ranking only
     (tombstone semantics: corpus stats still count them); 'purged' — exclude
@@ -295,7 +365,11 @@ def _duck_bm25(
         if (mode == "PHRASE" or near_slop is not None)
         else "scored"
     )
-    corpus_pred = f" AND NOT ({_DELETE_PRED_SQL})" if deleted == "purged" else ""
+    corpus_sql = f" AND NOT ({_DELETE_PRED_SQL})" if deleted == "purged" else ""
+    if corpus_pred:
+        # corpus restriction (federated segment pruning analog): stats,
+        # df and candidates all derive from the restricted corpus
+        corpus_sql += f" AND ({corpus_pred})"
     rank_conds = []
     if deleted == "masked":
         rank_conds.append(f"NOT ({_DELETE_PRED_SQL})")
@@ -325,7 +399,7 @@ def _duck_bm25(
 WITH toks AS (
   SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
          t -> t <> '')) AS term
-  FROM documents WHERE lang = 'en'{corpus_pred}
+  FROM documents WHERE lang = 'en'{corpus_sql}
 ),
 dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
 stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
@@ -711,6 +785,20 @@ def q_bm25_topk_fuzzy(spark, sf_dir):
     return _bm25_engine_results(
         spark, sf_dir, ["quary", "windoq"], "FUZZY", 20, max_edits=1
     )
+
+
+def q_bm25_federated(spark, sf_dir):
+    """Federated search over two crawl-segment indexes (doc_id halves) with
+    union-corpus statistics (dfs_query_then_fetch) — result must equal one
+    index over the whole corpus, so the oracle is the plain corpus BM25."""
+    return _federated_ranked(spark, sf_dir, BM25_QUERY_TERMS, "OR", 20)
+
+
+def q_bm25_federated_pruned(spark, sf_dir):
+    """Federated search with a time window covering only the second
+    segment: whole-segment pruning (the 3-year-archive/last-month shape),
+    scores from the surviving corpus' statistics."""
+    return _federated_ranked(spark, sf_dir, BM25_QUERY_TERMS, "OR", 20, pruned=True)
 
 
 def q_bm25_topk_page2(spark, sf_dir):
@@ -1234,6 +1322,8 @@ QUERIES = {
     "bm25_facet_source": q_bm25_facet_source,
     "bm25_topk_filtered": q_bm25_topk_filtered,
     "bm25_topk_fuzzy": q_bm25_topk_fuzzy,
+    "bm25_federated": q_bm25_federated,
+    "bm25_federated_pruned": q_bm25_federated_pruned,
     "substring_search": q_substring_search,
     "ngram_counts": q_ngram_counts,
     "amount_normalize": q_amount_normalize,
@@ -1346,6 +1436,14 @@ ORDER BY rank
         BM25_QUERY_TERMS, "OR", 20, filter_pred=_FILTER_PRED_SQL
     ),
     "bm25_topk_fuzzy": _duck_bm25(["quary", "windoq"], "OR", 20, fuzzy_edits=1),
+    # federation with union statistics == one index over the union corpus
+    "bm25_federated": _duck_bm25(BM25_QUERY_TERMS, "OR", 20),
+    # time window keeps only the doc_id > max/2 segment: corpus, stats and
+    # df all restrict to the surviving segment
+    "bm25_federated_pruned": _duck_bm25(
+        BM25_QUERY_TERMS, "OR", 20,
+        corpus_pred="doc_id > (SELECT CAST(floor(max(doc_id)/2) AS BIGINT) FROM documents)",
+    ),
     # facet over the FULL OR match set == docs containing any query term
     "bm25_facet_source": f"""
 WITH toks AS (

@@ -415,11 +415,16 @@ def tokens_from_pages(pages: DataFrame, cfg: EngineConfig, use_stored_text: bool
     after the language gate + extraction.
 
     Extraction runs arrow-native (pc.extract_regex in C++ via mapInArrow) —
-    the html bytes and extracted text never materialize as Python objects."""
+    the html bytes and extracted text never materialize as Python objects.
+
+    `warc_ts` rides along when the pages frame has it (build_doc_table
+    persists it as a doc-values column and _finalize records the segment
+    [ts_min, ts_max] — the federated time-pruning key)."""
     gated = pages.where(F.col("lang").isin(*cfg.index_langs))
+    ts = ["warc_ts"] if "warc_ts" in pages.columns else []
     if cfg.fields:
         if use_stored_text:
-            return gated.select("url", *cfg.fields)
+            return gated.select("url", *ts, *cfg.fields)
         if tuple(cfg.fields) != ("title", "body"):
             raise ValueError(
                 "html extraction supports fields=('title','body'); other "
@@ -427,11 +432,15 @@ def tokens_from_pages(pages: DataFrame, cfg: EngineConfig, use_stored_text: bool
             )
         from invoicenet_spark.functions.extract import extract_title_body_arrow
 
-        return extract_title_body_arrow(gated.select("url", "html"), keep=("url",))
+        return extract_title_body_arrow(
+            gated.select("url", *ts, "html"), keep=("url", *ts)
+        )
     if use_stored_text:
-        return gated.select("url", "text")
+        return gated.select("url", *ts, "text")
     return extract_pages_arrow(
-        gated.select("url", "html"), keep=("url",), strategy=cfg.extract_strategy
+        gated.select("url", *ts, "html"),
+        keep=("url", *ts),
+        strategy=cfg.extract_strategy,
     )
 
 
@@ -444,21 +453,36 @@ def build_doc_table(pages_text: DataFrame, cfg: EngineConfig, id_offset: int = 0
 
     Fielded indexes additionally persist per-field token lengths
     (dl_<field>) — the BM25F normalization inputs; doc_len stays the total.
+
+    `warc_ts` (when the pages frame carries it — the Iceberg webtext input
+    shape) is kept as a nullable doc-values column: per-doc crawl time for
+    filter-context predicates, and the source of the segment-level
+    (ts_min, ts_max) range stats.json records for federated time pruning
+    (query/federate.py). Absent in the input → a null column, so the docs
+    schema is stable across sources.
     """
+    ts_col = (
+        [F.col("warc_ts")]
+        if "warc_ts" in pages_text.columns
+        else [F.lit(None).cast("timestamp").alias("warc_ts")]
+    )
     if cfg.fields:
         stored = list(cfg.fields) if cfg.store_text else []
         dl_cols = [
             F.size(tokens_col(f, cfg.token_pattern)).alias(f"dl_{f}")
             for f in cfg.fields
         ]
-        with_len = pages_text.select("url", *dl_cols, *stored).withColumn(
+        with_len = pages_text.select("url", *dl_cols, *ts_col, *stored).withColumn(
             "doc_len",
             sum(F.col(f"dl_{f}") for f in cfg.fields),
         )
     else:
         stored = ["text"] if cfg.store_text else []
         with_len = pages_text.select(
-            "url", F.size(tokens_col("text", cfg.token_pattern)).alias("doc_len"), *stored
+            "url",
+            F.size(tokens_col("text", cfg.token_pattern)).alias("doc_len"),
+            *ts_col,
+            *stored,
         )
     docs = assign_dense_ids(with_len, key="url", id_col="doc_id", num_partitions=cfg.build_partitions)
     if id_offset:
@@ -896,8 +920,14 @@ def _finalize(
             F.avg(cond).alias(f"avgdl_{f}"),
             F.count(cond).alias(f"n_{f}"),
         ]
+    ts_aggs = (
+        [F.min("warc_ts").alias("ts_min"), F.max("warc_ts").alias("ts_max")]
+        if "warc_ts" in docs.columns
+        else []
+    )
     stats_row = docs.agg(
-        F.count("*").alias("N"), F.avg("doc_len").alias("avgdl"), *field_aggs
+        F.count("*").alias("N"), F.avg("doc_len").alias("avgdl"),
+        *field_aggs, *ts_aggs,
     ).collect()[0]
     stats = {
         "N": int(stats_row["N"]),
@@ -911,6 +941,12 @@ def _finalize(
         # pattern from stats.json — keep it in sync with the manifest config
         "token_pattern": cfg.token_pattern,
     }
+    if ts_aggs and stats_row["ts_min"] is not None:
+        # segment time range — the federated-search pruning key (a crawl
+        # segment's [min, max] warc_ts; query/federate.py skips whole
+        # segments whose range misses the query's time window)
+        stats["ts_min"] = stats_row["ts_min"].isoformat()
+        stats["ts_max"] = stats_row["ts_max"].isoformat()
     if cfg.fields:
         stats["fields"] = {
             f: {

@@ -615,8 +615,17 @@ def search_local(
     n_threads: int | None = None,
     count_only: bool = False,
     excluded_ids: "np.ndarray | None" = None,
+    stats_override: dict | None = None,
+    df_override: "dict[str, int] | None" = None,
 ) -> pd.DataFrame:
     """Serve (query_id, terms, mode, k) queries driver-locally, Spark-free.
+
+    stats_override / df_override: federation hooks (query/federate.py) —
+    replace the scoring constants (N, avgdl) and per-term df with the
+    union-corpus values so cross-segment scores are comparable
+    (dfs_query_then_fetch). A term missing from df_override keeps its
+    segment-local df. Never changes candidate generation — only idf and
+    normalization inputs.
 
     excluded_ids: doc_ids excluded from matching for this call (ES filter
     context, pre-computed by the caller — e.g. a pyarrow/pandas predicate
@@ -646,7 +655,7 @@ def search_local(
     cores run kernels truly in parallel).
     """
     li = local_index(index)
-    stats = li.stats
+    stats = {**li.stats, **stats_override} if stats_override else li.stats
     if queries["mode"].isin(["PHRASE", "NEAR"]).any() and not stats.get(
         "with_positions", False
     ):
@@ -710,6 +719,11 @@ def search_local(
             for t in ts
         }
     term_info = li.term_info(needed_terms)
+    if df_override:
+        term_info = {
+            t: (tid, int(df_override.get(t, df)))
+            for t, (tid, df) in term_info.items()
+        }
 
     all_tids = sorted({tid for tid, _ in term_info.values()})
     needs_positions = (

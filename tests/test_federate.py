@@ -1,0 +1,232 @@
+"""Federated search across segment indexes (query/federate.py).
+
+Core invariant (the dfs_query_then_fetch contract, stated tie-aware):
+federation over segments built from disjoint corpus halves produces, per
+query, the IDENTICAL rank-ordered score sequence as one index built over
+the union corpus, and every returned (url, score) is a true union-corpus
+match with the union-corpus score; at exhaustive k the match SETS are
+exactly equal. Positional order WITHIN a tied score group is deterministic
+on both sides but follows different total orders — the union index
+tie-breaks on doc_id, whose order is (xxhash64-bucket, url) from
+assign_dense_ids; federation tie-breaks on url, the only global key it
+has. ES gives the same no-guarantee across shards (internal doc-id ties).
+Plus: segment time pruning, count federation, and the Spark/serving path
+parity twin (that one IS exact — both sides url-tie-break).
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from invoicenet_spark.config import EngineConfig
+from invoicenet_spark.fixtures import make_vocab
+from invoicenet_spark.query.exec import load_index, search
+from invoicenet_spark.query.federate import (
+    FederatedIndex,
+    search_federated,
+    search_local_federated,
+)
+
+CFG = EngineConfig(
+    shard_size=64, block_size=16, build_partitions=4, with_positions=True
+)
+VOCAB = make_vocab(42)
+HOT, MID, TAIL = VOCAB[1], VOCAB[40], VOCAB[400]
+
+
+@pytest.fixture(scope="module")
+def seg_indexes(spark, tiny_pages_pd, tmp_path_factory):
+    """full(300 docs) + two 150-doc time-contiguous segments."""
+    from invoicenet_spark.index.build import build_index
+
+    base = tmp_path_factory.mktemp("fed")
+    cut = tiny_pages_pd["warc_ts"].sort_values().iloc[150]  # docs are 1s apart
+    seg_a = tiny_pages_pd[tiny_pages_pd["warc_ts"] < cut]
+    seg_b = tiny_pages_pd[tiny_pages_pd["warc_ts"] >= cut]
+    assert len(seg_a) == 150 and len(seg_b) == 150
+    roots = {}
+    for name, pdf in (("full", tiny_pages_pd), ("a", seg_a), ("b", seg_b)):
+        root = str(base / name)
+        build_index(spark, spark.createDataFrame(pdf), root, CFG)
+        roots[name] = root
+    return roots
+
+
+def _queries():
+    return pd.DataFrame(
+        [
+            {"query_id": 1, "terms": [HOT, MID], "mode": "OR", "k": 15},
+            {"query_id": 2, "terms": [HOT, MID], "mode": "AND", "k": 15},
+            {"query_id": 3, "terms": [MID, TAIL], "mode": "OR", "k": 15},
+            {"query_id": 4, "terms": [f"{MID}^2.5", TAIL], "mode": "OR", "k": 10},
+            {"query_id": 5, "terms": [HOT, MID, TAIL], "mode": "OR", "k": 10,
+             "min_match": 2},
+        ]
+    ).assign(min_match=lambda d: d["min_match"].fillna(0).astype(int))
+
+
+def _rows(df, with_url=True):
+    pdf = df.toPandas() if not isinstance(df, pd.DataFrame) else df
+    key = "url" if with_url else "doc_id"
+    return [
+        (int(r["query_id"]), int(r["rank"]), r[key], round(float(r["score"]), 9))
+        for _, r in pdf.sort_values(["query_id", "rank"]).iterrows()
+    ]
+
+
+def _score_seq(pdf):
+    return {
+        int(qid): g.sort_values("rank")["score"].round(9).tolist()
+        for qid, g in pdf.groupby("query_id")
+    }
+
+
+def _match_set(pdf):
+    return {
+        (int(r.query_id), r.url, round(float(r.score), 9))
+        for r in pdf.itertuples()
+    }
+
+
+def _assert_fed_equiv(spark, ref_root, fed_df, q):
+    """Tie-aware equivalence vs a single index over the same corpus (module
+    docstring): identical per-query score sequences; every federated row is
+    a true (url, score) match of the reference index (checked against its
+    exhaustive-k result); exact set equality at exhaustive k; federated tie
+    order is the documented (score desc, url asc)."""
+    ref = load_index(spark, ref_root)
+    full = search(spark, ref, q.copy()).toPandas()
+    fed = fed_df.toPandas()
+    assert _score_seq(fed) == _score_seq(full)
+    q_all = q.copy()
+    q_all["k"] = 100000
+    all_full = search(spark, ref, q_all).toPandas()
+    assert _match_set(fed) <= _match_set(all_full)
+    for qid, g in fed.groupby("query_id"):
+        g = g.sort_values("rank")
+        keys = list(zip((-g["score"].round(9)).tolist(), g["url"].tolist()))
+        assert keys == sorted(keys), f"query {qid}: not (score desc, url asc)"
+
+
+def test_federated_equals_union_index(spark, seg_indexes):
+    q = _queries()
+    fed = search_federated(spark, [seg_indexes["a"], seg_indexes["b"]], q.copy())
+    _assert_fed_equiv(spark, seg_indexes["full"], fed, q)
+    # exhaustive k: the match sets are EXACTLY the union index's
+    q_all = _queries().assign(k=100000)
+    fed_all = search_federated(
+        spark, [seg_indexes["a"], seg_indexes["b"]], q_all.copy()
+    ).toPandas()
+    full_all = search(
+        spark, load_index(spark, seg_indexes["full"]), q_all.copy()
+    ).toPandas()
+    assert _match_set(fed_all) == _match_set(full_all)
+    assert _score_seq(fed_all) == _score_seq(full_all)
+
+
+def test_federated_phrase_and_bool(spark, seg_indexes):
+    q = pd.DataFrame(
+        [
+            {"query_id": 1, "terms": [HOT, VOCAB[2]], "mode": "PHRASE", "k": 10},
+            {"query_id": 2, "terms": [f"{MID} OR ({HOT} AND NOT {TAIL})"],
+             "mode": "BOOL", "k": 10},
+        ]
+    )
+    fed = search_federated(spark, [seg_indexes["a"], seg_indexes["b"]], q.copy())
+    _assert_fed_equiv(spark, seg_indexes["full"], fed, q)
+
+
+def test_single_segment_federation_identity(spark, seg_indexes):
+    """One-segment federation: stats/df unioning degenerates to the segment's
+    own, so scores are the segment's exactly; ordering is url-tied."""
+    q = _queries()
+    fed = search_federated(spark, [seg_indexes["full"]], q.copy())
+    _assert_fed_equiv(spark, seg_indexes["full"], fed, q)
+
+
+def test_time_pruning(spark, seg_indexes):
+    fed = FederatedIndex(spark, [seg_indexes["a"], seg_indexes["b"]])
+    # ranges recorded at build: segment a = docs 0..149 → ts < cut
+    assert fed.live_segments() == [0, 1]
+    assert fed.live_segments(ts_from="2024-01-01T00:02:40") == [1]
+    assert fed.live_segments(ts_to="2024-01-01T00:01:00") == [0]
+    assert (
+        fed.live_segments(ts_from="2030-01-01", ts_to="2031-01-01") == []
+    )
+
+    # pruned federation ≡ searching the surviving segment alone (tie-aware)
+    q = _queries()
+    only_b = search_federated(
+        spark, fed, q.copy(), ts_from="2024-01-01T00:02:40"
+    )
+    _assert_fed_equiv(spark, seg_indexes["b"], only_b, q)
+
+    # fully-pruned window → 0 rows (and count mode → zeros per query)
+    none = search_federated(spark, fed, q.copy(), ts_from="2030-01-01")
+    assert none.count() == 0
+    zc = search_federated(
+        spark, fed, q.copy(), ts_from="2030-01-01", count_only=True
+    ).toPandas()
+    assert list(zc["total_hits"]) == [0] * len(q)
+
+
+def test_count_federation(spark, seg_indexes):
+    q = _queries()
+    full = search(
+        spark, load_index(spark, seg_indexes["full"]), q.copy(), count_only=True
+    ).toPandas()
+    fed = search_federated(
+        spark, [seg_indexes["a"], seg_indexes["b"]], q.copy(), count_only=True
+    ).toPandas()
+    assert list(fed["total_hits"]) == list(full["total_hits"])
+
+
+def test_local_federated_matches_spark(spark, seg_indexes):
+    q = _queries()
+    fed = search_federated(spark, [seg_indexes["a"], seg_indexes["b"]], q.copy())
+    loc = search_local_federated([seg_indexes["a"], seg_indexes["b"]], q.copy())
+    spark_rows = _rows(fed)
+    local_rows = _rows(loc)
+    assert local_rows == spark_rows
+
+    # counts twin
+    fc = search_federated(
+        spark, [seg_indexes["a"], seg_indexes["b"]], q.copy(), count_only=True
+    ).toPandas()
+    lc = search_local_federated(
+        [seg_indexes["a"], seg_indexes["b"]], q.copy(), count_only=True
+    )
+    assert list(lc["total_hits"]) == list(fc["total_hits"])
+
+    # time-pruned serving twin
+    lp = search_local_federated(
+        [seg_indexes["a"], seg_indexes["b"]], q.copy(),
+        ts_from="2024-01-01T00:02:40",
+    )
+    fp = search_federated(
+        spark, [seg_indexes["a"], seg_indexes["b"]], q.copy(),
+        ts_from="2024-01-01T00:02:40",
+    )
+    assert _rows(lp) == _rows(fp)
+
+
+def test_local_federated_expansion_modes(spark, seg_indexes):
+    """PREFIX/FUZZY expand per segment; union df keeps scores global."""
+    q = pd.DataFrame(
+        [
+            {"query_id": 1, "terms": [MID[:4]], "mode": "PREFIX", "k": 10},
+            {"query_id": 2, "terms": [MID], "mode": "FUZZY", "k": 10,
+             "max_edits": 1},
+        ]
+    )
+    fed = search_federated(spark, [seg_indexes["a"], seg_indexes["b"]], q.copy())
+    loc = search_local_federated([seg_indexes["a"], seg_indexes["b"]], q.copy())
+    assert _rows(loc) == _rows(fed)
+
+
+def test_federated_guards(spark, seg_indexes):
+    q = _queries().assign(after_score=1.0, after_doc=0)
+    with pytest.raises(NotImplementedError):
+        search_federated(spark, [seg_indexes["a"]], q)
+    with pytest.raises(ValueError):
+        FederatedIndex(spark, [])

@@ -86,7 +86,13 @@ def test_build_plan_pushes_lang_filter(spark, tmp_path):
 
     plan = _plan(tokens_from_pages(pages, CFG))
     assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in plan, plan[:1500]
-    assert "ReadSchema: struct<url:string,html:binary,lang:string>" in plan  # no text/warc_ts read
+    # text never read; warc_ts IS read by design — it becomes the docs
+    # table's doc-values column and the stats.json [ts_min, ts_max] range
+    # that federated search prunes whole segments by (query/federate.py)
+    assert (
+        "ReadSchema: struct<url:string,warc_ts:timestamp,html:binary,lang:string>"
+        in plan
+    ), plan[:1500]
 
 
 def test_shard_bound_holds(built):
