@@ -21,6 +21,40 @@ import sys
 import time
 
 
+def _query_row(args) -> dict:
+    """One query-batch row from the search subcommand's flags — shared by
+    the Spark, serving, and federated branches so every path parses the
+    query language identically."""
+    if args.query is not None:
+        args.mode = "BOOL"
+        terms = [args.query]
+    elif args.terms is None:
+        raise SystemExit("search needs --terms or --query")
+    else:
+        terms = args.terms.split(",")
+    qrow = {"query_id": 1, "terms": terms, "mode": args.mode,
+            "k": args.k, "min_match": args.min_match, "slop": args.slop,
+            "ordered": not args.unordered, "max_edits": args.max_edits}
+    if args.fields:
+        qrow["fields"] = {
+            kv.split("=")[0]: float(kv.split("=")[1]) if "=" in kv else 1.0
+            for kv in args.fields.split(",")
+        }
+    if args.after_score is not None:
+        qrow["after_score"] = args.after_score
+        qrow["after_doc"] = args.after_doc or 0
+        if getattr(args, "federated", False):
+            if args.after_segment is None:
+                raise SystemExit(
+                    "federated pagination needs --after-segment (the "
+                    "previous page's last-row segment)"
+                )
+            qrow["after_segment"] = args.after_segment
+    if args.neg_terms:
+        qrow["neg_terms"] = args.neg_terms.split(",")
+    return qrow
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="invoicenet_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -79,8 +113,19 @@ def main(argv=None):
     u.add_argument("--use-stored-text", action="store_true")
     u.add_argument("--cores", type=int, default=None)
 
-    s = sub.add_parser("search", help="query an index")
-    s.add_argument("--index", required=True)
+    s = sub.add_parser("search", help="query an index (or several, federated)")
+    s.add_argument("--index", required=True,
+                   help="index root, or comma-separated segment roots for "
+                        "federated search (one index per crawl segment, "
+                        "union-corpus scoring)")
+    s.add_argument("--ts-from", default=None,
+                   help="federated: skip segments whose [ts_min, ts_max] "
+                        "ends before this time (segment-granular pruning)")
+    s.add_argument("--ts-to", default=None,
+                   help="federated: skip segments starting after this time")
+    s.add_argument("--after-segment", type=int, default=None,
+                   help="federated pagination: the previous page's last-row "
+                        "segment (with --after-score/--after-doc)")
     s.add_argument("--terms", default=None, help="comma-separated")
     s.add_argument("--query", default=None,
                    help="boolean query string, e.g. '(a AND b) OR (c NOT d)', "
@@ -179,6 +224,16 @@ def main(argv=None):
 
     args = p.parse_args(argv)
 
+    if args.cmd == "search":
+        args.fed_roots = args.index.split(",")
+        args.federated = len(args.fed_roots) > 1 or args.ts_from or args.ts_to
+        if args.federated and (args.facet or args.sort_by or args.snippets
+                               or args.doc_filter):
+            raise SystemExit(
+                "--facet/--sort-by/--snippets/--filter are per-index "
+                "features; run them against one segment root"
+            )
+
     if args.cmd == "vacuum":
         from invoicenet_spark.index.build import IndexPaths, vacuum_postings
 
@@ -193,27 +248,29 @@ def main(argv=None):
 
         from invoicenet_spark.query.local import search_local
 
-        if args.query is not None:
-            args.mode = "BOOL"
-            terms = [args.query]
-        elif args.terms is None:
-            raise SystemExit("search needs --terms or --query")
-        else:
-            terms = args.terms.split(",")
-        qrow = {"query_id": 1, "terms": terms, "mode": args.mode,
-                "k": args.k, "min_match": args.min_match, "slop": args.slop,
-                "ordered": not args.unordered, "max_edits": args.max_edits}
-        if args.fields:
-            qrow["fields"] = {
-                kv.split("=")[0]: float(kv.split("=")[1]) if "=" in kv else 1.0
-                for kv in args.fields.split(",")
-            }
-        if args.after_score is not None:
-            qrow["after_score"] = args.after_score
-            qrow["after_doc"] = args.after_doc or 0
-        if args.neg_terms:
-            qrow["neg_terms"] = args.neg_terms.split(",")
-        q = pd.DataFrame([qrow])
+        q = pd.DataFrame([_query_row(args)])
+        if args.federated:
+            from invoicenet_spark.query.federate import search_local_federated
+
+            if args.count:
+                res = search_local_federated(
+                    args.fed_roots, q, ts_from=args.ts_from, ts_to=args.ts_to,
+                    kernel=args.kernel, count_only=True,
+                )
+                print(json.dumps({"total_hits": int(res["total_hits"].iloc[0])}))
+                return 0
+            res = search_local_federated(
+                args.fed_roots, q, ts_from=args.ts_from, ts_to=args.ts_to,
+                kernel=args.kernel,
+            )
+            for r in res.to_dict("records"):
+                print(json.dumps(
+                    {"rank": int(r["rank"]), "segment": int(r["segment"]),
+                     "doc_id": int(r["doc_id"]), "url": r["url"],
+                     "score": round(float(r["score"]), 6)},
+                    ensure_ascii=False,
+                ))
+            return 0
         excluded = None
         if args.doc_filter:
             from invoicenet_spark.query.local import excluded_ids_local
@@ -332,28 +389,30 @@ def main(argv=None):
 
         from invoicenet_spark.query.exec import load_index, search
 
+        q = pd.DataFrame([_query_row(args)])
+        if args.federated:
+            from invoicenet_spark.query.federate import search_federated
+
+            if args.count:
+                row = search_federated(
+                    spark, args.fed_roots, q, ts_from=args.ts_from,
+                    ts_to=args.ts_to, kernel=args.kernel, count_only=True,
+                ).collect()[0]
+                print(json.dumps({"total_hits": int(row["total_hits"])}))
+                return 0
+            res = search_federated(
+                spark, args.fed_roots, q, ts_from=args.ts_from,
+                ts_to=args.ts_to, kernel=args.kernel,
+            )
+            for r in res.collect():
+                print(json.dumps(
+                    {"rank": int(r["rank"]), "segment": int(r["segment"]),
+                     "doc_id": int(r["doc_id"]), "url": r["url"],
+                     "score": round(float(r["score"]), 6)},
+                    ensure_ascii=False,
+                ))
+            return 0
         index = load_index(spark, args.index)
-        if args.query is not None:
-            args.mode = "BOOL"
-            terms = [args.query]
-        elif args.terms is None:
-            raise SystemExit("search needs --terms or --query")
-        else:
-            terms = args.terms.split(",")
-        qrow = {"query_id": 1, "terms": terms, "mode": args.mode,
-                "k": args.k, "min_match": args.min_match, "slop": args.slop,
-                "ordered": not args.unordered, "max_edits": args.max_edits}
-        if args.fields:
-            qrow["fields"] = {
-                kv.split("=")[0]: float(kv.split("=")[1]) if "=" in kv else 1.0
-                for kv in args.fields.split(",")
-            }
-        if args.after_score is not None:
-            qrow["after_score"] = args.after_score
-            qrow["after_doc"] = args.after_doc or 0
-        if args.neg_terms:
-            qrow["neg_terms"] = args.neg_terms.split(",")
-        q = pd.DataFrame([qrow])
         doc_filter = (index.docs, args.doc_filter) if args.doc_filter else None
         if args.count:
             row = search(spark, index, q, kernel=args.kernel, count_only=True,

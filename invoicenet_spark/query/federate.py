@@ -22,9 +22,12 @@ MultiReader / cross-index-search analog (Lucene MultiSearcher, ES
      corpus, and at exhaustive k the exact match set (pinned by test).
      The one thing NOT preserved is ordering WITHIN a tied score group:
      the union index tie-breaks on doc_id (whose order is the
-     (hash-bucket, url) order of functions/ids.py), federation on url —
-     the same no-guarantee ES gives for ties across shards; the federated
-     order (score desc, url asc) is itself deterministic.
+     (hash-bucket, url) order of functions/ids.py), federation on
+     (segment, doc_id) — the same no-guarantee ES gives for ties across
+     shards (internal doc order). The federated order
+     (score desc, segment asc, doc_id asc) is itself deterministic, a
+     single-segment federation reproduces exec.search exactly, and
+     cursors translate per segment (below).
   3. **scatter-gather merge** — each segment answers the batch with its
      own per-shard kernels (every pruning path intact: the segment search
      IS `exec.search` on a stats-overridden handle), producing ≤ k rows
@@ -40,10 +43,21 @@ query term the segment lacks is still correct: the segment's terms frame
 simply has no row, so the term scores only where it exists, with the
 union-corpus idf.
 
-Not supported across segments (v1, documented): fielded indexes (per-field
-avgdl union needs per-field n_docs weighting — segment-local today),
-search_after cursors (doc_ids are segment-local, so a cursor is ambiguous
-at the federation level; paginate per segment or raise k).
+Fielded indexes federate too: stats.json already records per-field
+(avgdl, n_docs), so the union overrides stats["fields"] with the
+n_docs-weighted per-field means — every leaf of the rewritten field tree
+then normalizes against the union field lengths, and the field-qualified
+dictionary keys make the df union per-field for free.
+
+search_after paginates across segments with the cursor
+(after_score, after_segment, after_doc) — the federated result order is
+(score desc, segment asc, doc_id asc), so the cursor translates EXACTLY
+into each segment's native strict (score, doc_id) cursor: segments before
+the cursor's segment drop all ties at after_score (after_doc = +inf),
+the cursor's own segment resumes at its doc_id, segments after it keep
+every tie (after_doc = -1). Pages therefore concatenate exactly to the
+one-shot top-N (pinned), with no over-fetch: each segment still fills
+only k slots from genuinely-after docs.
 """
 
 from __future__ import annotations
@@ -56,6 +70,51 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from invoicenet_spark.query import exec as qexec
+
+
+# per-segment after_doc sentinel for segments BEFORE the cursor's segment:
+# strictly greater than any dense doc_id, so every tie at after_score drops
+_AFTER_ALL_DOCS = 1 << 62
+
+
+def _union_field_stats(per_seg: list[dict]) -> dict:
+    """n_docs-weighted per-field avgdl union over segments' stats.json
+    `fields` maps (same field set — enforced at FederatedIndex open)."""
+    out = {}
+    for f in per_seg[0]:
+        n = sum(s[f]["n_docs"] for s in per_seg)
+        dl = sum(s[f]["n_docs"] * s[f]["avgdl"] for s in per_seg)
+        out[f] = {"avgdl": float(dl / n) if n else 0.0, "n_docs": int(n)}
+    return out
+
+
+def _segment_cursor_queries(queries: pd.DataFrame, segment: int) -> pd.DataFrame:
+    """Translate the federated (after_score, after_segment, after_doc)
+    cursor into segment-local strict (after_score, after_doc) cursors (see
+    module docstring): before the cursor's segment ties drop entirely, at
+    it the native doc_id cursor applies, after it every tie survives."""
+    q = queries.copy()
+    if "after_score" not in q.columns or not q["after_score"].notna().any():
+        return q.drop(columns=["after_segment"], errors="ignore")
+    if "after_segment" not in q.columns:
+        raise ValueError(
+            "federated search_after needs after_segment (take it from the "
+            "previous page's `segment` column alongside score/doc_id)"
+        )
+    mask = q["after_score"].notna()
+    seg = pd.to_numeric(q["after_segment"]).fillna(-1).astype("int64")
+    if "after_doc" not in q.columns:
+        q["after_doc"] = np.nan
+    ad = pd.to_numeric(q["after_doc"]).astype("float64")
+    if bool((mask & (seg == segment) & ad.isna()).any()):
+        raise ValueError(
+            "federated search_after needs after_doc (the previous page's "
+            "last-row doc_id) alongside after_score/after_segment"
+        )
+    ad = ad.where(~(mask & (segment < seg)), float(_AFTER_ALL_DOCS))
+    ad = ad.where(~(mask & (segment > seg)), -1.0)
+    q["after_doc"] = ad
+    return q.drop(columns=["after_segment"])
 
 
 def _overlaps(ts_min, ts_max, ts_from, ts_to) -> bool:
@@ -86,16 +145,16 @@ class FederatedIndex:
             raise ValueError("FederatedIndex needs at least one segment root")
         self.spark = spark
         self.segments = [qexec.load_index(spark, r) for r in roots]
-        for ix in self.segments:
-            if ix.stats.get("fields"):
-                raise NotImplementedError(
-                    "federated search over fielded indexes is not supported "
-                    "(per-field avgdl union is segment-local)"
-                )
-        cfg0 = (self.segments[0].stats["k1"], self.segments[0].stats["b"],
-                self.segments[0].stats.get("token_pattern"))
+
+        def _cfg(ix):
+            return (
+                ix.stats["k1"], ix.stats["b"], ix.stats.get("token_pattern"),
+                tuple(sorted(ix.stats.get("fields") or {})),
+            )
+
+        cfg0 = _cfg(self.segments[0])
         for ix in self.segments[1:]:
-            cfg = (ix.stats["k1"], ix.stats["b"], ix.stats.get("token_pattern"))
+            cfg = _cfg(ix)
             if cfg != cfg0:
                 raise ValueError(
                     f"segment scoring configs differ ({cfg0} vs {cfg}) — "
@@ -127,6 +186,15 @@ class FederatedIndex:
         n_total = sum(ix.stats["N"] for ix in segs)
         sum_dl = sum(ix.stats["N"] * ix.stats["avgdl"] for ix in segs)
         avgdl = float(sum_dl / n_total) if n_total else 0.0
+        extra = {"N": int(n_total), "avgdl": avgdl}
+        if segs[0].stats.get("fields"):
+            # per-field union: stats.json holds (avgdl, n_docs) per field, so
+            # the n_docs-weighted mean is the union field avgdl exactly; df
+            # needs nothing — fielded dictionary keys are `field:term`, so
+            # the term-level union below IS per-field
+            extra["fields"] = _union_field_stats(
+                [ix.stats["fields"] for ix in segs]
+            )
         df_union = (
             reduce(
                 DataFrame.unionByName,
@@ -139,7 +207,7 @@ class FederatedIndex:
         out = [
             dataclasses.replace(
                 ix,
-                stats={**ix.stats, "N": int(n_total), "avgdl": avgdl},
+                stats={**ix.stats, **extra},
                 terms=ix.terms.drop("df")
                 .join(df_union, "term", "left")
                 .fillna(0, subset=["df"]),
@@ -200,12 +268,6 @@ def search_federated(
         fed = FederatedIndex(spark, fed)
     if not isinstance(queries, pd.DataFrame):
         raise TypeError("search_federated takes a pandas query batch")
-    for c in ("after_score", "after_doc"):
-        if c in queries.columns and queries[c].notna().any():
-            raise NotImplementedError(
-                "search_after across segments is ambiguous (doc_ids are "
-                "segment-local) — paginate per segment or raise k"
-            )
     live = fed.live_segments(ts_from, ts_to)
     if not live:
         if count_only:
@@ -222,7 +284,7 @@ def search_federated(
     for i in live:
         seg_ix = handles[i]
         res = qexec.search(
-            spark, seg_ix, queries.copy(), kernel=kernel,
+            spark, seg_ix, _segment_cursor_queries(queries, i), kernel=kernel,
             with_url=with_url and not matches_only,
             count_only=count_only, matches_only=matches_only,
         )
@@ -242,14 +304,10 @@ def search_federated(
         return merged.select("query_id", "segment", "doc_id", "score")
 
     # global merge: ≤ k rows per (query, segment) in, k out. Tie-break on
-    # url — the only globally-unique key across segments (doc_ids are
-    # segment-local). Deterministic, but a different total order within a
-    # tied score group than exec.search's doc_id order (module docstring).
-    order = [F.col("score").desc()] + (
-        [F.col("url").asc()]
-        if with_url
-        else [F.col("segment").asc(), F.col("doc_id").asc()]
-    )
+    # (segment, doc_id) — deterministic, exec.search-identical within one
+    # segment, and exactly what the cursor translation assumes (doc_ids are
+    # segment-local, so the pair is the global total order).
+    order = [F.col("score").desc(), F.col("segment").asc(), F.col("doc_id").asc()]
     w = Window.partitionBy("query_id").orderBy(*order)
     ks = spark.createDataFrame(
         queries[["query_id", "k"]].astype({"query_id": "int64", "k": "int64"})
@@ -300,16 +358,13 @@ def search_local_federated(
     every serving kernel path is reused unchanged.
 
     Returns (query_id, rank, segment, doc_id[, url], score) ranked by
-    (score desc, url asc) — identical rows to the Spark path (pinned).
+    (score desc, segment asc, doc_id asc) — identical rows to the Spark
+    path (pinned). Fielded segments and (after_score, after_segment,
+    after_doc) cursors work exactly as in search_federated.
     """
     from invoicenet_spark.query.local import local_index, search_local
 
     lis = [local_index(r) for r in roots_or_indexes]
-    for li in lis:
-        if li.stats.get("fields"):
-            raise NotImplementedError(
-                "federated search over fielded indexes is not supported"
-            )
     live = [
         i
         for i, li in enumerate(lis)
@@ -332,62 +387,35 @@ def search_local_federated(
         if n_total
         else 0.0
     )
-    # dfs phase: union df for the batch's terms. Expansion (PREFIX/FUZZY)
-    # is per-segment inside search_local, so pre-resolving exact terms here
-    # covers flat terms + neg_terms + BOOL leaf terms; expanded terms fall
-    # back to segment-local df only if a segment expands a term the probe
-    # didn't see — avoided by passing the expanded union back in df_override
-    # being a default-dict-style lookup (missing term → segment-local df is
-    # WRONG for union scoring, so search_local treats df_override as
-    # total: missing → sum over segments captured below).
-    needed: set[str] = set()
-    for ts in queries["terms"]:
-        for t in ts:
-            needed.add(str(t).partition("^")[0])
-    if "neg_terms" in queries.columns:
-        for ts in queries["neg_terms"]:
-            if isinstance(ts, (list, tuple, np.ndarray)):
-                needed.update(map(str, ts))
-    # include every dictionary term a PREFIX/FUZZY/BOOL row could expand to,
-    # per segment, so the union-df map is complete before scoring
-    expand_rows = queries["mode"].isin(["PREFIX", "FUZZY", "BOOL"]).any()
-    per_seg_expansions: set[str] = set()
-    if expand_rows:
-        for i in live:
-            li = lis[i]
-            for _, q in queries.iterrows():
-                if q["mode"] == "PREFIX":
-                    per_seg_expansions.update(li.expand_prefixes(list(q["terms"])))
-                elif q["mode"] == "FUZZY":
-                    e = q.get("max_edits")
-                    per_seg_expansions.update(
-                        li.expand_fuzzy(
-                            list(q["terms"]),
-                            int(e) if e is not None and not pd.isna(e) else 1,
-                        )
-                    )
-                elif q["mode"] == "BOOL":
-                    from invoicenet_spark.query import booltree
+    # dfs phase: union df for every dictionary key the batch can touch, per
+    # segment. The term set comes from the SAME canonicalization search_local
+    # itself runs (normalize_local_queries: fielded auto-qualification,
+    # PREFIX/FUZZY expansion against each segment's dictionary, BOOL leaf
+    # terms) — any probe/scoring divergence would silently score a term with
+    # its segment-local df instead of the union's.
+    from invoicenet_spark.query.local import normalize_local_queries
 
-                    raw = q.get("tree")
-                    if raw is None or (isinstance(raw, float) and pd.isna(raw)):
-                        raw = q["terms"][0]
-                    tree = booltree.normalize_query(
-                        raw, li.expand_prefixes, lambda ts_, e_: li.expand_fuzzy(ts_, e_)
-                    )
-                    per_seg_expansions.update(booltree.leaf_terms(tree))
-    probe = sorted({t.partition("^")[0] for t in (needed | per_seg_expansions)})
+    probe: set[str] = set()
+    for i in live:
+        _, terms_i, _ = normalize_local_queries(
+            lis[i], queries.copy(), lis[i].stats
+        )
+        probe |= terms_i
     df_union: dict[str, int] = {}
     for i in live:
         for t, (_tid, df) in lis[i].term_info(set(probe)).items():
             df_union[t] = df_union.get(t, 0) + int(df)
 
     stats_override = {"N": n_total, "avgdl": avgdl}
+    if lis[live[0]].stats.get("fields"):
+        stats_override["fields"] = _union_field_stats(
+            [lis[i].stats["fields"] for i in live]
+        )
     frames = []
     for i in live:
         res = search_local(
-            lis[i], queries.copy(), kernel=kernel, with_url=with_url,
-            count_only=count_only,
+            lis[i], _segment_cursor_queries(queries, i), kernel=kernel,
+            with_url=with_url, count_only=count_only,
             stats_override=stats_override, df_override=df_union,
         )
         if not count_only:
@@ -403,9 +431,9 @@ def search_local_federated(
             ["url"] if with_url else []
         ) + ["score"]
         return pd.DataFrame(columns=cols)
-    sort_keys = ["query_id", "score"] + (["url"] if with_url else ["segment", "doc_id"])
     merged = merged.sort_values(
-        sort_keys, ascending=[True, False] + [True] * (len(sort_keys) - 2)
+        ["query_id", "score", "segment", "doc_id"],
+        ascending=[True, False, True, True],
     )
     merged["rank"] = merged.groupby("query_id").cumcount() + 1
     kmap = dict(zip(queries["query_id"].astype(int), queries["k"].astype(int)))

@@ -607,55 +607,19 @@ def _run_bool_query(
     ]
 
 
-def search_local(
-    index,
-    queries: pd.DataFrame,
-    kernel: str = "auto",
-    with_url: bool = True,
-    n_threads: int | None = None,
-    count_only: bool = False,
-    excluded_ids: "np.ndarray | None" = None,
-    stats_override: dict | None = None,
-    df_override: "dict[str, int] | None" = None,
-) -> pd.DataFrame:
-    """Serve (query_id, terms, mode, k) queries driver-locally, Spark-free.
+def normalize_local_queries(
+    li: LocalIndex, queries: pd.DataFrame, stats: dict
+) -> tuple[pd.DataFrame, set, bool]:
+    """Driver-side query canonicalization against ONE segment's dictionary:
+    fielded rewrite + bare-leaf auto-qualification, PREFIX/FUZZY expansion,
+    BOOL tree normalization (same normalize as the Spark path). Returns
+    (queries, needed_terms, bool_positional) where needed_terms is every
+    boost-stripped dictionary key the batch can touch.
 
-    stats_override / df_override: federation hooks (query/federate.py) —
-    replace the scoring constants (N, avgdl) and per-term df with the
-    union-corpus values so cross-segment scores are comparable
-    (dfs_query_then_fetch). A term missing from df_override keeps its
-    segment-local df. Never changes candidate generation — only idf and
-    normalization inputs.
-
-    excluded_ids: doc_ids excluded from matching for this call (ES filter
-    context, pre-computed by the caller — e.g. a pyarrow/pandas predicate
-    over the corpus metadata). Masked exactly like tombstones, BEFORE each
-    shard's top-k, so filtered-out docs never occupy k slots; parity twin
-    of exec.search(doc_filter=...).
-
-    `index`: an exec.Index, a LocalIndex, or an index root path string —
-    resolved through the generation-keyed serving cache, so results always
-    reflect the on-disk index (incl. docs appended by update_index).
-
-    Semantics mirror exec.search exactly: AND/OR dedupe terms, PHRASE keeps
-    slots; AND/PHRASE require every term present in a shard; per-shard
-    kernels produce local top-k; the global merge ranks by
-    (score desc, doc_id asc). Returns the same columns as exec.search.
-
-    Batches: the postings read is shared across the whole batch (one
-    catalog probe for the union of term_ids), then the per-query kernels
-    run serially by default. Measured, 100-query batches: on a 100k-doc
-    index 0.8 s serial vs 1.5 s Spark batch vs 2.0 s with 8 threads; on a
-    1M-doc index 7.2 s serial vs 3.2 s Spark batch vs 37.7 s (!) with 8
-    threads — the kernels are many small GIL-bound numpy calls and thread
-    contention degrades superlinearly, so n_threads>1 is measured to never
-    help on this workload (kept for experimentation only). Division of
-    labor: this path owns interactive/single queries and small-corpus
-    batches; the Spark path owns large-corpus batch throughput (its 32
-    cores run kernels truly in parallel).
-    """
-    li = local_index(index)
-    stats = {**li.stats, **stats_override} if stats_override else li.stats
+    Shared by search_local (whose postings read it feeds directly) and the
+    federation dfs probe (query/federate.py needs exactly this term set per
+    segment to build the union-df map BEFORE scoring — any divergence would
+    silently fall back to segment-local df)."""
     if queries["mode"].isin(["PHRASE", "NEAR"]).any() and not stats.get(
         "with_positions", False
     ):
@@ -718,6 +682,61 @@ def search_local(
             if isinstance(ts, (list, tuple, np.ndarray))
             for t in ts
         }
+    return queries, needed_terms, bool_positional
+
+
+def search_local(
+    index,
+    queries: pd.DataFrame,
+    kernel: str = "auto",
+    with_url: bool = True,
+    n_threads: int | None = None,
+    count_only: bool = False,
+    excluded_ids: "np.ndarray | None" = None,
+    stats_override: dict | None = None,
+    df_override: "dict[str, int] | None" = None,
+) -> pd.DataFrame:
+    """Serve (query_id, terms, mode, k) queries driver-locally, Spark-free.
+
+    stats_override / df_override: federation hooks (query/federate.py) —
+    replace the scoring constants (N, avgdl) and per-term df with the
+    union-corpus values so cross-segment scores are comparable
+    (dfs_query_then_fetch). A term missing from df_override keeps its
+    segment-local df. Never changes candidate generation — only idf and
+    normalization inputs.
+
+    excluded_ids: doc_ids excluded from matching for this call (ES filter
+    context, pre-computed by the caller — e.g. a pyarrow/pandas predicate
+    over the corpus metadata). Masked exactly like tombstones, BEFORE each
+    shard's top-k, so filtered-out docs never occupy k slots; parity twin
+    of exec.search(doc_filter=...).
+
+    `index`: an exec.Index, a LocalIndex, or an index root path string —
+    resolved through the generation-keyed serving cache, so results always
+    reflect the on-disk index (incl. docs appended by update_index).
+
+    Semantics mirror exec.search exactly: AND/OR dedupe terms, PHRASE keeps
+    slots; AND/PHRASE require every term present in a shard; per-shard
+    kernels produce local top-k; the global merge ranks by
+    (score desc, doc_id asc). Returns the same columns as exec.search.
+
+    Batches: the postings read is shared across the whole batch (one
+    catalog probe for the union of term_ids), then the per-query kernels
+    run serially by default. Measured, 100-query batches: on a 100k-doc
+    index 0.8 s serial vs 1.5 s Spark batch vs 2.0 s with 8 threads; on a
+    1M-doc index 7.2 s serial vs 3.2 s Spark batch vs 37.7 s (!) with 8
+    threads — the kernels are many small GIL-bound numpy calls and thread
+    contention degrades superlinearly, so n_threads>1 is measured to never
+    help on this workload (kept for experimentation only). Division of
+    labor: this path owns interactive/single queries and small-corpus
+    batches; the Spark path owns large-corpus batch throughput (its 32
+    cores run kernels truly in parallel).
+    """
+    li = local_index(index)
+    stats = {**li.stats, **stats_override} if stats_override else li.stats
+    queries, needed_terms, bool_positional = normalize_local_queries(
+        li, queries, stats
+    )
     term_info = li.term_info(needed_terms)
     if df_override:
         term_info = {
