@@ -76,6 +76,13 @@ def main(argv=None):
     b.add_argument("--dedup-exact", action="store_true",
                    help="drop exact-duplicate docs (identical extracted text; "
                         "smallest url wins) before indexing")
+    b.add_argument("--stopwords", default=None,
+                   help="comma-separated stopword list removed at tokenization "
+                        "(and from query terms — StopFilter semantics); an "
+                        "index-layout choice persisted in the manifest")
+    b.add_argument("--stem", default=None, choices=["s_stem"],
+                   help="token stemmer (s_stem = Harman S-stemmer, plural "
+                        "suffixes only) applied at index AND query time")
     b.add_argument("--range", default=None, dest="doc_range",
                    help="multi-executor recipe: build ONLY docID range lo:hi "
                         "(shard-aligned) against --global-root's doc table + "
@@ -327,6 +334,10 @@ def main(argv=None):
         cfg_kwargs["store_text"] = True
     if getattr(args, "fields", None) and args.cmd in ("build", "update", "bench-build", "prepare"):
         cfg_kwargs["fields"] = tuple(args.fields.split(","))
+    if getattr(args, "stopwords", None) and args.cmd == "build":
+        cfg_kwargs["stopwords"] = tuple(args.stopwords.split(","))
+    if getattr(args, "stem", None) and args.cmd == "build":
+        cfg_kwargs["stem"] = args.stem
     cfg = EngineConfig(**cfg_kwargs)
 
     if args.cmd == "build":

@@ -34,6 +34,17 @@ class EngineConfig:
     # invoicenet/common/util.py:105 drops empties;
     # invoicenet/gui/viewer.py:211 matches case-insensitively).
     token_pattern: str = "[^a-z0-9]+"
+    # Optional token-filter chain after tokenization (Lucene analyzer
+    # analog; functions/analyzer.py analyze_col). Both are INDEX-LAYOUT
+    # choices: they are persisted in the manifest and stats.json, and both
+    # query paths re-apply the identical chain to query terms — a stopword
+    # query term drops out (StopFilter-on-query semantics), surviving
+    # terms stem. PREFIX/FUZZY terms are never analyzed (Lucene multi-term
+    # query convention). Positions renumber after stop removal (no gaps).
+    stopwords: tuple[str, ...] = ()
+    # "s_stem" = Harman S-stemmer (EnglishMinimalStemFilter family):
+    # plural-only suffix rules, first match wins, len<=3 untouched.
+    stem: str | None = None
     # Only index documents in these languages (language gate — the engine
     # analog of the reference's file-type predicate, predict.py:52).
     index_langs: tuple[str, ...] = ("en",)

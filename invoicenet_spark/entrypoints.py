@@ -236,6 +236,43 @@ def _federated_ranked(
     )
 
 
+# analyzer-chain fixture (the stemmed/stopworded index oracle): stopwords
+# shared by the engine config and the oracle SQL's NOT IN list
+_ANALYZER_STOPWORDS = ("a", "the")
+
+
+def _analyzed_index(spark: SparkSession, sf_dir: str) -> str:
+    """Index over the en-docs built WITH the analyzer chain (stopwords +
+    S-stemmer) — stats/doc_len shrink by the removed stopwords, query terms
+    run the same chain (plural surfaces hit the stemmed dictionary)."""
+    from invoicenet_spark.index.build import build_index
+
+    key = ("analyzed", sf_dir)
+    if key not in _INDEX_CACHE:
+        out = os.path.join(tempfile.mkdtemp(prefix="ivs_idx_an_"), "index")
+        cfg = EngineConfig(
+            shard_size=256, block_size=64, build_partitions=8,
+            with_positions=True, stopwords=_ANALYZER_STOPWORDS, stem="s_stem",
+        )
+        build_index(
+            spark, _docs_as_pages(spark, sf_dir), out, cfg, use_stored_text=True
+        )
+        _INDEX_CACHE[key] = out
+    return _INDEX_CACHE[key]
+
+
+def q_bm25_analyzed(spark, sf_dir):
+    """Analyzer chain end-to-end: the index drops stopwords (doc_len/avgdl
+    shrink — scores move) and stems plurals; the PLURAL query surfaces
+    ('windows^2', 'tables', and the stopword 'the', which elides) are
+    chain-rewritten at query time to hit the stemmed dictionary. Oracle:
+    the same chain stated in SQL with the analyzed query constants."""
+    return _ranked_from_index(
+        spark, _analyzed_index(spark, sf_dir),
+        ["windows^2", "tables", "the"], "OR", 20,
+    )
+
+
 # predicate (on the ORIGINAL documents.doc_id) selecting the docs the
 # delete-semantics queries tombstone — shared by engine side and oracle SQL
 _DELETE_PRED_SQL = "doc_id % 10 = 3"
@@ -301,6 +338,7 @@ def _duck_bm25(
     fuzzy_edits: int | None = None,
     filter_pred: str | None = None,
     corpus_pred: str | None = None,
+    analyzed: bool = False,
 ) -> str:
     """deleted: 'masked' — exclude _DELETE_PRED_SQL docs from ranking only
     (tombstone semantics: corpus stats still count them); 'purged' — exclude
@@ -395,12 +433,39 @@ def _duck_bm25(
         qt_cte = f"qt AS (SELECT DISTINCT term, 1.0 AS boost FROM toks WHERE {flev})"
     else:
         qt_cte = f"qt(term, boost) AS (VALUES {tlist})"
-    return f"""
-WITH toks AS (
+    toks_cte = f"""toks AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+         t -> t <> '')) AS term
+  FROM documents WHERE lang = 'en'{corpus_sql}
+)"""
+    if analyzed:
+        # the index-side analyzer chain twin (functions/analyzer.py
+        # analyze_col): stopword removal, then the Harman S-stemmer stated
+        # with the identical suffix conditions (no lookbehind — portable)
+        stop_list = ", ".join(f"'{s}'" for s in _ANALYZER_STOPWORDS)
+        toks_cte = f"""toks0 AS (
   SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
          t -> t <> '')) AS term
   FROM documents WHERE lang = 'en'{corpus_sql}
 ),
+toks AS (
+  SELECT doc_id,
+         CASE
+           WHEN length(term) > 3 AND term LIKE '%ies' THEN
+             CASE WHEN term LIKE '%eies' OR term LIKE '%aies' THEN term
+                  ELSE substr(term, 1, length(term)-3) || 'y' END
+           WHEN length(term) > 3 AND term LIKE '%es' THEN
+             CASE WHEN term LIKE '%aes' OR term LIKE '%ees' OR term LIKE '%oes'
+                  THEN term ELSE substr(term, 1, length(term)-1) END
+           WHEN length(term) > 3 AND term LIKE '%s' THEN
+             CASE WHEN term LIKE '%us' OR term LIKE '%ss' THEN term
+                  ELSE substr(term, 1, length(term)-1) END
+           ELSE term
+         END AS term
+  FROM toks0 WHERE term NOT IN ({stop_list})
+)"""
+    return f"""
+WITH {toks_cte},
 dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
 stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
 {qt_cte},
@@ -1324,6 +1389,7 @@ QUERIES = {
     "bm25_topk_fuzzy": q_bm25_topk_fuzzy,
     "bm25_federated": q_bm25_federated,
     "bm25_federated_pruned": q_bm25_federated_pruned,
+    "bm25_analyzed": q_bm25_analyzed,
     "substring_search": q_substring_search,
     "ngram_counts": q_ngram_counts,
     "amount_normalize": q_amount_normalize,
@@ -1443,6 +1509,12 @@ ORDER BY rank
     "bm25_federated_pruned": _duck_bm25(
         BM25_QUERY_TERMS, "OR", 20,
         corpus_pred="doc_id > (SELECT CAST(floor(max(doc_id)/2) AS BIGINT) FROM documents)",
+    ),
+    # analyzer chain: corpus toks run the stop+stem chain in SQL; the query
+    # constants are the ANALYZED forms of the engine's plural/stopword
+    # surfaces ('windows^2 tables the' → window^2, table; 'the' elides)
+    "bm25_analyzed": _duck_bm25(
+        ["window", "table"], "OR", 20, boosts={"window": 2.0}, analyzed=True
     ),
     # facet over the FULL OR match set == docs containing any query term
     "bm25_facet_source": f"""

@@ -47,7 +47,7 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from invoicenet_spark.config import EngineConfig
-from invoicenet_spark.functions.analyzer import tokens_col
+from invoicenet_spark.functions.analyzer import analyze_col
 from invoicenet_spark.functions.extract import extract_pages_arrow
 from invoicenet_spark.functions.ids import assign_dense_ids
 from invoicenet_spark.index.codec import vb_encode
@@ -469,7 +469,7 @@ def build_doc_table(pages_text: DataFrame, cfg: EngineConfig, id_offset: int = 0
     if cfg.fields:
         stored = list(cfg.fields) if cfg.store_text else []
         dl_cols = [
-            F.size(tokens_col(f, cfg.token_pattern)).alias(f"dl_{f}")
+            F.size(analyze_col(f, cfg.token_pattern, cfg.stopwords, cfg.stem)).alias(f"dl_{f}")
             for f in cfg.fields
         ]
         with_len = pages_text.select("url", *dl_cols, *ts_col, *stored).withColumn(
@@ -480,7 +480,7 @@ def build_doc_table(pages_text: DataFrame, cfg: EngineConfig, id_offset: int = 0
         stored = ["text"] if cfg.store_text else []
         with_len = pages_text.select(
             "url",
-            F.size(tokens_col("text", cfg.token_pattern)).alias("doc_len"),
+            F.size(analyze_col("text", cfg.token_pattern, cfg.stopwords, cfg.stem)).alias("doc_len"),
             *ts_col,
             *stored,
         )
@@ -637,7 +637,7 @@ def _encode_and_commit(
         A union-of-selects shape would scan src (the pages ⋈ docs join) once
         PER FIELD and double-fire its row-count Observation."""
         def _arr(f: str):
-            toks = tokens_col(f, cfg.token_pattern)
+            toks = analyze_col(f, cfg.token_pattern, cfg.stopwords, cfg.stem)
             dl = F.col(f"dl_{f}").cast("int")
             if positional:
                 return F.transform(
@@ -671,7 +671,7 @@ def _encode_and_commit(
             _field_tokens(True)
             if cfg.fields
             else src.select(
-                F.posexplode(tokens_col("text", cfg.token_pattern)).alias("pos", "term"),
+                F.posexplode(analyze_col("text", cfg.token_pattern, cfg.stopwords, cfg.stem)).alias("pos", "term"),
                 "doc_id",
                 F.col("doc_len").cast("int").alias("doc_len"),
             )
@@ -687,7 +687,7 @@ def _encode_and_commit(
             _field_tokens(False)
             if cfg.fields
             else src.select(
-                F.explode(tokens_col("text", cfg.token_pattern)).alias("term"),
+                F.explode(analyze_col("text", cfg.token_pattern, cfg.stopwords, cfg.stem)).alias("term"),
                 "doc_id",
                 F.col("doc_len").cast("int").alias("doc_len"),
             )
@@ -937,9 +937,12 @@ def _finalize(
         "shard_size": cfg.shard_size,
         "block_size": cfg.block_size,
         "with_positions": cfg.with_positions,
-        # serving-side consumers (snippets tokenization) read the analyzer
-        # pattern from stats.json — keep it in sync with the manifest config
+        # serving-side consumers (snippets tokenization, query-term
+        # analysis) read the analyzer chain from stats.json — keep it in
+        # sync with the manifest config
         "token_pattern": cfg.token_pattern,
+        "stopwords": list(cfg.stopwords),
+        "stem": cfg.stem,
     }
     if ts_aggs and stats_row["ts_min"] is not None:
         # segment time range — the federated-search pruning key (a crawl
@@ -1010,6 +1013,8 @@ def _cfg_dict(cfg: EngineConfig) -> dict:
         "shard_size": cfg.shard_size,
         "block_size": cfg.block_size,
         "token_pattern": cfg.token_pattern,
+        "stopwords": list(cfg.stopwords),
+        "stem": cfg.stem,
         "index_langs": list(cfg.index_langs),
         "with_positions": cfg.with_positions,
         "extract_strategy": cfg.extract_strategy,
@@ -1049,7 +1054,7 @@ def prepare_global_artifacts(
         "overwrite"
     ).partitionBy("segment").parquet(paths.docs)
     terms = pages_text.select(
-        F.explode(tokens_col("text", cfg.token_pattern)).alias("term")
+        F.explode(analyze_col("text", cfg.token_pattern, cfg.stopwords, cfg.stem)).alias("term")
     )
     _term_dictionary(spark, terms, cfg, paths)
     _save_manifest(paths, {"config": _cfg_dict(cfg)})
@@ -1170,6 +1175,8 @@ def cfg_from_manifest(manifest: dict, fallback: EngineConfig) -> EngineConfig:
         shard_size=c.get("shard_size", fallback.shard_size),
         block_size=c.get("block_size", fallback.block_size),
         token_pattern=c.get("token_pattern", fallback.token_pattern),
+        stopwords=tuple(c.get("stopwords", fallback.stopwords)),
+        stem=c.get("stem", fallback.stem),
         index_langs=tuple(c.get("index_langs", fallback.index_langs)),
         with_positions=c.get("with_positions", fallback.with_positions),
         extract_strategy=c.get("extract_strategy", fallback.extract_strategy),

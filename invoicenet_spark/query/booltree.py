@@ -321,12 +321,18 @@ def resolve_tids(node: dict, term_to_tid: dict[str, int]) -> dict:
 
 
 def normalize_query(
-    tree_or_string, expand_prefix, expand_fuzzy, field_stats: dict | None = None
+    tree_or_string,
+    expand_prefix,
+    expand_fuzzy,
+    field_stats: dict | None = None,
+    analyzer: dict | None = None,
 ) -> dict:
     """One driver-side entry for both paths: accept a tree dict, a JSON
-    string of one, or the string grammar; on a fielded index, qualify bare
-    leaves across all fields BEFORE dictionary expansion (prefix/fuzzy then
-    expand against the field-qualified keys); expand prefix/fuzzy leaves."""
+    string of one, or the string grammar; apply the index's token-filter
+    chain to user-written leaves (analyzer = stats.json {stopwords, stem});
+    on a fielded index, qualify bare leaves across all fields BEFORE
+    dictionary expansion (prefix/fuzzy then expand against the
+    field-qualified keys); expand prefix/fuzzy leaves."""
     t = tree_or_string
     if isinstance(t, str):
         ts = t.strip()
@@ -334,10 +340,86 @@ def normalize_query(
             t = json.loads(ts)
         else:
             t = parse(ts)
+    if analyzer and (analyzer.get("stopwords") or analyzer.get("stem")):
+        analyzed = analyze_tree_leaves(
+            t, tuple(analyzer.get("stopwords") or ()), analyzer.get("stem"),
+            field_stats or {},
+        )
+        # every clause was a stopword → nothing can match; keep the original
+        # tree (its terms are absent from the dictionary by construction)
+        t = analyzed if analyzed is not None else t
     if field_stats:
         t = qualify_bare_leaves(t, field_stats)
         _reject_cross_field_phrases(t, field_stats)
     return expand_leaves(t, expand_prefix, expand_fuzzy)
+
+
+def analyze_tree_leaves(
+    node: dict, stopwords: tuple, stem: str | None, field_stats: dict
+) -> dict | None:
+    """The index's analyzer chain over a query tree's USER-WRITTEN leaves —
+    the Lucene QueryParser-with-analyzer behavior:
+
+      - term leaves: stopword terms ELIDE (the clause disappears, exactly
+        StopFilter-at-analysis: `the AND spark` means `spark`), survivors
+        stem; an explicit `field:` prefix is preserved and the chain runs
+        on the token part.
+      - phrase leaves: stopword SLOTS drop (index positions renumber after
+        stop removal, so `"president of the usa"` matches the indexed
+        `president usa` adjacency), survivors stem; an all-stopword phrase
+        elides.
+      - prefix/fuzzy leaves: never analyzed (Lucene multi-term convention;
+        their expansions are dictionary terms, already chain-normalized).
+
+    Returns None when the node elides entirely: AND/OR drop elided clauses
+    (min_match is NOT reduced — the ES behavior), NOT loses an elided
+    negative and elides with its positive."""
+    from invoicenet_spark.functions.analyzer import analyze_terms
+
+    def _split(t: str) -> tuple[str, str]:
+        f = t.partition(":")[0]
+        if ":" in t and f in field_stats:
+            return f + ":", t[len(f) + 1:]
+        return "", t
+
+    k = node["kind"]
+    if k == "term":
+        pfx, tok = _split(node["term"])
+        out = analyze_terms([tok], stopwords, stem)
+        if not out:
+            return None
+        return {**node, "term": pfx + out[0]}
+    if k == "phrase":
+        slots = []
+        for t in node["terms"]:
+            pfx, tok = _split(t)
+            out = analyze_terms([tok], stopwords, stem)
+            if out:
+                slots.append(pfx + out[0])
+        if not slots:
+            return None
+        return {**node, "terms": slots}
+    if k in ("prefix", "fuzzy"):
+        return node
+    if k in ("and", "or"):
+        clauses = [
+            c2
+            for c in node["clauses"]
+            if (c2 := analyze_tree_leaves(c, stopwords, stem, field_stats))
+            is not None
+        ]
+        if not clauses:
+            return None
+        return {**node, "clauses": clauses}
+    if k == "not":
+        pos = analyze_tree_leaves(node["positive"], stopwords, stem, field_stats)
+        if pos is None:
+            return None
+        neg = analyze_tree_leaves(node["negative"], stopwords, stem, field_stats)
+        if neg is None:
+            return pos
+        return {**node, "positive": pos, "negative": neg}
+    raise ValueError(f"unknown node kind {k!r}")
 
 
 def _reject_cross_field_phrases(node: dict, field_stats: dict) -> None:

@@ -401,6 +401,7 @@ def _normalize_bool_rows(index: Index, qpd: pd.DataFrame) -> tuple[pd.DataFrame,
                 lambda ps: expand_prefix_terms(index, ps),
                 lambda ts_, e: expand_fuzzy_terms(index, ts_, e),
                 field_stats=index.stats.get("fields") or {},
+                analyzer=index.stats,
             ),
             index.stats.get("fields") or {},
         )
@@ -704,6 +705,8 @@ def search(
             spark_modes & {"PREFIX", "FUZZY", "BOOL"}
             or "fields" in qcols
             or index.stats.get("fields")  # fielded index: tree rewrite path
+            or index.stats.get("stopwords")  # analyzer chain: driver-side
+            or index.stats.get("stem")  # query-term rewrite
             or any(r["has_boost"] for r in flag_rows)
         ):
             qpd = qdf.toPandas()
@@ -717,6 +720,10 @@ def search(
             bool_positional = False
     if qpd is not None:
         field_stats = index.stats.get("fields") or {}
+        # analyzer chain first: flat terms stop/stem BEFORE any fielded
+        # qualification or expansion (BOOL rows analyze leaf-wise inside
+        # normalize_query; PREFIX/FUZZY never analyze)
+        qpd = qparse.analyze_query_rows(qpd, index.stats)
         qpd = booltree.rewrite_fielded_rows(qpd, field_stats)
         if field_stats:
             # fielded index is a query-time drop-in: every remaining flat

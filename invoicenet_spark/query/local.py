@@ -628,6 +628,10 @@ def normalize_local_queries(
             "(build with EngineConfig(with_positions=True) / --with-positions)"
         )
     field_stats = stats.get("fields") or {}
+    # analyzer chain first (same ordering as exec.search): flat terms
+    # stop/stem before fielded qualification; BOOL rows analyze leaf-wise
+    # inside normalize_query below
+    queries = qparse.analyze_query_rows(queries, stats)
     queries = booltree.rewrite_fielded_rows(queries, field_stats)
     if field_stats:
         # fielded index = query-time drop-in: flat rows become bare-leaf
@@ -661,7 +665,7 @@ def normalize_local_queries(
             tree = booltree.attach_field_stats(
                 booltree.normalize_query(
                     raw, li.expand_prefixes, lambda ts_, e: li.expand_fuzzy(ts_, e),
-                    field_stats=field_stats,
+                    field_stats=field_stats, analyzer=stats,
                 ),
                 field_stats,
             )

@@ -56,6 +56,47 @@ def cap_prefix_expansion(
     return sorted(matched)
 
 
+def analyze_query_rows(queries, stats: dict):
+    """Apply the index's token-filter chain (stats.json {stopwords, stem})
+    to FLAT query rows — the query half of the analyzer contract
+    (functions/analyzer.py): stopword terms drop (StopFilter-on-query:
+    `the quick` searches `quick`; phrase slots drop too, matching the
+    index's renumbered positions), survivors stem, boost suffixes ride
+    along. A row whose every term is a stopword keeps its ORIGINAL terms —
+    they are absent from the dictionary by construction, so the row
+    matches nothing (Lucene's match-no-docs for an all-stopword query).
+    PREFIX/FUZZY rows are never analyzed (multi-term convention); BOOL
+    rows are handled leaf-wise in booltree.normalize_query. neg_terms
+    analyze the same way (a stopword negation excludes nothing either
+    way). No-op when the index has no chain."""
+    import pandas as pd
+
+    stopwords = tuple(stats.get("stopwords") or ())
+    stem = stats.get("stem")
+    if not stopwords and not stem:
+        return queries
+    from invoicenet_spark.functions.analyzer import analyze_terms
+
+    queries = queries.copy()
+    mask = ~queries["mode"].isin(["PREFIX", "FUZZY", "BOOL"])
+    if mask.any():
+        queries.loc[mask, "terms"] = pd.Series(
+            [
+                analyze_terms(ts, stopwords, stem) or list(ts)
+                for ts in queries.loc[mask, "terms"]
+            ],
+            index=queries.index[mask],
+        )
+    if "neg_terms" in queries.columns:
+        queries["neg_terms"] = [
+            analyze_terms(ts, stopwords, stem)
+            if (hasattr(ts, "__len__") and not isinstance(ts, str))
+            else ts
+            for ts in queries["neg_terms"]
+        ]
+    return queries
+
+
 def rewrite_expansion_rows(queries, mode: str, expander):
     """Shared PREFIX/FUZZY rewrite control flow for both query paths: rows
     in `mode` get terms := expander(base_terms, max_edits) and become OR.

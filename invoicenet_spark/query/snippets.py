@@ -51,6 +51,7 @@ def make_snippet(
     width: int = 30,
     tags: tuple[str, str] = ("«", "»"),
     split_pattern: str = "[^a-z0-9]+",
+    normalize=None,
 ) -> str:
     """Best-window keyword-in-context snippet with the query terms
     highlighted.
@@ -61,11 +62,22 @@ def make_snippet(
     character-faithful slice of the stored text with each matching token
     wrapped in `tags`, ellipsized ("…") where it is not text-initial/final.
     No-hit docs fall back to the leading `width` tokens, unhighlighted.
+
+    normalize: optional token filter matching the index's analyzer chain
+    (e.g. the S-stemmer) applied to TEXT tokens before membership, so a
+    stemmed query term `window` highlights the surface form `windows` —
+    the Lucene highlighter re-analyzes stored text the same way. The
+    displayed slice always shows the original surface text.
     """
     termset = {t.partition("^")[0] for t in terms}
-    display, spans = _token_spans(text or "", split_pattern)
-    if not spans:
+    display, raw_spans = _token_spans(text or "", split_pattern)
+    if not raw_spans:
         return ""
+    spans = (
+        [(s, e, normalize(tok)) for s, e, tok in raw_spans]
+        if normalize is not None
+        else raw_spans
+    )
     hits = [i for i, (_, _, tok) in enumerate(spans) if tok in termset]
     if not hits:
         ws = 0
@@ -104,6 +116,30 @@ def _stored_text_pattern(stats: dict) -> str:
     return stats.get("token_pattern", "[^a-z0-9]+")
 
 
+def _stats_normalizer(stats: dict):
+    """Token normalizer matching the index's analyzer chain (stem only —
+    stopword text tokens can't be query hits, so filtering them here would
+    change nothing), or None when the index has no chain."""
+    if stats.get("stem") == "s_stem":
+        from invoicenet_spark.functions.analyzer import s_stem_py
+
+        return s_stem_py
+    return None
+
+
+def _analyze_highlight_terms(terms: list[str], stats: dict) -> list[str]:
+    """Run the index's chain over the user's highlight terms so they meet
+    the (equally normalized) text tokens: stopword terms drop (they were
+    never searched), survivors stem."""
+    if stats.get("stopwords") or stats.get("stem"):
+        from invoicenet_spark.functions.analyzer import analyze_terms
+
+        return analyze_terms(
+            terms, tuple(stats.get("stopwords") or ()), stats.get("stem")
+        )
+    return terms
+
+
 def attach_snippets_local(
     index,
     results: pd.DataFrame,
@@ -140,12 +176,17 @@ def attach_snippets_local(
     # BOOL rows highlight their tree's POSITIVE leaf terms (field prefixes
     # stripped); flat rows highlight their term list as before
     terms_by_qid = {
-        int(r["query_id"]): highlight_terms_for_row(r) for _, r in queries.iterrows()
+        int(r["query_id"]): _analyze_highlight_terms(
+            highlight_terms_for_row(r), li.stats
+        )
+        for _, r in queries.iterrows()
     }
     pat = _stored_text_pattern(li.stats)
+    norm = _stats_normalizer(li.stats)
     out["snippet"] = [
         make_snippet(
-            texts.get(int(d), ""), terms_by_qid.get(int(q), []), width, tags, pat
+            texts.get(int(d), ""), terms_by_qid.get(int(q), []), width, tags,
+            pat, norm,
         )
         for q, d in zip(out["query_id"], out["doc_id"])
     ]
@@ -178,8 +219,12 @@ def attach_snippets(
     from invoicenet_spark.query.booltree import highlight_terms_for_row
 
     pat = _stored_text_pattern(index.stats)
+    norm = _stats_normalizer(index.stats)
     qhl = queries[["query_id"]].copy()
-    qhl["terms"] = [highlight_terms_for_row(r) for _, r in queries.iterrows()]
+    qhl["terms"] = [
+        _analyze_highlight_terms(highlight_terms_for_row(r), index.stats)
+        for _, r in queries.iterrows()
+    ]
     qterms = spark.createDataFrame(qhl)
 
     @pandas_udf("string")
@@ -187,7 +232,8 @@ def attach_snippets(
         return pd.Series(
             [
                 make_snippet(
-                    t or "", [] if ts is None else list(ts), width, tags, pat
+                    t or "", [] if ts is None else list(ts), width, tags, pat,
+                    norm,
                 )
                 for t, ts in zip(text, terms)
             ]

@@ -86,7 +86,10 @@ def main():
     timings, spreads = {}, {}
 
     def row(name, fn):
+        t = time.perf_counter()
         timings[name], spreads[name] = measure(fn)
+        print(f"# {name}: {timings[name]:.3f}s (row wall {time.perf_counter()-t:.0f}s)",
+              file=sys.stderr, flush=True)
 
     row("union_batch_100",
         lambda: search(spark, union_ix, queries, kernel="auto").count())
