@@ -170,6 +170,11 @@ def main(argv=None):
                    help="facet the returned match set by a docs-table field "
                         "(e.g. url) — prints (value, n_docs) rows; pass a "
                         "big -k to facet the full match set")
+    s.add_argument("--date-histogram", default=None, dest="date_histogram",
+                   choices=["hour", "day", "week", "month", "year"],
+                   help="bucket the match set's warc_ts by this calendar "
+                        "interval and print per-bucket counts (ES "
+                        "date_histogram agg)")
     s.add_argument("--sort-by", default=None,
                    help="re-rank the returned match set by a docs-table "
                         "field instead of relevance (ES sort clause)")
@@ -235,7 +240,7 @@ def main(argv=None):
         args.fed_roots = args.index.split(",")
         args.federated = len(args.fed_roots) > 1 or args.ts_from or args.ts_to
         if args.federated and (args.facet or args.sort_by or args.snippets
-                               or args.doc_filter):
+                               or args.doc_filter or args.date_histogram):
             raise SystemExit(
                 "--facet/--sort-by/--snippets/--filter are per-index "
                 "features; run them against one segment root"
@@ -296,6 +301,14 @@ def main(argv=None):
             for r in fc.to_dict("records"):
                 print(json.dumps({args.facet: r[args.facet],
                                   "n_docs": int(r["n_docs"])}, ensure_ascii=False))
+            return 0
+        if args.date_histogram:
+            from invoicenet_spark.query.local import date_histogram_local
+
+            dh = date_histogram_local(res, args.index, args.date_histogram)
+            for r in dh.to_dict("records"):
+                print(json.dumps({"bucket": str(r["bucket"]),
+                                  "n_docs": int(r["n_docs"])}))
             return 0
         if args.sort_by:
             from invoicenet_spark.query.local import top_by_field_local
@@ -440,6 +453,16 @@ def main(argv=None):
             for r in fc:
                 print(json.dumps({args.facet: r[args.facet],
                                   "n_docs": int(r["n_docs"])}, ensure_ascii=False))
+            return 0
+        if args.date_histogram:
+            from invoicenet_spark.query.exec import date_histogram
+
+            dh = date_histogram(
+                res.select("query_id", "doc_id"), index.docs, args.date_histogram
+            ).collect()
+            for r in dh:
+                print(json.dumps({"bucket": str(r["bucket"]),
+                                  "n_docs": int(r["n_docs"])}))
             return 0
         if args.sort_by:
             from invoicenet_spark.query.exec import top_by_field

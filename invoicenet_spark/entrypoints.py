@@ -273,6 +273,50 @@ def q_bm25_analyzed(spark, sf_dir):
     )
 
 
+def _ts_index(spark: SparkSession, sf_dir: str) -> str:
+    """Index whose docs carry the synthetic warc_ts (epoch + doc_id
+    seconds, the federated fixture's formula) — the date_histogram agg
+    fixture."""
+    from invoicenet_spark.index.build import build_index
+
+    key = ("ts", sf_dir)
+    if key not in _INDEX_CACHE:
+        # 997s (~16.6 min) apart: sf0.01's 2000 docs spread over ~23
+        # days, so hourly buckets hold small multi-doc counts
+        pages = _docs_as_pages(spark, sf_dir).withColumn(
+            "warc_ts",
+            F.timestamp_seconds(
+                F.lit(_FED_EPOCH) + F.col("url").cast("long") * F.lit(997)
+            ),
+        )
+        out = os.path.join(tempfile.mkdtemp(prefix="ivs_idx_ts_"), "index")
+        cfg = EngineConfig(shard_size=256, block_size=64, build_partitions=8)
+        build_index(spark, pages, out, cfg, use_stored_text=True)
+        _INDEX_CACHE[key] = out
+    return _INDEX_CACHE[key]
+
+
+def q_bm25_date_histogram(spark, sf_dir):
+    """ES date_histogram over the FULL match set (matches_only feed): hourly
+    crawl-time buckets of every doc matching the OR query. Buckets compare
+    as epoch seconds (tz-proof oracle schema); counts are per distinct
+    matched doc."""
+    import pandas as pd
+
+    from invoicenet_spark.query.exec import date_histogram, load_index, search
+
+    index = load_index(spark, _ts_index(spark, sf_dir))
+    q = pd.DataFrame(
+        [{"query_id": 1, "terms": list(BM25_QUERY_TERMS), "mode": "OR", "k": 1}]
+    )
+    matches = search(spark, index, q, matches_only=True)
+    hist = date_histogram(matches, index.docs, interval="hour")
+    return hist.select(
+        F.col("bucket").cast("long").alias("bucket_s"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+    ).orderBy("bucket_s")
+
+
 # predicate (on the ORIGINAL documents.doc_id) selecting the docs the
 # delete-semantics queries tombstone — shared by engine side and oracle SQL
 _DELETE_PRED_SQL = "doc_id % 10 = 3"
@@ -1390,6 +1434,7 @@ QUERIES = {
     "bm25_federated": q_bm25_federated,
     "bm25_federated_pruned": q_bm25_federated_pruned,
     "bm25_analyzed": q_bm25_analyzed,
+    "bm25_date_histogram": q_bm25_date_histogram,
     "substring_search": q_substring_search,
     "ngram_counts": q_ngram_counts,
     "amount_normalize": q_amount_normalize,
@@ -1516,6 +1561,22 @@ ORDER BY rank
     "bm25_analyzed": _duck_bm25(
         ["window", "table"], "OR", 20, boosts={"window": 2.0}, analyzed=True
     ),
+    # date_histogram: hourly buckets (epoch seconds) of every doc matching
+    # the OR query; warc_ts = epoch + doc_id*997 seconds by the fixture formula
+    "bm25_date_histogram": f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+         t -> t <> '')) AS term
+  FROM documents WHERE lang = 'en'
+),
+m AS (
+  SELECT DISTINCT doc_id FROM toks
+  WHERE term IN ({", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)})
+)
+SELECT CAST((({_FED_EPOCH} + doc_id * 997) // 3600) * 3600 AS BIGINT) AS bucket_s,
+       count(*) AS n_docs
+FROM m GROUP BY 1 ORDER BY 1
+""",
     # facet over the FULL OR match set == docs containing any query term
     "bm25_facet_source": f"""
 WITH toks AS (

@@ -233,6 +233,49 @@ def facet_counts(results: DataFrame, meta: DataFrame, field: str) -> DataFrame:
     )
 
 
+DATE_HISTOGRAM_INTERVALS = ("hour", "day", "week", "month", "year")
+
+
+def date_histogram(
+    results: DataFrame,
+    meta: DataFrame,
+    interval: str = "day",
+    ts_col: str = "warc_ts",
+    min_doc_count: int = 1,
+) -> DataFrame:
+    """ES date_histogram agg over the matched set: bucket each matched
+    doc's timestamp (default the crawl time `warc_ts`, a docs-table
+    doc-values column since the federated-search round) by calendar
+    `interval` and count per (query_id, bucket).
+
+    Feed from search(matches_only=True) for all-matches semantics (same
+    reasoning as facet_counts — an agg never needs relevance order). Docs
+    with a NULL timestamp are excluded, matching ES (missing values leave
+    the histogram). min_doc_count=0 is ES's gap-filling mode — NOT
+    supported (gaps need a generate_series over the bounds; callers can
+    densify the tiny result driver-side). Scale shape: one doc_id
+    equi-join into ONE partial-agg shuffle keyed by (query_id, bucket);
+    bucket cardinality bounds the shuffle, not corpus size."""
+    if interval not in DATE_HISTOGRAM_INTERVALS:
+        raise ValueError(
+            f"interval must be one of {DATE_HISTOGRAM_INTERVALS}, got {interval!r}"
+        )
+    if min_doc_count < 1:
+        raise ValueError("min_doc_count=0 (gap filling) is not supported")
+    out = (
+        results.select("query_id", "doc_id")
+        .join(meta.select("doc_id", ts_col), "doc_id")
+        .where(F.col(ts_col).isNotNull())
+        .groupBy(
+            "query_id", F.date_trunc(interval, F.col(ts_col)).alias("bucket")
+        )
+        .agg(F.count("*").alias("n_docs"))
+    )
+    if min_doc_count > 1:
+        out = out.where(F.col("n_docs") >= min_doc_count)
+    return out.orderBy("query_id", "bucket")
+
+
 def top_by_field(
     matches: DataFrame,
     meta: DataFrame,

@@ -868,6 +868,53 @@ def top_by_field_local(
     )
 
 
+def date_histogram_local(
+    matches: pd.DataFrame,
+    meta,
+    interval: str = "day",
+    ts_col: str = "warc_ts",
+    min_doc_count: int = 1,
+) -> pd.DataFrame:
+    """Serving twin of exec.date_histogram: bucket matched docs' timestamps
+    by calendar interval and count per (query_id, bucket). NULL timestamps
+    drop (ES missing-value semantics). Bucket boundaries match Spark's
+    date_trunc exactly: hour/day floor; week = Monday-start; month/year =
+    period start. Returns (query_id, bucket, n_docs), value-identical to
+    the Spark op."""
+    from invoicenet_spark.query.exec import DATE_HISTOGRAM_INTERVALS
+
+    if interval not in DATE_HISTOGRAM_INTERVALS:
+        raise ValueError(
+            f"interval must be one of {DATE_HISTOGRAM_INTERVALS}, got {interval!r}"
+        )
+    if min_doc_count < 1:
+        raise ValueError("min_doc_count=0 (gap filling) is not supported")
+    m = matches[["query_id", "doc_id"]].merge(
+        _local_meta(meta, ts_col, matches["doc_id"].unique()), on="doc_id"
+    )
+    m = m[m[ts_col].notna()].copy()
+    ts = pd.to_datetime(m[ts_col])
+    if interval == "hour":
+        m["bucket"] = ts.dt.floor("h")
+    elif interval == "day":
+        m["bucket"] = ts.dt.floor("D")
+    elif interval == "week":
+        # Spark date_trunc('week') floors to Monday 00:00
+        m["bucket"] = ts.dt.to_period("W-SUN").dt.start_time
+    elif interval == "month":
+        m["bucket"] = ts.dt.to_period("M").dt.start_time
+    else:  # year
+        m["bucket"] = ts.dt.to_period("Y").dt.start_time
+    out = (
+        m.groupby(["query_id", "bucket"], as_index=False)
+        .size()
+        .rename(columns={"size": "n_docs"})
+    )
+    if min_doc_count > 1:
+        out = out[out["n_docs"] >= min_doc_count]
+    return out.sort_values(["query_id", "bucket"]).reset_index(drop=True)
+
+
 def excluded_ids_local(index, predicate: str) -> np.ndarray:
     """ES filter context, serving side: evaluate a SQL predicate over the
     index's docs table with DuckDB (Spark-free) and return the doc_ids
