@@ -141,7 +141,8 @@ def main(argv=None):
                         "--after-score/--after-doc cursor paginates BOOL "
                         "results exactly like flat modes")
     s.add_argument("--mode", default="OR",
-                   choices=["OR", "AND", "PHRASE", "PREFIX", "NEAR", "FUZZY", "BOOL"])
+                   choices=["OR", "AND", "PHRASE", "PREFIX", "NEAR", "FUZZY",
+                            "BOOL", "WILDCARD", "REGEX"])
     s.add_argument("--unordered", action="store_true",
                    help="NEAR only: order-tolerant proximity (SpanNear ordered=false)")
     s.add_argument("--slop", type=int, default=0,

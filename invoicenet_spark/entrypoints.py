@@ -383,6 +383,7 @@ def _duck_bm25(
     filter_pred: str | None = None,
     corpus_pred: str | None = None,
     analyzed: bool = False,
+    regex_full: list[str] | None = None,
 ) -> str:
     """deleted: 'masked' — exclude _DELETE_PRED_SQL docs from ranking only
     (tombstone semantics: corpus stats still count them); 'purged' — exclude
@@ -466,7 +467,15 @@ def _duck_bm25(
             f" WHERE coalesce(({filter_pred}), false))"
         )
     rank_pred = (" WHERE " + " AND ".join(rank_conds)) if rank_conds else ""
-    if prefix:
+    if regex_full:
+        # WILDCARD/REGEX rewrite: the query-term set is every corpus term
+        # FULLY matching one of the anchored patterns (the engine's
+        # dictionary == distinct corpus terms)
+        rcond = " OR ".join(
+            f"regexp_full_match(term, '{p}')" for p in dict.fromkeys(regex_full)
+        )
+        qt_cte = f"qt AS (SELECT DISTINCT term, 1.0 AS boost FROM toks WHERE {rcond})"
+    elif prefix:
         plike = " OR ".join(f"term LIKE '{p}%'" for p in dict.fromkeys(terms))
         qt_cte = f"qt AS (SELECT DISTINCT term, 1.0 AS boost FROM toks WHERE {plike})"
     elif fuzzy_edits is not None:
@@ -908,6 +917,14 @@ def q_bm25_federated_pruned(spark, sf_dir):
     segment: whole-segment pruning (the 3-year-archive/last-month shape),
     scores from the surviving corpus' statistics."""
     return _federated_ranked(spark, sf_dir, BM25_QUERY_TERMS, "OR", 20, pruned=True)
+
+
+def q_bm25_topk_wildcard(spark, sf_dir):
+    """WILDCARD query mode (Lucene WildcardQuery): `w?ndow` and `t*e`
+    expand against the dictionary (`?` one char, `*` any run, full match)
+    and rewrite to OR — the oracle states the same anchored regexes over
+    the distinct corpus terms."""
+    return _bm25_engine_results(spark, sf_dir, ["w?ndow", "t*e"], "WILDCARD", 20)
 
 
 def q_bm25_topk_page2(spark, sf_dir):
@@ -1431,6 +1448,7 @@ QUERIES = {
     "bm25_facet_source": q_bm25_facet_source,
     "bm25_topk_filtered": q_bm25_topk_filtered,
     "bm25_topk_fuzzy": q_bm25_topk_fuzzy,
+    "bm25_topk_wildcard": q_bm25_topk_wildcard,
     "bm25_federated": q_bm25_federated,
     "bm25_federated_pruned": q_bm25_federated_pruned,
     "bm25_analyzed": q_bm25_analyzed,
@@ -1547,6 +1565,10 @@ ORDER BY rank
         BM25_QUERY_TERMS, "OR", 20, filter_pred=_FILTER_PRED_SQL
     ),
     "bm25_topk_fuzzy": _duck_bm25(["quary", "windoq"], "OR", 20, fuzzy_edits=1),
+    # wildcard rewrite: w?ndow / t*e as anchored full-match regexes
+    "bm25_topk_wildcard": _duck_bm25(
+        [], "OR", 20, regex_full=["w.ndow", "t.*e"]
+    ),
     # federation with union statistics == one index over the union corpus
     "bm25_federated": _duck_bm25(BM25_QUERY_TERMS, "OR", 20),
     # time window keeps only the doc_id > max/2 segment: corpus, stats and

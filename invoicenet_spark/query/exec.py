@@ -173,6 +173,42 @@ def expand_prefix_terms(
     return qparse.cap_prefix_expansion(out, prefixes, max_expansions)
 
 
+def expand_regex_terms(
+    index: Index,
+    patterns: list[str],
+    max_expansions: int = MAX_PREFIX_EXPANSIONS,
+) -> list[str]:
+    """REGEX/WILDCARD query rewrite (Lucene RegexpQuery/WildcardQuery
+    analog): dictionary terms FULLY matching any anchored pattern, capped
+    like PREFIX (a leading-wildcard pattern is a full dictionary scan — the
+    scan is dictionary-sized and driver/JVM-side, but the resulting OR is
+    still clause-capped). WILDCARD rows translate `*`/`?` to regex first
+    (qparse.wildcard_to_regex)."""
+    import re
+
+    if not patterns:
+        return []
+    out: set[str] = set()
+    local = index.local_dict()
+    if local is not None:
+        idx = local.index
+        for p in patterns:
+            rx = re.compile(p)
+            out |= {t for t in idx if rx.fullmatch(t)}
+    else:
+        from functools import reduce
+
+        cond = reduce(
+            lambda a, b: a | b,
+            [F.col("term").rlike(f"^(?:{p})$") for p in patterns],
+        )
+        rows = (
+            index.terms.where(cond).select("term").limit(max_expansions + 1).collect()
+        )
+        out = {r["term"] for r in rows}
+    return qparse.cap_prefix_expansion(out, patterns, max_expansions, kind="regex")
+
+
 def expand_fuzzy_terms(
     index: Index,
     terms: list[str],
@@ -745,7 +781,7 @@ def search(
         ).collect()
         spark_modes = {r["mode"] for r in flag_rows}
         if (
-            spark_modes & {"PREFIX", "FUZZY", "BOOL"}
+            spark_modes & {"PREFIX", "FUZZY", "BOOL", "WILDCARD", "REGEX"}
             or "fields" in qcols
             or index.stats.get("fields")  # fielded index: tree rewrite path
             or index.stats.get("stopwords")  # analyzer chain: driver-side
@@ -769,6 +805,12 @@ def search(
         qpd = qparse.analyze_query_rows(qpd, index.stats)
         qpd = booltree.rewrite_fielded_rows(qpd, field_stats)
         if field_stats:
+            if qpd["mode"].isin(["WILDCARD", "REGEX"]).any():
+                raise ValueError(
+                    "WILDCARD/REGEX modes are not supported on fielded "
+                    "indexes (v1) — query one field with an explicit "
+                    "field-qualified pattern via expand_regex_terms + OR"
+                )
             # fielded index is a query-time drop-in: every remaining flat
             # row becomes a bare-leaf tree that qualifies across all fields
             # (PREFIX/FUZZY expansion then runs against the field-qualified
@@ -780,6 +822,15 @@ def search(
             )
             qpd = qparse.rewrite_expansion_rows(
                 qpd, "FUZZY", lambda ts, e: expand_fuzzy_terms(index, ts, e)
+            )
+            qpd = qparse.rewrite_expansion_rows(
+                qpd, "WILDCARD",
+                lambda ts, _e: expand_regex_terms(
+                    index, [qparse.wildcard_to_regex(t) for t in ts]
+                ),
+            )
+            qpd = qparse.rewrite_expansion_rows(
+                qpd, "REGEX", lambda ts, _e: expand_regex_terms(index, ts)
             )
         qpd, bool_positional = _normalize_bool_rows(index, qpd)
         qpd = qpd.drop(columns=[c for c in ("max_edits",) if c in qpd.columns])

@@ -301,6 +301,32 @@ class LocalIndex:
                 out |= set(terms[terms.str.startswith(p)])
         return qparse.cap_prefix_expansion(out, prefixes, max_expansions)
 
+    def expand_regex(
+        self,
+        patterns: list[str],
+        max_expansions: int = qparse.MAX_PREFIX_EXPANSIONS,
+    ) -> list[str]:
+        """REGEX/WILDCARD rewrite against the serving dictionary — full-
+        match per pattern, same cap contract as exec.expand_regex_terms."""
+        import re
+
+        if not patterns:
+            return []
+        self.term_info(set())
+        rxs = [re.compile(p) for p in patterns]
+        out: set[str] = set()
+        if self._dict is not None:
+            idx = self._dict.index
+            for rx in rxs:
+                out |= {t for t in idx if rx.fullmatch(t)}
+        else:
+            terms = (
+                self._terms_dataset().to_table(columns=["term"]).column("term").to_pandas()
+            )
+            for rx in rxs:
+                out |= {t for t in terms if rx.fullmatch(t)}
+        return qparse.cap_prefix_expansion(out, patterns, max_expansions, kind="regex")
+
     def expand_fuzzy(
         self,
         terms: list[str],
@@ -634,6 +660,12 @@ def normalize_local_queries(
     queries = qparse.analyze_query_rows(queries, stats)
     queries = booltree.rewrite_fielded_rows(queries, field_stats)
     if field_stats:
+        if queries["mode"].isin(["WILDCARD", "REGEX"]).any():
+            raise ValueError(
+                "WILDCARD/REGEX modes are not supported on fielded "
+                "indexes (v1) — query one field with an explicit "
+                "field-qualified pattern via expand_regex + OR"
+            )
         # fielded index = query-time drop-in: flat rows become bare-leaf
         # trees that qualify across all fields in the normalize step
         queries = booltree.auto_fielded_rows(queries)
@@ -643,6 +675,15 @@ def normalize_local_queries(
         )
         queries = qparse.rewrite_expansion_rows(
             queries, "FUZZY", lambda ts, e: li.expand_fuzzy(ts, e)
+        )
+        queries = qparse.rewrite_expansion_rows(
+            queries, "WILDCARD",
+            lambda ts, _e: li.expand_regex(
+                [qparse.wildcard_to_regex(t) for t in ts]
+            ),
+        )
+        queries = qparse.rewrite_expansion_rows(
+            queries, "REGEX", lambda ts, _e: li.expand_regex(ts)
         )
     bool_positional = False
     if (queries["mode"] == "BOOL").any():

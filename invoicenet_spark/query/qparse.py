@@ -44,11 +44,10 @@ def cap_prefix_expansion(
     lexicographic expansion."""
     matched = set(matched)
     if len(matched) > max_expansions:
-        remedy = (
-            "lower max_edits or use rarer terms"
-            if kind == "fuzzy"
-            else "narrow the prefix"
-        )
+        remedy = {
+            "fuzzy": "lower max_edits or use rarer terms",
+            "regex": "narrow the pattern",
+        }.get(kind, "narrow the prefix")
         raise ValueError(
             f"{kind} expansion matches more than {max_expansions} dictionary "
             f"terms ({sorted(prefixes)}); {remedy}"
@@ -78,7 +77,7 @@ def analyze_query_rows(queries, stats: dict):
     from invoicenet_spark.functions.analyzer import analyze_terms
 
     queries = queries.copy()
-    mask = ~queries["mode"].isin(["PREFIX", "FUZZY", "BOOL"])
+    mask = ~queries["mode"].isin(["PREFIX", "FUZZY", "BOOL", "WILDCARD", "REGEX"])
     if mask.any():
         queries.loc[mask, "terms"] = pd.Series(
             [
@@ -95,6 +94,22 @@ def analyze_query_rows(queries, stats: dict):
             for ts in queries["neg_terms"]
         ]
     return queries
+
+
+def wildcard_to_regex(pattern: str) -> str:
+    """Lucene WildcardQuery → anchored regex: `*` = any run, `?` = one
+    char, everything else literal (regex metacharacters escaped)."""
+    import re
+
+    out = []
+    for ch in pattern:
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        else:
+            out.append(re.escape(ch))
+    return "".join(out)
 
 
 def rewrite_expansion_rows(queries, mode: str, expander):

@@ -54,6 +54,15 @@ def main():
     ).parquet(pages_path)
     pages = spark.read.parquet(pages_path)
 
+    # pre-warm the python worker pool (bench.py's steady-state trick)
+    def _noop(batches):
+        for b in batches:
+            yield b
+
+    spark.range(0, args.cores * 4, 1, args.cores).mapInArrow(
+        _noop, schema="id long"
+    ).count()
+
     out = {"n_docs": args.docs, "cores": args.cores, "reps": args.reps}
     for name, cfg in (
         ("plain", EngineConfig(shard_size=1 << 14, block_size=128,
