@@ -48,6 +48,31 @@ def _load1() -> float:
         return -1.0
 
 
+def _io_probe(*paths) -> tuple[float, float]:
+    """(seconds, MB) to read every byte under `paths` — the storage-state
+    signal the loadavg co-load guard cannot see: a flushed page cache (or a
+    throttled virtio host) makes every parquet scan 2-7x slower while the
+    box looks idle (observed round 5: an otherwise-clean run had all
+    operator rows inflated with buff/cache near zero). Reading the inputs
+    here both MEASURES the state and WARMS the cache, so the timed phases
+    start from a declared-hot baseline."""
+    t0 = time.perf_counter()
+    n = 0
+    for p in paths:
+        for root, _dirs, files in os.walk(p):
+            for f in files:
+                try:
+                    with open(os.path.join(root, f), "rb") as fh:
+                        while True:
+                            b = fh.read(1 << 20)
+                            if not b:
+                                break
+                            n += len(b)
+                except OSError:
+                    pass
+    return round(time.perf_counter() - t0, 3), round(n / 1e6, 1)
+
+
 def measure(fn, warmups: int = 2, reps: int = REPS) -> tuple[float, float]:
     """(median_sec, spread) over `reps` timed runs after `warmups` untimed
     ones; spread = (max-min)/median — the honesty metric for each row."""
@@ -88,6 +113,11 @@ def main():
             yield b
 
     spark.range(0, CPUS * 4, 1, CPUS).mapInArrow(_noop, schema="id long").count()
+
+    # storage-state probe (+ cache warm) over every timed phase's input
+    io_probe_sec, io_probe_mb = _io_probe(
+        os.path.join(tempfile.gettempdir(), "bench_pages"), SF_DIR
+    )
 
     build_times = []
     roots = []
@@ -193,6 +223,13 @@ def main():
                 "load1_at_start": load_at_start,
                 "load1_at_end": load_at_end,
                 "coload_warning": bool(load_at_start > 2.0),
+                # storage-state signal: seconds to read all timed-phase
+                # inputs (bench pages + sf dir) before the timed phases —
+                # a cold/throttled store shows up here, not in loadavg
+                "io_probe_sec": io_probe_sec,
+                "io_probe_mb": io_probe_mb,
+                "io_warning": bool(io_probe_mb > 0 and
+                                   io_probe_mb / max(io_probe_sec, 1e-9) < 200),
             }
         )
     )

@@ -55,6 +55,18 @@ def _query_row(args) -> dict:
     return qrow
 
 
+def _synonym_map(args) -> dict | None:
+    if not getattr(args, "synonyms", None):
+        return None
+    out = {}
+    for kv in args.synonyms.split(","):
+        k, _, vs = kv.partition("=")
+        if not vs:
+            raise SystemExit(f"--synonyms entry {kv!r} needs term=alt1|alt2")
+        out[k] = vs.split("|")
+    return out
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="invoicenet_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -171,6 +183,10 @@ def main(argv=None):
                    help="facet the returned match set by a docs-table field "
                         "(e.g. url) — prints (value, n_docs) rows; pass a "
                         "big -k to facet the full match set")
+    s.add_argument("--synonyms", default=None,
+                   help="query-time synonym map 'car=auto|automobile,big=large' "
+                        "— OR queries gain the alternatives as clauses, AND "
+                        "queries match any form of every concept")
     s.add_argument("--date-histogram", default=None, dest="date_histogram",
                    choices=["hour", "day", "week", "month", "year"],
                    help="bucket the match set's warc_ts by this calendar "
@@ -241,7 +257,8 @@ def main(argv=None):
         args.fed_roots = args.index.split(",")
         args.federated = len(args.fed_roots) > 1 or args.ts_from or args.ts_to
         if args.federated and (args.facet or args.sort_by or args.snippets
-                               or args.doc_filter or args.date_histogram):
+                               or args.doc_filter or args.date_histogram
+                               or args.synonyms):
             raise SystemExit(
                 "--facet/--sort-by/--snippets/--filter are per-index "
                 "features; run them against one segment root"
@@ -291,10 +308,12 @@ def main(argv=None):
             excluded = excluded_ids_local(args.index, args.doc_filter)
         if args.count:
             res = search_local(args.index, q, kernel=args.kernel,
-                               count_only=True, excluded_ids=excluded)
+                               count_only=True, excluded_ids=excluded,
+                               synonyms=_synonym_map(args))
             print(json.dumps({"total_hits": int(res["total_hits"].iloc[0])}))
             return 0
-        res = search_local(args.index, q, kernel=args.kernel, excluded_ids=excluded)
+        res = search_local(args.index, q, kernel=args.kernel,
+                           excluded_ids=excluded, synonyms=_synonym_map(args))
         if args.facet:
             from invoicenet_spark.query.local import facet_counts_local
 
@@ -441,10 +460,12 @@ def main(argv=None):
         doc_filter = (index.docs, args.doc_filter) if args.doc_filter else None
         if args.count:
             row = search(spark, index, q, kernel=args.kernel, count_only=True,
-                         doc_filter=doc_filter).collect()[0]
+                         doc_filter=doc_filter,
+                         synonyms=_synonym_map(args)).collect()[0]
             print(json.dumps({"total_hits": int(row["total_hits"])}))
             return 0
-        res = search(spark, index, q, kernel=args.kernel, doc_filter=doc_filter)
+        res = search(spark, index, q, kernel=args.kernel, doc_filter=doc_filter,
+                     synonyms=_synonym_map(args))
         if args.facet:
             from invoicenet_spark.query.exec import facet_counts
 

@@ -138,12 +138,12 @@ def _bm25_engine_results(
 
 def _ranked_from_index(
     spark: SparkSession, index_root: str, terms, mode: str, k: int,
-    doc_filter=None, **qextra
+    doc_filter=None, synonyms=None, **qextra
 ):
     """qextra: optional per-query fields (neg_terms, min_match) passed
     straight into the query row — exercised by the query-language oracles.
     doc_filter: (meta frame, SQL predicate) forwarded to search() — the ES
-    filter-context oracle."""
+    filter-context oracle. synonyms: query-time synonym map ditto."""
     import pandas as pd
 
     from invoicenet_spark.query.exec import load_index, search
@@ -152,7 +152,10 @@ def _ranked_from_index(
     q = pd.DataFrame(
         [{"query_id": 1, "terms": list(terms), "mode": mode, "k": 100000, **qextra}]
     )
-    res = search(spark, index, q, kernel="auto", with_url=True, doc_filter=doc_filter)
+    res = search(
+        spark, index, q, kernel="auto", with_url=True, doc_filter=doc_filter,
+        synonyms=synonyms,
+    )
     scored = res.select(
         F.col("url").cast("long").alias("doc_id"),
         F.round(F.col("score"), 6).alias("score_r6"),
@@ -927,6 +930,18 @@ def q_bm25_topk_wildcard(spark, sf_dir):
     return _bm25_engine_results(spark, sf_dir, ["w?ndow", "t*e"], "WILDCARD", 20)
 
 
+def q_bm25_topk_synonyms(spark, sf_dir):
+    """Query-time synonyms on an AND query: `window` expands to its
+    synonym group (window|table), so the query matches any form of every
+    concept — AND-of-disjunction-groups on the tree pipeline, scored as
+    the sum over ALL matched query terms. Oracle: per-group EXISTS in the
+    HAVING clause over the standard BM25 CTE."""
+    return _bm25_engine_results(
+        spark, sf_dir, ["window", "row"], "AND", 20,
+        synonyms={"window": ["table"]},
+    )
+
+
 def q_bm25_topk_page2(spark, sf_dir):
     """search_after pagination: page 2 (results 21-40) fetched with the
     cursor (score, doc_id) of page 1's last row — the oracle re-derives
@@ -1449,6 +1464,7 @@ QUERIES = {
     "bm25_topk_filtered": q_bm25_topk_filtered,
     "bm25_topk_fuzzy": q_bm25_topk_fuzzy,
     "bm25_topk_wildcard": q_bm25_topk_wildcard,
+    "bm25_topk_synonyms": q_bm25_topk_synonyms,
     "bm25_federated": q_bm25_federated,
     "bm25_federated_pruned": q_bm25_federated_pruned,
     "bm25_analyzed": q_bm25_analyzed,
@@ -1569,6 +1585,39 @@ ORDER BY rank
     "bm25_topk_wildcard": _duck_bm25(
         [], "OR", 20, regex_full=["w.ndow", "t.*e"]
     ),
+    # synonyms on AND: (window|table) AND row — candidates need one term
+    # from EVERY group (per-group EXISTS in HAVING), score sums ALL
+    # matched query terms
+    "bm25_topk_synonyms": """
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+         t -> t <> '')) AS term
+  FROM documents WHERE lang = 'en'
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+qt(term, boost) AS (VALUES ('window', 1.0), ('table', 1.0), ('row', 1.0)),
+tf AS (
+  SELECT term, doc_id, count(*) AS tf FROM toks
+  WHERE term IN (SELECT term FROM qt) GROUP BY term, doc_id
+),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum( qt.boost * ln((stats.n - dfq.df + 0.5)/(dfq.df + 0.5) + 1.0)
+              * tf.tf * 2.2 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl)) ) AS score
+  FROM tf JOIN dfq USING(term) JOIN qt USING(term) JOIN dl USING(doc_id) CROSS JOIN stats
+  GROUP BY tf.doc_id
+  HAVING count(DISTINCT CASE WHEN term IN ('window', 'table') THEN term END) >= 1
+     AND count(DISTINCT CASE WHEN term = 'row' THEN term END) >= 1
+),
+r AS (SELECT doc_id, round(score, 6) AS score_r6 FROM scored)
+SELECT CAST(row_number() OVER (ORDER BY score_r6 DESC, doc_id) AS BIGINT) AS rank,
+       doc_id, round(score_r6, 4) AS score_r4
+FROM r
+QUALIFY row_number() OVER (ORDER BY score_r6 DESC, doc_id) <= 20
+ORDER BY rank
+""",
     # federation with union statistics == one index over the union corpus
     "bm25_federated": _duck_bm25(BM25_QUERY_TERMS, "OR", 20),
     # time window keeps only the doc_id > max/2 segment: corpus, stats and

@@ -713,8 +713,14 @@ def search(
     count_only: bool = False,
     matches_only: bool = False,
     doc_filter: "tuple[DataFrame, str] | None" = None,
+    synonyms: dict | None = None,
 ) -> DataFrame:
     """Batch top-k search. queries: (query_id, terms array<string>, mode, k).
+
+    synonyms {token: [equivalent tokens]} expands query-time (see
+    qparse.apply_synonyms_rows: OR appends clauses, AND becomes
+    AND-of-disjunction-groups on the tree pipeline; tokens must be
+    analyzer-output forms when the index has a chain).
 
     Optional query columns (absent = off, per row):
       neg_terms array<string> — docs containing ANY of these are excluded
@@ -786,6 +792,7 @@ def search(
             or index.stats.get("fields")  # fielded index: tree rewrite path
             or index.stats.get("stopwords")  # analyzer chain: driver-side
             or index.stats.get("stem")  # query-term rewrite
+            or synonyms  # synonym rewrite is driver-side too
             or any(r["has_boost"] for r in flag_rows)
         ):
             qpd = qdf.toPandas()
@@ -801,8 +808,10 @@ def search(
         field_stats = index.stats.get("fields") or {}
         # analyzer chain first: flat terms stop/stem BEFORE any fielded
         # qualification or expansion (BOOL rows analyze leaf-wise inside
-        # normalize_query; PREFIX/FUZZY never analyze)
+        # normalize_query; PREFIX/FUZZY never analyze); synonyms expand on
+        # the analyzed forms
         qpd = qparse.analyze_query_rows(qpd, index.stats)
+        qpd = qparse.apply_synonyms_rows(qpd, synonyms)
         qpd = booltree.rewrite_fielded_rows(qpd, field_stats)
         if field_stats:
             if qpd["mode"].isin(["WILDCARD", "REGEX"]).any():

@@ -634,7 +634,8 @@ def _run_bool_query(
 
 
 def normalize_local_queries(
-    li: LocalIndex, queries: pd.DataFrame, stats: dict
+    li: LocalIndex, queries: pd.DataFrame, stats: dict,
+    synonyms: dict | None = None,
 ) -> tuple[pd.DataFrame, set, bool]:
     """Driver-side query canonicalization against ONE segment's dictionary:
     fielded rewrite + bare-leaf auto-qualification, PREFIX/FUZZY expansion,
@@ -658,6 +659,7 @@ def normalize_local_queries(
     # stop/stem before fielded qualification; BOOL rows analyze leaf-wise
     # inside normalize_query below
     queries = qparse.analyze_query_rows(queries, stats)
+    queries = qparse.apply_synonyms_rows(queries, synonyms)
     queries = booltree.rewrite_fielded_rows(queries, field_stats)
     if field_stats:
         if queries["mode"].isin(["WILDCARD", "REGEX"]).any():
@@ -740,6 +742,7 @@ def search_local(
     excluded_ids: "np.ndarray | None" = None,
     stats_override: dict | None = None,
     df_override: "dict[str, int] | None" = None,
+    synonyms: dict | None = None,
 ) -> pd.DataFrame:
     """Serve (query_id, terms, mode, k) queries driver-locally, Spark-free.
 
@@ -780,7 +783,7 @@ def search_local(
     li = local_index(index)
     stats = {**li.stats, **stats_override} if stats_override else li.stats
     queries, needed_terms, bool_positional = normalize_local_queries(
-        li, queries, stats
+        li, queries, stats, synonyms=synonyms
     )
     term_info = li.term_info(needed_terms)
     if df_override:

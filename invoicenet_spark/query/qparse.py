@@ -96,6 +96,71 @@ def analyze_query_rows(queries, stats: dict):
     return queries
 
 
+def apply_synonyms_rows(queries, synonyms: dict | None):
+    """Query-time synonym expansion (the ES query-time synonym_filter mode —
+    index-time synonyms pollute df/idf, so ES recommends query-time):
+    `synonyms` maps an ANALYZER-OUTPUT token to its equivalent tokens
+    (callers pass post-chain forms; apply AFTER analyze_query_rows).
+
+    - OR rows: synonyms append as extra clauses sharing the original
+      term's boost (classic QueryParser SynonymFilter expansion; a doc
+      carrying several forms sums them — the documented difference from
+      Lucene's blended SynonymQuery).
+    - AND rows: each term becomes a disjunction GROUP — the row rewrites
+      to a BOOL tree AND(OR(term, syns...), ...), so 'any form of every
+      concept' matches; the tree pipeline's conjunctive block-probe kernel
+      and cursors apply unchanged. Boosts ride onto every group member.
+    - other modes pass through untouched (phrase/expansion-mode synonyms
+      are the graph-filter territory — documented unsupported v1).
+    """
+    if not synonyms:
+        return queries
+    import pandas as pd
+
+    def _forms(raw: str) -> list[tuple[str, str]]:
+        base, sep, boost = str(raw).partition("^")
+        sfx = sep + boost if sep else ""
+        out = [(base, sfx)]
+        out += [(s, sfx) for s in synonyms.get(base, ())]
+        return out
+
+    queries = queries.copy()
+    or_mask = queries["mode"] == "OR"
+    if or_mask.any():
+        queries.loc[or_mask, "terms"] = pd.Series(
+            [
+                list(dict.fromkeys(f + sfx for t in ts for f, sfx in _forms(t)))
+                for ts in queries.loc[or_mask, "terms"]
+            ],
+            index=queries.index[or_mask],
+        )
+    and_mask = (queries["mode"] == "AND") & [
+        any(str(t).partition("^")[0] in synonyms for t in ts)
+        for ts in queries["terms"]
+    ]
+    if and_mask.any():
+        if "tree" not in queries.columns:
+            queries["tree"] = None
+        for i in queries.index[and_mask]:
+            groups = []
+            for t in queries.at[i, "terms"]:
+                leaves = [
+                    {"kind": "term", "term": f,
+                     "boost": float(sfx[1:]) if sfx else 1.0}
+                    for f, sfx in _forms(t)
+                ]
+                groups.append(
+                    leaves[0] if len(leaves) == 1
+                    else {"kind": "or", "clauses": leaves, "min_match": 0}
+                )
+            queries.at[i, "tree"] = (
+                groups[0] if len(groups) == 1
+                else {"kind": "and", "clauses": groups}
+            )
+            queries.at[i, "mode"] = "BOOL"
+    return queries
+
+
 def wildcard_to_regex(pattern: str) -> str:
     """Lucene WildcardQuery → anchored regex: `*` = any run, `?` = one
     char, everything else literal (regex metacharacters escaped)."""
