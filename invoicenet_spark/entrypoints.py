@@ -555,10 +555,16 @@ def q_term_counts(spark, sf_dir):
 
 
 def q_doc_freq(spark, sf_dir):
-    """H1/A8: document frequency per term."""
+    """H1/A8: document frequency per term.
+
+    Per-doc dedup happens in the ARRAY domain (array_distinct inside the
+    scan projection), so the plan is scan → explode → one partial-agg
+    shuffle of (term, count) — the (doc_id, term) distinct EXCHANGE the
+    previous shape paid is gone (round 6, guide §2.4); result identical
+    (df = number of docs containing the term)."""
     return (
-        _toks(spark, sf_dir)
-        .distinct()
+        _docs(spark, sf_dir)
+        .select(F.explode(F.array_distinct(tokens_col("text"))).alias("term"))
         .groupBy("term")
         .agg(F.count("*").alias("df"))
     )
@@ -1108,15 +1114,20 @@ def q_binary_meta(spark, sf_dir):
 def q_ann_cosine_topk(spark, sf_dir):
     """Similarity search: exact cosine top-10 to the vec_id=0 embedding."""
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
-    scored = emb.where(F.col("vec_id") != 0).select(
-        "vec_id",
-        F.round(
-            similarity.cosine_col(
-                F.col("embedding"), F.array(*[F.lit(x) for x in qvec])
-            ),
-            6,
-        ).alias("cos_r6"),
+    # broadcast the 1-row query vector instead of collecting it driver-side:
+    # one Spark job instead of a .first() round-trip + scored job per call
+    # (round 6, guide §5 — keep the driver out of the query path). Float
+    # math unchanged: cosine_col casts elementwise to double either way.
+    qrow = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("_qv"))
+    scored = (
+        emb.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qrow))
+        .select(
+            "vec_id",
+            F.round(
+                similarity.cosine_col(F.col("embedding"), F.col("_qv")), 6
+            ).alias("cos_r6"),
+        )
     )
     # TakeOrderedAndProject cap, then rank the 10 survivors (total order →
     # identical ranks, no full-corpus single-partition WindowExec)

@@ -190,6 +190,11 @@ def vacuum_docs_dirs(paths: IndexPaths) -> list[str]:
     return removed
 
 
+# Encode-pipeline shape switch (A/B-measured in round 6): True streams raw
+# token rows into the range shuffle (tf by run-length in the kernel); False
+# pre-aggregates (term, doc) pairs before the shuffle.
+_TOKEN_STREAM_ENCODE = True
+
 POSTINGS_SCHEMA = (
     "term_id long, shard long, df_shard long, "
     "doc_blob binary, tf_blob binary, dl_blob binary, pos_blob binary, "
@@ -387,8 +392,14 @@ def _encode_rows(tbl: "pa.Table", block_size: int, shard_size: int) -> "pa.Recor
     dl = tbl.column("doc_len").to_numpy().astype(np.int64)
     positional = "pos" in tbl.column_names
     n = tids.size
-    if positional:
-        pos_flat = tbl.column("pos").to_numpy().astype(np.int64)
+    if positional or "tf" not in tbl.column_names:
+        # token rows (with or without a position stream), sorted by
+        # (term_id, doc_id[, pos]): run-length over (term_id, doc_id)
+        # yields tf — the non-positional token-stream build skips the
+        # (term, doc) pre-aggregation shuffle and derives tf here instead
+        pos_flat = (
+            tbl.column("pos").to_numpy().astype(np.int64) if positional else None
+        )
         new_posting = np.ones(n, dtype=bool)
         new_posting[1:] = (tids[1:] != tids[:-1]) | (docs[1:] != docs[:-1])
         p_start = np.flatnonzero(new_posting)
@@ -478,9 +489,16 @@ def build_doc_table(pages_text: DataFrame, cfg: EngineConfig, id_offset: int = 0
         )
     else:
         stored = ["text"] if cfg.store_text else []
+        # a pre-analyzed frame (build_index's cached token arrays) carries
+        # `_toks`; doc_len is then just the array size — no re-tokenize
+        dl = (
+            F.size(F.col("_toks"))
+            if "_toks" in pages_text.columns
+            else F.size(analyze_col("text", cfg.token_pattern, cfg.stopwords, cfg.stem))
+        )
         with_len = pages_text.select(
             "url",
-            F.size(analyze_col("text", cfg.token_pattern, cfg.stopwords, cfg.stem)).alias("doc_len"),
+            dl.alias("doc_len"),
             *ts_col,
             *stored,
         )
@@ -545,6 +563,31 @@ def build_index(
     if dedup_exact:
         pages_text = dedup_pages_exact(pages_text, cfg)
 
+    # Extraction + tokenization run ONCE per build (round 6, guide §2.4):
+    # phase 1 (doc_len) and phase 2 (the token explode) both consumed
+    # pages_text, so the Arrow-C++ extraction and the analyzer chain each
+    # executed twice per build. Cache the analyzed token arrays instead —
+    # doc_len becomes size(_toks) and phase 2 explodes the cached arrays.
+    # Non-fielded only (the fielded build derives per-field arrays inline).
+    # At 100 TB the equivalent is materializing extracted text once as a
+    # snapshot (the use_stored_text path); MEMORY_AND_DISK bounds the local
+    # cost, and the cache is dropped before finalize returns.
+    analyzed = None
+    if not cfg.fields:
+        from pyspark.storagelevel import StorageLevel
+
+        stored = ["text"] if cfg.store_text else []
+        ts_cols = ["warc_ts"] if "warc_ts" in pages_text.columns else []
+        analyzed = pages_text.select(
+            "url",
+            *ts_cols,
+            *stored,
+            analyze_col("text", cfg.token_pattern, cfg.stopwords, cfg.stem).alias(
+                "_toks"
+            ),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        pages_text = analyzed
+
     # ---- phase 1: doc dictionary (committed once; reused on resume).
     # Written partitioned by `segment` so incremental appends are per-segment
     # directories — an aborted update is undone by removing one directory.
@@ -573,15 +616,19 @@ def build_index(
     # ---- phase 2: postings, committed per shard (lineage granularity)
     t0 = time.time()
     observed = {"n_docs": 0, "posting_rows": 0, "n_postings": 0}
-    if pending:
-        docs_pending = docs.where(F.col("shard").isin(pending))
-        observed = _encode_and_commit(
-            spark, pages_text, docs_pending, pending, cfg, paths, log,
-            fail_after_shards,
-        )
+    try:
+        if pending:
+            docs_pending = docs.where(F.col("shard").isin(pending))
+            observed = _encode_and_commit(
+                spark, pages_text, docs_pending, pending, cfg, paths, log,
+                fail_after_shards,
+            )
 
-    # ---- phase 3: terms dictionary + corpus stats + metrics
-    _finalize(spark, docs, cfg, paths, manifest, log, t0, observed)
+        # ---- phase 3: terms dictionary + corpus stats + metrics
+        _finalize(spark, docs, cfg, paths, manifest, log, t0, observed)
+    finally:
+        if analyzed is not None:
+            analyzed.unpersist()
     return paths
 
 
@@ -663,6 +710,15 @@ def _encode_and_commit(
         return exploded.select(*cols)
 
     shard_expr = (F.col("doc_id") / F.lit(cfg.shard_size)).cast("long")
+    # a pre-analyzed pages frame (build_index's cached `_toks` arrays) makes
+    # re-deriving the token stream from cache cheap — no second persist of
+    # the exploded rows is needed and (non-positional) the (term, doc_id)
+    # pre-aggregation EXCHANGE can be skipped entirely: token rows go
+    # straight into the ONE range shuffle and the encode kernel computes tf
+    # by run-length, exactly as the positional path always has (round 6,
+    # guide §2.4 — the encode pipeline is now one exchange end to end).
+    cached_toks = "_toks" in pages_text.columns and not cfg.fields
+    token_stream = cached_toks and _TOKEN_STREAM_ENCODE
     if cfg.with_positions:
         # positional index: token-level rows (term, doc, pos) stream through
         # the encoder; tf computed by run-length in-kernel. More Arrow
@@ -671,11 +727,19 @@ def _encode_and_commit(
             _field_tokens(True)
             if cfg.fields
             else src.select(
-                F.posexplode(analyze_col("text", cfg.token_pattern, cfg.stopwords, cfg.stem)).alias("pos", "term"),
+                F.posexplode(
+                    F.col("_toks")
+                    if cached_toks
+                    else analyze_col(
+                        "text", cfg.token_pattern, cfg.stopwords, cfg.stem
+                    )
+                ).alias("pos", "term"),
                 "doc_id",
                 F.col("doc_len").cast("int").alias("doc_len"),
             )
-        ).persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        if not cached_toks:
+            tokens = tokens.persist(StorageLevel.MEMORY_AND_DISK)
         pairs = tokens  # dictionary source + unpersist handle
         term_dict = _term_dictionary(spark, tokens, cfg, paths)
         enc_input = tokens.join(term_dict, "term").select(
@@ -687,17 +751,33 @@ def _encode_and_commit(
             _field_tokens(False)
             if cfg.fields
             else src.select(
-                F.explode(analyze_col("text", cfg.token_pattern, cfg.stopwords, cfg.stem)).alias("term"),
+                F.explode(
+                    F.col("_toks")
+                    if cached_toks
+                    else analyze_col(
+                        "text", cfg.token_pattern, cfg.stopwords, cfg.stem
+                    )
+                ).alias("term"),
                 "doc_id",
                 F.col("doc_len").cast("int").alias("doc_len"),
             )
         )
-        pairs = tokens.groupBy("term", "doc_id", "doc_len").agg(F.count("*").alias("tf"))
-        pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
-        term_dict = _term_dictionary(spark, pairs, cfg, paths)
-        enc_input = pairs.join(term_dict, "term").select(
-            "term_id", "doc_id", "doc_len", "tf"
-        )
+        if token_stream:
+            # token-stream encode: one exchange, run-length tf in-kernel
+            pairs = tokens  # unpersist handle (no-op: not persisted)
+            term_dict = _term_dictionary(spark, tokens, cfg, paths)
+            enc_input = tokens.join(term_dict, "term").select(
+                "term_id", "doc_id", "doc_len"
+            )
+        else:
+            pairs = tokens.groupBy("term", "doc_id", "doc_len").agg(
+                F.count("*").alias("tf")
+            )
+            pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+            term_dict = _term_dictionary(spark, pairs, cfg, paths)
+            enc_input = pairs.join(term_dict, "term").select(
+                "term_id", "doc_id", "doc_len", "tf"
+            )
         sort_cols = ["term_id", "doc_id"]
     # RANGE partitioning on (term_id, shard) — not hash. Equal keys still
     # land in one partition (groups are never split, every (term, shard)
