@@ -164,7 +164,10 @@ def strip_tags_arrow(html: pa.Array) -> pa.Array:
     mask = pc.match_substring_regex(s, _ENTITY_RE)
     if pc.any(mask).as_py():
         py = s.to_pandas()
-        sel = mask.to_pandas().fillna(False).to_numpy(dtype=bool)
+        # null-fill arrow-side: pandas fillna on an object-dtype bool series
+        # relies on deprecated silent downcasting (FutureWarning → error on
+        # a pandas upgrade)
+        sel = pc.fill_null(mask, False).to_numpy(zero_copy_only=False)
         py[sel] = py[sel].str.replace(
             _ENTITY_RE, lambda m: _html.unescape(m.group(0)), regex=True
         )

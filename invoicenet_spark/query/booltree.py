@@ -628,6 +628,7 @@ def fielded_tree(
     field_weights: dict[str, float],
     field_stats: dict,
     min_match: int = 0,
+    synonyms: dict | None = None,
 ) -> dict:
     """BM25F-lite rewrite: a flat OR/AND query plus {field: weight} becomes
     a boolean tree of field-qualified leaves —
@@ -638,7 +639,12 @@ def fielded_tree(
     where each per-term group = or(`field:term`^weight per field). A doc's
     score is the weighted sum of its per-field BM25 partials (weight scales
     idf; dl/avgdl are the FIELD's), and AND requires every base term in at
-    least one field — Lucene BooleanQuery-over-fields semantics."""
+    least one field — Lucene BooleanQuery-over-fields semantics.
+
+    synonyms {token: [equivalents]}: each per-term group expands to the
+    union of its forms' field leaves — 'any form of the concept in any
+    field' — mirroring apply_synonyms_rows' AND-of-disjunction-groups
+    semantics on fielded rows (which that rewrite leaves to this one)."""
     unknown = [f for f in field_weights if f not in field_stats]
     if unknown:
         raise ValueError(
@@ -646,13 +652,15 @@ def fielded_tree(
         )
     groups = []
     for t in dict.fromkeys(terms):
+        forms = [t] + [s for s in (synonyms or {}).get(t, ())]
         leaves = [
             {
                 "kind": "term",
-                "term": f"{f}:{t}",
+                "term": f"{f}:{form}",
                 "boost": float(w),
                 "avgdl": float(field_stats[f]["avgdl"]),
             }
+            for form in dict.fromkeys(forms)
             for f, w in field_weights.items()
         ]
         groups.append(leaves[0] if len(leaves) == 1 else {"kind": "or", "clauses": leaves})
@@ -664,10 +672,13 @@ def fielded_tree(
     return node if len(groups) > 1 or "min_match" in node else groups[0]
 
 
-def rewrite_fielded_rows(queries, field_stats: dict):
+def rewrite_fielded_rows(queries, field_stats: dict, synonyms: dict | None = None):
     """Both query paths' driver-side rewrite: rows carrying a non-empty
     `fields` {field: weight} map (modes OR/AND) become mode='BOOL' rows with
-    a fielded_tree in `tree`. Returns a frame without the `fields` column."""
+    a fielded_tree in `tree`. Returns a frame without the `fields` column.
+    `synonyms` expand inside the tree for AND rows (apply_synonyms_rows
+    skips fielded AND rows so this rewrite can qualify the forms; fielded
+    OR rows arrive with their term lists already expanded)."""
     import pandas as pd
 
     if "fields" not in queries.columns:
@@ -685,7 +696,8 @@ def rewrite_fielded_rows(queries, field_stats: dict):
         mm_raw = queries.at[i, "min_match"] if "min_match" in queries.columns else 0
         mm = int(mm_raw) if mm_raw is not None and not pd.isna(mm_raw) else 0
         queries.at[i, "tree"] = fielded_tree(
-            list(queries.at[i, "terms"]), mode, fw, field_stats, min_match=mm
+            list(queries.at[i, "terms"]), mode, fw, field_stats, min_match=mm,
+            synonyms=synonyms if mode == "AND" else None,
         )
         queries.at[i, "mode"] = "BOOL"
     return queries.drop(columns=["fields"])
@@ -940,11 +952,12 @@ def evaluate_shard_topk(
     leaf boost and whose length normalization uses the leaf's field avgdl,
     so the kernel's per-block upper bounds remain valid bounds on the
     leaf's true contribution (boost is linear in the score; the bound and
-    the score use the same avgdl). Normally that's block-max MaxScore;
-    with a pagination cursor or kernel='exhaustive' it's the flat
-    exhaustive kernel — the two are FLOAT-IDENTICAL by construction
+    the score use the same avgdl). Normally that's block-max MaxScore —
+    including on cursored pages (round 6: score_blockmax seeds theta from
+    after-filtered seed scores); kernel='exhaustive' forces the flat
+    exhaustive kernel. The two are FLOAT-IDENTICAL by construction
     (_probe_scores accumulates in score_exhaustive's order), so cursors
-    minted by a pruned page 1 remain exact on later pages, and the kernel
+    minted by either kernel remain exact on later pages, and the kernel
     choice never changes a score bit. Rank-identity of the pruned kernel
     is the score_blockmax contract (fuzz-pinned, incl. the tree fuzz in
     tests/test_booltree.py); flat-kernel floats may differ from the
@@ -978,9 +991,12 @@ def evaluate_shard_topk(
         plists = _resolve(leaves)
         if not plists:
             return _EMPTY
-        if kernel == "exhaustive" or after is not None:
+        if kernel == "exhaustive":
             return kernels.score_exhaustive(plists, k, "OR", deleted=deleted, after=after)
-        return kernels.score_blockmax(plists, k, deleted=deleted)
+        # cursors no longer force the exhaustive kernel (round 6):
+        # score_blockmax seeds theta from after-filtered seed scores and
+        # after-filters candidates — float-identical, pages stay exact
+        return kernels.score_blockmax(plists, k, deleted=deleted, after=after)
     if tree["kind"] == "or":
         mixed = flatten_or_mixed(tree)
         if mixed is not None:

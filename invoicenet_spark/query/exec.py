@@ -191,10 +191,17 @@ def expand_regex_terms(
     out: set[str] = set()
     local = index.local_dict()
     if local is not None:
+        # compile first (same re.error surface), then match VECTORIZED —
+        # pandas str.fullmatch is the identical `re` engine without a
+        # per-term Python loop over the whole vocabulary (round 6).
+        # NOTE (documented v1 trade): the >max_terms fallback below matches
+        # with JVM rlike — Java regex dialect; patterns must stick to the
+        # common subset (no \p{...}, lookbehind, or inline flags) to expand
+        # identically on both branches.
+        [re.compile(p) for p in patterns]
         idx = local.index
         for p in patterns:
-            rx = re.compile(p)
-            out |= {t for t in idx if rx.fullmatch(t)}
+            out |= set(idx[idx.str.fullmatch(p)])
     else:
         from functools import reduce
 
@@ -672,15 +679,7 @@ def _shard_kernel(stats: dict, kernel: str, deleted_bc=None, count_mode: bool = 
                 [[tp] for tp in plists], k, deleted=deleted, after=after,
                 min_groups=min_match,
             )
-        elif (
-            mode == "AND"
-            or kernel == "exhaustive"
-            or min_match > 1
-            or after is not None
-        ):
-            # pagination without min_match routes to the exhaustive kernel:
-            # the block-max decomposition's theta bound doesn't survive a
-            # cursor (pruning would have to re-derive bounds below it)
+        elif mode == "AND" or kernel == "exhaustive" or min_match > 1:
             docs, scores = kernels.score_exhaustive(
                 plists, k, mode, deleted=deleted, min_match=min_match, after=after
             )
@@ -693,8 +692,12 @@ def _shard_kernel(stats: dict, kernel: str, deleted_bc=None, count_mode: bool = 
             # small constant of exhaustive while skewed corpora (stopword +
             # rare term) skip decoding most of the hot list. The per-pivot
             # Python WAND kernel was retired in round 3 (see kernels.py) —
-            # it never beat this kernel on any fixture.
-            docs, scores = kernels.score_blockmax(plists, k, deleted=deleted)
+            # it never beat this kernel on any fixture. Cursors ride the
+            # pruned kernel too (round 6): theta seeds from after-filtered
+            # seed scores, so page 2+ of a stopword OR stays pruned.
+            docs, scores = kernels.score_blockmax(
+                plists, k, deleted=deleted, after=after
+            )
         return pd.DataFrame(
             {"query_id": np.full(docs.size, query_id, dtype=np.int64),
              "doc_id": docs.astype(np.int64),
@@ -812,7 +815,7 @@ def search(
         # the analyzed forms
         qpd = qparse.analyze_query_rows(qpd, index.stats)
         qpd = qparse.apply_synonyms_rows(qpd, synonyms)
-        qpd = booltree.rewrite_fielded_rows(qpd, field_stats)
+        qpd = booltree.rewrite_fielded_rows(qpd, field_stats, synonyms=synonyms)
         if field_stats:
             if qpd["mode"].isin(["WILDCARD", "REGEX"]).any():
                 raise ValueError(
@@ -1075,7 +1078,15 @@ def search(
         .select("query_id", "rank", "doc_id", "score")
     )
     if with_url:
-        topk = topk.join(index.docs.select("doc_id", "url"), "doc_id", "left").select(
-            "query_id", "rank", "doc_id", "url", "score"
+        # broadcast the SMALL side: topk is ≤ k·n_queries rows by contract,
+        # docs is corpus-sized — the previous left join made the planner
+        # broadcast docs (fine at bench scale, impossible past the 8 GB
+        # broadcast cap at web scale, and an SMJ there would shuffle the
+        # docs table per query batch). A right join with the topk side
+        # hinted streams the docs scan against a tiny built table instead.
+        topk = (
+            index.docs.select("doc_id", "url")
+            .join(F.broadcast(topk), "doc_id", "right")
+            .select("query_id", "rank", "doc_id", "url", "score")
         )
     return topk.orderBy("query_id", "rank")

@@ -102,7 +102,16 @@ def _segment_cursor_queries(queries: pd.DataFrame, segment: int) -> pd.DataFrame
             "previous page's `segment` column alongside score/doc_id)"
         )
     mask = q["after_score"].notna()
-    seg = pd.to_numeric(q["after_segment"]).fillna(-1).astype("int64")
+    seg_raw = pd.to_numeric(q["after_segment"])
+    if bool((mask & seg_raw.isna()).any()):
+        # a cursored row with a NaN segment must error like a missing
+        # column — filling -1 would make every live segment "after" it and
+        # re-return all ties at after_score (overlapping pages)
+        raise ValueError(
+            "federated search_after needs after_segment (take it from the "
+            "previous page's `segment` column alongside score/doc_id)"
+        )
+    seg = seg_raw.fillna(-1).astype("int64")
     if "after_doc" not in q.columns:
         q["after_doc"] = np.nan
     ad = pd.to_numeric(q["after_doc"]).astype("float64")
@@ -150,6 +159,11 @@ class FederatedIndex:
             return (
                 ix.stats["k1"], ix.stats["b"], ix.stats.get("token_pattern"),
                 tuple(sorted(ix.stats.get("fields") or {})),
+                # analyzer chain is part of score comparability: segments
+                # built with different stopword/stem chains analyze the
+                # same query into different term forms
+                tuple(ix.stats.get("stopwords") or ()),
+                ix.stats.get("stem"),
             )
 
         cfg0 = _cfg(self.segments[0])
@@ -217,6 +231,34 @@ class FederatedIndex:
             )
             for ix in segs
         ]
+        # Batched term resolution (round 6): each handle's driver-side
+        # dictionary cache used to warm lazily — two small Spark jobs PER
+        # SEGMENT on the first query (Index.local_dict: count + toPandas),
+        # so a 36-segment federation paid 72 driver jobs before the main
+        # job. Resolve (term → term_id, union df) for ALL live segments in
+        # ONE union job here (the open/dfs phase, where the df union is
+        # already computed), guarded by the same 5M-term ceiling —
+        # oversized vocabularies keep the pushed-filter dictionary-scan
+        # path exactly as before.
+        from pyspark.sql import functions as _F
+
+        uni = reduce(
+            DataFrame.unionByName,
+            [
+                h.terms.select(
+                    _F.lit(i).alias("_seg"), "term", "term_id", "df"
+                )
+                for i, h in enumerate(out)
+            ],
+        )
+        pdf = uni.limit(5_000_001).toPandas()
+        if len(pdf) <= 5_000_000:
+            for i, h in enumerate(out):
+                h._local_dict = (
+                    pdf[pdf["_seg"] == i]
+                    .drop(columns=["_seg"])
+                    .set_index("term")
+                )
         self._global_cache[live] = out
         return out
 
@@ -365,6 +407,27 @@ def search_local_federated(
     from invoicenet_spark.query.local import local_index, search_local
 
     lis = [local_index(r) for r in roots_or_indexes]
+    # same compatibility contract as FederatedIndex: scoring params AND the
+    # analyzer chain must match, or per-segment query analysis diverges and
+    # union-df/score comparability silently breaks
+    def _cfg(li):
+        return (
+            li.stats["k1"], li.stats["b"], li.stats.get("token_pattern"),
+            tuple(sorted(li.stats.get("fields") or {})),
+            tuple(li.stats.get("stopwords") or ()),
+            li.stats.get("stem"),
+        )
+
+    if lis:
+        cfg0 = _cfg(lis[0])
+        for li in lis[1:]:
+            cfg = _cfg(li)
+            if cfg != cfg0:
+                raise ValueError(
+                    f"segment scoring configs differ ({cfg0} vs {cfg}) — "
+                    "federated segments must share k1/b/token_pattern/fields "
+                    "and the analyzer chain"
+                )
     live = [
         i
         for i, li in enumerate(lis)

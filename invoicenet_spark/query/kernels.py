@@ -673,6 +673,7 @@ def score_blockmax(
     plists: list[TermPostings],
     k: int,
     deleted: np.ndarray | None = None,
+    after: tuple[float, int] | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Vectorized MaxScore with block-granular probes (disjunctive),
     rank-identical to score_exhaustive.
@@ -701,12 +702,26 @@ def score_blockmax(
     upper bounds remain valid upper bounds whether or not the docs behind
     them are deleted (a deleted top doc only makes a bound conservative).
     Pinned by the deletion fuzz in tests/test_kernels_fuzz.py.
+
+    Cursor soundness (after=, round 6): the page contract is top-k among
+    docs STRICTLY after (after_score, after_doc) in result order. The
+    cursor filters FULL scores, so it composes with pruning exactly like
+    tombstones: theta is seeded from the after-FILTERED seed scores (a
+    lower bound on the final k-th after-filtered score), the essential
+    decomposition argument is unchanged (a doc seen only in non-essential
+    lists scores < theta and cannot place on this page either), and the
+    final candidates are after-filtered before top-k selection. Scores are
+    the same bits as score_exhaustive's (_probe_scores accumulates in its
+    order), so cursors minted by either kernel remain exact here —
+    previously ANY cursor dropped a pure OR back to the exhaustive kernel
+    and page 2+ of a stopword-bearing OR decoded everything page 1
+    skipped.
     """
     n = len(plists)
     if n == 0 or k <= 0:
         return np.zeros(0, dtype=np.int64), np.zeros(0)
     if n == 1:
-        return score_exhaustive(plists, k, "OR", deleted=deleted)
+        return score_exhaustive(plists, k, "OR", deleted=deleted, after=after)
 
     caches: list[dict] = [dict() for _ in range(n)]
     ubs = np.array([tp.list_ub for tp in plists])
@@ -720,13 +735,16 @@ def score_blockmax(
     df_seed = int(plists[seed].row["df_shard"])
     other_blocks = sum(tp.n_blocks for i, tp in enumerate(plists) if i != seed)
     if df_seed > 2 * other_blocks:
-        return score_exhaustive(plists, k, "OR", deleted=deleted)
+        return score_exhaustive(plists, k, "OR", deleted=deleted, after=after)
     seed_docs = plists[seed].decode_all()[0]
     seed_docs = seed_docs[drop_deleted(seed_docs, deleted)]
     seed_scores = _probe_scores(plists, caches, seed_docs)
-    if seed_docs.size >= k:
-        kth = np.lexsort((seed_docs, -seed_scores))[k - 1]
-        theta = float(seed_scores[kth])
+    # theta must bound the k-th score of THIS PAGE's eligible set: filter
+    # the (full) seed scores through the cursor before seeding it
+    sd_after, ss_after = apply_after(seed_docs, seed_scores, after)
+    if sd_after.size >= k:
+        kth = np.lexsort((sd_after, -ss_after))[k - 1]
+        theta = float(ss_after[kth])
     else:
         theta = -np.inf
 
@@ -736,14 +754,14 @@ def score_blockmax(
     non_ess = cum < theta  # strict: pruned docs score < theta, ties impossible
     essential = [int(i) for i, ne in zip(order, non_ess) if not ne]
     if len(essential) == n:
-        return score_exhaustive(plists, k, "OR", deleted=deleted)
+        return score_exhaustive(plists, k, "OR", deleted=deleted, after=after)
     total_df = sum(int(tp.row["df_shard"]) for tp in plists)
     ess_df = sum(int(plists[i].row["df_shard"]) for i in essential) + (
         df_seed if seed not in essential else 0
     )
     if ess_df > total_df // 2:
         # candidates cover most postings — probe overhead beats the savings
-        return score_exhaustive(plists, k, "OR", deleted=deleted)
+        return score_exhaustive(plists, k, "OR", deleted=deleted, after=after)
 
     cand_parts = [seed_docs]
     for i in essential:
@@ -752,6 +770,7 @@ def score_blockmax(
     cand = np.unique(np.concatenate(cand_parts))
     cand = cand[drop_deleted(cand, deleted)]
     scores = _probe_scores(plists, caches, cand)
+    cand, scores = apply_after(cand, scores, after)
     return topk_select(cand, scores, k)
 
 
@@ -846,15 +865,20 @@ def score_mixed_or(
         for p in parts
     ]
 
-    if prune and after is None and has_term and len(parts) > 1:
+    if prune and has_term and len(parts) > 1:
         seed = int(np.argmax(ubs))
         seed_docs = part_docs(seed)
         if pdfs[seed] <= 2 * max(term_blocks, 1):
             seed_docs = seed_docs[drop_deleted(seed_docs, deleted)]
             seed_scores = score_at(seed_docs)
-            if seed_docs.size >= k:
-                kth = np.lexsort((seed_docs, -seed_scores))[k - 1]
-                theta = float(seed_scores[kth])
+            # cursor composes like tombstones (same argument as
+            # score_blockmax, round 6): theta seeds from the
+            # after-FILTERED full seed scores, candidates after-filter
+            # before selection — page 2+ keeps the pruned routing
+            sd_after, ss_after = apply_after(seed_docs, seed_scores, after)
+            if sd_after.size >= k:
+                kth = np.lexsort((sd_after, -ss_after))[k - 1]
+                theta = float(ss_after[kth])
             else:
                 theta = -np.inf
             order = np.argsort(ubs, kind="stable")
@@ -870,7 +894,9 @@ def score_mixed_or(
                         cand_parts.append(part_docs(i))
                 cand = np.unique(np.concatenate(cand_parts))
                 cand = cand[drop_deleted(cand, deleted)]
-                return topk_select(cand, score_at(cand), k)
+                cand_s = score_at(cand)
+                cand, cand_s = apply_after(cand, cand_s, after)
+                return topk_select(cand, cand_s, k)
     # exhaustive (and cursor) path — same score_at float order
     all_docs = [part_docs(pi) for pi in range(len(parts))]
     uniq = np.unique(np.concatenate(all_docs)) if all_docs else np.zeros(0, np.int64)

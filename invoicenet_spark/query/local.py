@@ -313,18 +313,23 @@ class LocalIndex:
         if not patterns:
             return []
         self.term_info(set())
-        rxs = [re.compile(p) for p in patterns]
+        # compile first (surfaces bad patterns as the same re.error as the
+        # per-term loop did), then match VECTORIZED — str.fullmatch is the
+        # same Python `re` engine without the per-term Python loop
+        # (round 6: a leading-wildcard pattern is a full dictionary scan,
+        # so the scan itself must be C-speed)
+        [re.compile(p) for p in patterns]
         out: set[str] = set()
         if self._dict is not None:
             idx = self._dict.index
-            for rx in rxs:
-                out |= {t for t in idx if rx.fullmatch(t)}
+            for p in patterns:
+                out |= set(idx[idx.str.fullmatch(p)])
         else:
             terms = (
                 self._terms_dataset().to_table(columns=["term"]).column("term").to_pandas()
             )
-            for rx in rxs:
-                out |= {t for t in terms if rx.fullmatch(t)}
+            for p in patterns:
+                out |= set(terms[terms.str.fullmatch(p)])
         return qparse.cap_prefix_expansion(out, patterns, max_expansions, kind="regex")
 
     def expand_fuzzy(
@@ -537,12 +542,14 @@ def _run_one_query(
                     [[tp] for tp in plists], k, deleted=deleted, after=after,
                     min_groups=min_match,
                 )
-            elif kernel == "exhaustive" or min_match > 1 or after is not None:
+            elif kernel == "exhaustive" or min_match > 1:
                 d, s = kernels.score_exhaustive(
                     plists, k, "OR", deleted=deleted, min_match=min_match, after=after
                 )
             else:
-                d, s = kernels.score_blockmax(plists, k, deleted=deleted)
+                # cursors keep the pruned kernel (round 6 — see
+                # kernels.score_blockmax's cursor-soundness note)
+                d, s = kernels.score_blockmax(plists, k, deleted=deleted, after=after)
         docs_all.append(d)
         scores_all.append(s)
     if count_only:
@@ -660,7 +667,7 @@ def normalize_local_queries(
     # inside normalize_query below
     queries = qparse.analyze_query_rows(queries, stats)
     queries = qparse.apply_synonyms_rows(queries, synonyms)
-    queries = booltree.rewrite_fielded_rows(queries, field_stats)
+    queries = booltree.rewrite_fielded_rows(queries, field_stats, synonyms=synonyms)
     if field_stats:
         if queries["mode"].isin(["WILDCARD", "REGEX"]).any():
             raise ValueError(

@@ -134,10 +134,27 @@ def apply_synonyms_rows(queries, synonyms: dict | None):
             ],
             index=queries.index[or_mask],
         )
-    and_mask = (queries["mode"] == "AND") & [
-        any(str(t).partition("^")[0] in synonyms for t in ts)
-        for ts in queries["terms"]
-    ]
+    import numpy as np
+
+    and_mask = (queries["mode"] == "AND") & np.array(
+        [
+            any(str(t).partition("^")[0] in synonyms for t in ts)
+            for ts in queries["terms"]
+        ],
+        dtype=bool,
+    )
+    if "fields" in queries.columns:
+        # fielded AND rows are rewritten by rewrite_fielded_rows (which runs
+        # after synonyms and rejects BOOL rows) — expand their synonyms at
+        # the tree level there instead of flipping the mode here
+        has_fields = np.array(
+            [
+                isinstance(fm, dict) and len(fm) > 0
+                for fm in queries["fields"]
+            ],
+            dtype=bool,
+        )
+        and_mask = and_mask & ~has_fields
     if and_mask.any():
         if "tree" not in queries.columns:
             queries["tree"] = None
@@ -153,10 +170,37 @@ def apply_synonyms_rows(queries, synonyms: dict | None):
                     leaves[0] if len(leaves) == 1
                     else {"kind": "or", "clauses": leaves, "min_match": 0}
                 )
-            queries.at[i, "tree"] = (
+            base = (
                 groups[0] if len(groups) == 1
                 else {"kind": "and", "clauses": groups}
             )
+            # fold the row's neg_terms into the tree (flat_row_to_tree's
+            # negs shape) and CLEAR the column: a BOOL row's neg_terms is
+            # never read by the serving path's _run_bool_query, so leaving
+            # it would silently stop excluding must_not docs there
+            negs = (
+                queries.at[i, "neg_terms"]
+                if "neg_terms" in queries.columns
+                else None
+            )
+            if (
+                negs is not None
+                and hasattr(negs, "__len__")
+                and not isinstance(negs, str)
+                and len(negs) > 0
+            ):
+                nl = [
+                    {"kind": "term", "term": t, "boost": 1.0}
+                    for t in dict.fromkeys(negs)
+                ]
+                base = {
+                    "kind": "not",
+                    "positive": base,
+                    "negative": nl[0] if len(nl) == 1
+                    else {"kind": "or", "clauses": nl},
+                }
+                queries.at[i, "neg_terms"] = []
+            queries.at[i, "tree"] = base
             queries.at[i, "mode"] = "BOOL"
     return queries
 

@@ -399,3 +399,43 @@ def test_cli_federated_local(seg_indexes, capsys):
     with pytest.raises(SystemExit):
         main(["search", "--index", roots, "--terms", HOT, "--local",
               "--after-score", "1.0", "--after-doc", "3"])
+
+
+def test_cursor_nan_after_segment_raises():
+    """A cursored row whose after_segment is NaN must raise like a missing
+    column — filling -1 made every segment 'after' it and re-returned all
+    ties at after_score (overlapping pages)."""
+    import numpy as np
+
+    from invoicenet_spark.query.federate import _segment_cursor_queries
+
+    q = pd.DataFrame(
+        [{"query_id": 1, "terms": ["x"], "mode": "OR", "k": 5,
+          "after_score": 1.5, "after_segment": np.nan, "after_doc": 3}]
+    )
+    with pytest.raises(ValueError, match="after_segment"):
+        _segment_cursor_queries(q, segment=0)
+
+
+def test_mismatched_analyzer_chain_rejected(spark, seg_indexes, tmp_path):
+    """Segments whose analyzer chains differ must not federate silently:
+    each segment would analyze the query with its own chain and the
+    union-df/score comparability contract breaks."""
+    import json
+    import shutil
+
+    from invoicenet_spark.query.federate import (
+        FederatedIndex,
+        search_local_federated,
+    )
+
+    r0 = seg_indexes["a"]
+    clone = str(tmp_path / "seg_badchain")
+    shutil.copytree(r0, clone)
+    sp = json.load(open(f"{clone}/stats.json"))
+    sp["stopwords"] = ["the", "of"]
+    json.dump(sp, open(f"{clone}/stats.json", "w"))
+    with pytest.raises(ValueError, match="configs differ"):
+        FederatedIndex(spark, [r0, clone])
+    with pytest.raises(ValueError, match="configs differ"):
+        search_local_federated([r0, clone], _queries().iloc[[0]])

@@ -372,3 +372,56 @@ def test_cross_field_phrase_rejected(fielded_idx):
             expand_fuzzy=lambda t: [],
             field_stats=stats,
         )
+
+
+def test_fielded_and_with_synonyms(spark, fielded_idx):
+    """AND + a `fields` weight map + synonyms must not hard-fail (the
+    synonym AND→BOOL rewrite used to run first and rewrite_fielded_rows
+    then rejected the BOOL row). The synonyms expand INSIDE the fielded
+    tree: and-of-groups where each group is any form in any weighted
+    field — identical rows on both paths, and equal to the manually
+    expanded tree."""
+    root, idx = fielded_idx
+    syn = {"query": ["window"]}
+    q = pd.DataFrame(
+        [{"query_id": 1, "terms": ["spark", "query"], "mode": "AND", "k": 10,
+          "fields": {"title": 2.0, "body": 1.0}}]
+    )
+    sp = (
+        search(spark, idx, q.copy(), synonyms=syn)
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    lo = (
+        search_local(root, q.copy(), synonyms=syn)
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    assert list(lo["doc_id"]) == list(sp["doc_id"])
+    assert np.allclose(
+        lo["score"].to_numpy(dtype=float), sp["score"].to_numpy(dtype=float)
+    )
+    # manual equivalent: spark-in-any-field AND (query|window)-in-any-field
+    tree = {
+        "kind": "and",
+        "clauses": [
+            {"kind": "or", "clauses": [
+                {"kind": "term", "term": "title:spark", "boost": 2.0},
+                {"kind": "term", "term": "body:spark", "boost": 1.0},
+            ]},
+            {"kind": "or", "clauses": [
+                {"kind": "term", "term": "title:query", "boost": 2.0},
+                {"kind": "term", "term": "body:query", "boost": 1.0},
+                {"kind": "term", "term": "title:window", "boost": 2.0},
+                {"kind": "term", "term": "body:window", "boost": 1.0},
+            ]},
+        ],
+    }
+    qm = pd.DataFrame([{"query_id": 1, "terms": [], "mode": "BOOL", "k": 10,
+                        "tree": tree}])
+    manual = (
+        search(spark, idx, qm).toPandas()
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    assert list(manual["doc_id"]) == list(sp["doc_id"])
+    assert np.allclose(
+        manual["score"].to_numpy(dtype=float), sp["score"].to_numpy(dtype=float)
+    )

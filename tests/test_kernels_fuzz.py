@@ -436,3 +436,41 @@ def test_min_match_groups_bitidentical_to_exhaustive_mm():
                 after=after,
             )
             assert np.array_equal(e2[0], g2[0]) and np.array_equal(e2[1], g2[1])
+
+
+def test_blockmax_cursor_fuzz_vs_exhaustive():
+    """Cursored pages keep the PRUNED kernel (round 6): score_blockmax with
+    after= must return bit-identical docs/scores to score_exhaustive with
+    the same cursor, across random corpora, deletions, and cursors minted
+    by either kernel — so page 2+ of a stopword-bearing OR no longer
+    decodes what page 1 skipped."""
+    import numpy as np
+
+    for seed in range(400):
+        rng = np.random.default_rng(600_000 + seed)
+        n_docs = int(rng.integers(8, 60))
+        n_terms = int(rng.integers(2, 4))
+        bs = int(rng.choice([4, 8]))
+        k = int(rng.integers(1, 6))
+        plists = _random_corpus(rng, n_docs, n_terms, bs)
+        n_del = int(rng.integers(0, max(1, n_docs // 3)))
+        deleted = (
+            np.sort(rng.choice(n_docs, size=n_del, replace=False)).astype(np.int64)
+            if n_del
+            else None
+        )
+        # page 1 both kernels (existing contract), then chase pages until
+        # the result set drains, comparing each page bit-for-bit
+        after = None
+        for _page in range(6):
+            ed, es = kernels.score_exhaustive(
+                plists, k, "OR", deleted=deleted, after=after
+            )
+            gd, gs = kernels.score_blockmax(
+                plists, k, deleted=deleted, after=after
+            )
+            assert np.array_equal(ed, gd), f"seed={seed}: docs {ed} != {gd}"
+            assert np.array_equal(es, gs), f"seed={seed}: float drift"
+            if ed.size == 0:
+                break
+            after = (float(es[-1]), int(ed[-1]))

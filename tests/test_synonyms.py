@@ -113,3 +113,17 @@ def test_other_modes_untouched(spark, syn_idx):
     a = _both(spark, syn_idx, q, synonyms=SYN)
     b = _both(spark, syn_idx, q)
     assert _rows(a, 1) == _rows(b, 1)
+
+
+def test_and_synonyms_neg_terms(spark, syn_idx):
+    """AND + synonyms + neg_terms: the must_not exclusion must survive the
+    AND→BOOL synonym rewrite on BOTH paths (the rewrite folds neg_terms
+    into the tree as a NOT node; previously the serving path silently
+    ignored the leftover neg_terms column)."""
+    q = pd.DataFrame(
+        [{"query_id": 1, "terms": ["car", "park"], "mode": "AND", "k": 10,
+          "neg_terms": ["big"]}]
+    )
+    res = _both(spark, syn_idx, q, synonyms=SYN)
+    # (car|auto|automobile) AND park, NOT big → only doc 1 ("auto park small")
+    assert {d for d, _ in _rows(res, 1)} == {1}
