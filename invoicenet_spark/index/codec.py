@@ -69,6 +69,12 @@ def vb_decode(blob: bytes | np.ndarray, count: int | None = None) -> np.ndarray:
     if b.size == 0:
         return np.zeros(0, dtype=np.uint64)
     is_last = (b & 0x80) == 0
+    if is_last.all():
+        # fast path: every value fits 7 bits (typical for tf streams and
+        # dense doc-delta blocks) — the value bytes ARE the values
+        if count is not None and b.size != count:
+            raise ValueError(f"varbyte decode: expected {count} values, got {b.size}")
+        return b.astype(np.uint64)
     ends = np.flatnonzero(is_last)
     starts = np.concatenate(([0], ends[:-1] + 1))
     lengths = ends - starts + 1
