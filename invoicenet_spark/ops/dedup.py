@@ -315,6 +315,12 @@ def minhash_lsh_pairs(
     minhash_signatures / minhash_lsh_candidates / jaccard_pairs.
     """
     cand = minhash_lsh_candidates(df, text_col, key_col, n, num_perm, bands)
+    # NOT checkpointed (round-6 A/B): the verification plan consumes
+    # `candidates` three times (id-union semi-join ×2, pair join ×1), but
+    # the three subtrees are canonically identical and runtime exchange
+    # reuse collapses them; an eager localCheckpoint here measured −0.7 s
+    # on the small fixture and +3 s on the ×10 scale fixture (interleaved
+    # medians 9.5 vs 12.7 s) — the wrong trade at the scale that matters.
     return jaccard_pairs(df, text_col, key_col, n, threshold, candidates=cand)
 
 
